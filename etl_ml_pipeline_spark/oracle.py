@@ -1,0 +1,118 @@
+"""DuckDB differential-test harness.
+
+Runs a named query both ways — the Spark callable and its DuckDB oracle
+SQL over the same parquet tables — and compares row count, column names,
+and an order-insensitive canonical value hash. This mirrors the driver's
+CORRECTNESS check so failures surface locally first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+
+from etl_ml_pipeline_spark.queries.tables import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str):
+    """A DuckDB connection with the test tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v: Any) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 and 3 canonicalize identically
+        return repr(v)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_value(v.item())
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in canonical_rows(pdf):
+        h.update("".join(row).encode("utf-8"))
+        h.update(b"")
+    return h.hexdigest()
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    schema_ok: bool
+    hash_ok: bool
+    detail: str = ""
+
+
+def compare_one(name: str, spark, sf_dir: str, query_fn, sql: str) -> CompareResult:
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    with duckdb_connect(sf_dir) as con:
+        oracle_pdf = con.sql(sql).df()
+
+    schema_ok = sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    rows_ok = len(spark_pdf) == len(oracle_pdf)
+    hash_ok = schema_ok and rows_ok and value_hash(spark_pdf) == value_hash(oracle_pdf)
+
+    detail = ""
+    if not schema_ok:
+        detail = f"schema: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    elif not rows_ok:
+        detail = f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    elif not hash_ok:
+        s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+        diffs = [
+            f"  spark={s} | oracle={o}"
+            for s, o in zip(s_rows, o_rows)
+            if s != o
+        ][:5]
+        only_s = [r for r in s_rows if r not in set(o_rows)][:3]
+        only_o = [r for r in o_rows if r not in set(s_rows)][:3]
+        detail = (
+            "hash mismatch; first row diffs:\n"
+            + "\n".join(diffs)
+            + f"\n  only-in-spark={only_s}\n  only-in-oracle={only_o}"
+        )
+    return CompareResult(
+        name=name,
+        ok=schema_ok and rows_ok and hash_ok,
+        spark_rows=len(spark_pdf),
+        oracle_rows=len(oracle_pdf),
+        schema_ok=schema_ok,
+        hash_ok=hash_ok,
+        detail=detail,
+    )

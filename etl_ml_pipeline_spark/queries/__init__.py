@@ -1,0 +1,62 @@
+"""Named query catalog: every engine operator exposed as a (Spark, oracle-SQL) pair.
+
+Each submodule defines ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+and ``ORACLES: dict[str, str]`` (DuckDB-runnable ANSI SQL over the same parquet
+tables). The driver (and our own tests) run both sides and compare
+row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- doubles are rounded with the shared helpers in ``parity.py`` so both
+  engines produce bit-identical values;
+- queries whose semantics SQL cannot express (recursive EWMAs, LSH
+  bucketing with library hashes) appear in QUERIES only -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = (
+    "relational",
+    "windows",
+    "cleaning_q",
+    "timeseries",
+    "text_q",
+    "dedup_q",
+    "similarity_q",
+    "ml_q",
+)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _MODULES:
+        mod = _load(name)
+        if mod is None:
+            continue
+        for k, v in getattr(mod, "QUERIES", {}).items():
+            if k in out:
+                raise ValueError(f"duplicate query name {k!r} in {name}")
+            out[k] = v
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name in _MODULES:
+        mod = _load(name)
+        if mod is None:
+            continue
+        out.update(getattr(mod, "ORACLES", {}))
+    return out
+
+
+def _load(name: str):
+    import importlib
+
+    try:
+        return importlib.import_module(f"etl_ml_pipeline_spark.queries.{name}")
+    except ImportError:
+        return None

@@ -1,0 +1,537 @@
+"""Relational core queries: scans, filters, aggregations, joins, set ops.
+
+The reference engine has no relational operators at all (SURVEY.md §2.6) —
+this module is the Spark-native extension that makes the engine a real
+analytics engine over the TPC-H-ish test tables. Every query is written
+declaratively (DataFrame API -> Catalyst) so filter pushdown, column
+pruning, partial aggregation, and broadcast-join selection happen
+automatically. Scale notes are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.queries.tables import t
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 analog.
+# Scale: single shuffle on (returnflag, linestatus) with map-side partial
+# aggregation; cardinality of the grouping key is tiny (~6), so the reduce
+# side is trivial at any scale. Filter pushes down to the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6 analog: pure filter + global sum.
+# Scale: fully map-side (partial sums) + single-row reduce; all three
+# predicates push down to parquet row-group statistics.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)                                    AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3_top_orders — TPC-H Q3 analog: 3-way join + agg + deterministic top-10.
+# Scale: customer is small relative to lineitem -> Catalyst/AQE picks
+# broadcast for the filtered customer side; orders⋈lineitem shuffles on
+# orderkey (both sides keyed on it — a co-partitioned shuffle join). The
+# top-10 uses TakeOrdered (no global sort materialization).
+# ---------------------------------------------------------------------------
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5_region_revenue — TPC-H Q5 analog: 6-way snowflake join.
+# Scale: region/nation/supplier/customer are dimension tables ->
+# broadcast; only orders⋈lineitem is a large shuffle join on orderkey.
+# ---------------------------------------------------------------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_semi / join_anti — EXISTS / NOT EXISTS as left_semi / left_anti.
+# Scale: semi/anti joins shuffle only the keys of the probe side and
+# never duplicate rows; with a small filtered build side AQE converts to
+# broadcast. This is the idiomatic "customers with/without orders" at
+# any scale — no distinct-then-join materialization.
+# ---------------------------------------------------------------------------
+
+
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct_parts — exact count-distinct per group.
+# Scale: count_distinct expands to a two-phase aggregation (partial
+# distinct on (suppkey, partkey) then count) — Catalyst plans this; no
+# driver-side set building.
+# ---------------------------------------------------------------------------
+
+
+def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT l_suppkey,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_quantity), 2)  AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup_order_stats — hierarchical aggregate (status -> priority).
+# Scale: Spark expands rollup into a single Expand+aggregate (one
+# shuffle); grouping-set count is constant.
+# ---------------------------------------------------------------------------
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops — INTERSECT / EXCEPT with distinct semantics.
+# Scale: both compile to aggregate/join on the full row key — one
+# shuffle each; inputs are pre-projected to the single key column so the
+# shuffled payload is minimal.
+# ---------------------------------------------------------------------------
+
+
+def set_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y1997 = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y1996.intersect(y1997).orderBy("custkey")
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY custkey
+"""
+
+
+def set_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y1997 = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # SQL EXCEPT has distinct semantics -> DataFrame.subtract (not exceptAll)
+    return y1996.subtract(y1997).orderBy("custkey")
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# union_all_priority_sample — UNION ALL preserving duplicates.
+# ---------------------------------------------------------------------------
+
+
+def set_union_high_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("high").alias("band")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 20000).select(
+        "o_orderkey", F.lit("low").alias("band")
+    )
+    return hi.unionByName(lo).orderBy("o_orderkey", "band")
+
+
+_UNION_SQL = """
+SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'low'  AS band FROM orders WHERE o_totalprice < 20000
+ORDER BY o_orderkey, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# case_bucket_orders — CASE WHEN bucketing + conditional aggregation.
+# ---------------------------------------------------------------------------
+
+
+def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_finished"),
+        )
+        .orderBy("band")
+    )
+
+
+_CASE_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS band,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+FROM orders
+GROUP BY 1
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_extract_events — JSON scalar functions over events.props.
+# Scale: get_json_object is a codegen'd JVM expression — no Python; one
+# shuffle on event_type.
+# ---------------------------------------------------------------------------
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot_status_by_priority — pivot with explicit values (scales: explicit
+# value list avoids the extra distinct-collection job Spark otherwise runs).
+# Oracle expressed as conditional aggregation (ANSI-safe).
+# ---------------------------------------------------------------------------
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return (
+        out.select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "join_semi_active_customers": join_semi_active_customers,
+    "join_anti_inactive_customers": join_anti_inactive_customers,
+    "agg_distinct_parts": agg_distinct_parts,
+    "rollup_order_stats": rollup_order_stats,
+    "set_repeat_customers": set_repeat_customers,
+    "set_lapsed_customers": set_lapsed_customers,
+    "set_union_high_low": set_union_high_low,
+    "case_bucket_orders": case_bucket_orders,
+    "json_extract_events": json_extract_events,
+    "pivot_status_by_priority": pivot_status_by_priority,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q3_top_orders": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "join_semi_active_customers": _SEMI_SQL,
+    "join_anti_inactive_customers": _ANTI_SQL,
+    "agg_distinct_parts": _DISTINCT_SQL,
+    "rollup_order_stats": _ROLLUP_SQL,
+    "set_repeat_customers": _INTERSECT_SQL,
+    "set_lapsed_customers": _EXCEPT_SQL,
+    "set_union_high_low": _UNION_SQL,
+    "case_bucket_orders": _CASE_SQL,
+    "json_extract_events": _JSON_SQL,
+    "pivot_status_by_priority": _PIVOT_SQL,
+}

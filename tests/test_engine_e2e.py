@@ -1,0 +1,168 @@
+"""End-to-end pipeline engine tests (config -> extract -> transform -> load)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+import yaml
+
+from etl_ml_pipeline_spark.config import PipelineConfig, load_config
+from etl_ml_pipeline_spark.engine import PipelineEngine
+from etl_ml_pipeline_spark.registry import list_registered
+
+
+def _write_config(tmp_path, cfg: dict) -> str:
+    p = tmp_path / "pipeline.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def test_parquet_to_parquet_pipeline(tmp_path, spark, sf_dir):
+    out = tmp_path / "out"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "copy_region",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+            "transform": [{"type": "pass_through"}],
+            "load": {"type": "parquet", "config": {"path": str(out)}},
+        },
+    }
+    engine = PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "state.json")
+    )
+    engine.run()
+    result = spark.read.parquet(str(out))
+    assert result.count() == 5
+    assert set(result.columns) == {"r_regionkey", "r_name"}
+
+
+def test_single_file_json_sink(tmp_path, spark, sf_dir):
+    out = tmp_path / "regions.json"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "region_json",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+            "load": {
+                "type": "json_local",
+                "config": {"path": str(out), "single_file": True},
+            },
+        },
+    }
+    PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "state.json")
+    ).run()
+    data = json.loads(out.read_text())
+    assert len(data) == 5
+    assert {"r_regionkey", "r_name"} <= set(data[0])
+
+
+def test_incremental_cursor_commit_after_load(tmp_path, spark, sf_dir):
+    """Cursor = post-extract max, saved only after successful load
+    (reference engine.py:94-128 semantics)."""
+    state_path = tmp_path / "state.json"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "inc_orders",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/orders.parquet"}},
+            "load": {"type": "parquet", "config": {"path": str(tmp_path / "out")}},
+            "incremental": {"cursor_field": "o_orderkey", "initial_value": -1},
+        },
+    }
+    engine = PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(state_path)
+    )
+    df = engine.run()
+    n_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert df.count() == n_total
+    saved = json.loads(state_path.read_text())
+    assert saved["inc_orders"] == n_total - 1  # orderkeys are 0..n-1
+
+    # Second run: cursor filter excludes everything
+    df2 = engine.run()
+    assert df2.count() == 0
+
+
+def test_incremental_cursor_not_saved_on_load_failure(tmp_path, spark, sf_dir):
+    state_path = tmp_path / "state.json"
+    blocker = tmp_path / "blocked"
+    blocker.write_text("i am a file, not a directory")
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "inc_fail",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+            "load": {
+                "type": "json_local",
+                "config": {"path": str(blocker / "sub" / "out.json"), "single_file": True},
+            },
+            "incremental": {"cursor_field": "r_regionkey", "initial_value": -1},
+        },
+        "settings": {"retry": {"max_attempts": 1, "backoff_seconds": 0}},
+    }
+    engine = PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(state_path)
+    )
+    with pytest.raises(Exception):
+        engine.run()
+    assert not state_path.exists() or "inc_fail" not in json.loads(state_path.read_text())
+
+
+def test_full_refresh_ignores_stored_cursor(tmp_path, spark, sf_dir):
+    state_path = tmp_path / "state.json"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "fr",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+            "load": {"type": "parquet", "config": {"path": str(tmp_path / "out")}},
+            "incremental": {"cursor_field": "r_regionkey", "initial_value": -1},
+        },
+    }
+    engine = PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(state_path)
+    )
+    engine.run()
+    assert engine.run().count() == 0  # incremental: nothing new
+    assert engine.run(full_refresh=True).count() == 5  # full refresh: all rows
+
+
+def test_on_failure_warn_swallows(tmp_path, spark):
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "warned",
+            "extract": {"type": "parquet", "config": {"path": "/nonexistent/nope.parquet"}},
+        },
+        "settings": {"on_failure": "warn", "retry": {"max_attempts": 1, "backoff_seconds": 0}},
+    }
+    engine = PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "s.json")
+    )
+    engine.run()  # must not raise
+
+
+def test_config_validation_fail_fast(tmp_path):
+    with pytest.raises(Exception):
+        PipelineConfig.model_validate({"pipeline": {"name": ""}})
+    p = tmp_path / "bad.yaml"
+    p.write_text("pipeline:\n  name: x\n  extract: {type: parquet}\n  bogus_key: 1\n")
+    with pytest.raises(Exception):
+        load_config(str(p))
+
+
+def test_registry_lists_builtins():
+    reg = list_registered()
+    assert "parquet" in reg["sources"]
+    assert "pass_through" in reg["transforms"]
+    assert "json_local" in reg["sinks"]
+
+
+def test_registry_unknown_key_lists_available():
+    from etl_ml_pipeline_spark.registry import SOURCES
+
+    with pytest.raises(KeyError, match="Available:"):
+        SOURCES.get("definitely_not_registered")

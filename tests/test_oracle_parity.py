@@ -1,0 +1,32 @@
+"""Differential test: every declared query hash-matches its DuckDB oracle.
+
+This is a local mirror of the driver's CORRECTNESS gate, run at sf0.001
+for speed (the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_ml_pipeline_spark.oracle import compare_one
+from etl_ml_pipeline_spark.queries import all_oracles, all_queries
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+def test_every_oracle_has_a_query():
+    missing = set(_ORACLES) - set(_QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    res = compare_one(name, spark, sf_dir, _QUERIES[name], _ORACLES[name])
+    assert res.ok, f"{name}: {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
