@@ -239,8 +239,9 @@ ORDER BY c_custkey
 
 
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 2001 orders (non-empty at every scale factor)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2001)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -251,7 +252,10 @@ def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001
+)
 ORDER BY c_custkey
 """
 

@@ -1,0 +1,167 @@
+"""Unit tests for the cleaning rule pipeline + validation compiler.
+
+Ports the reference's test strategy (tests/test_data_cleaning_transformer.py,
+tests/test_pydantic_validation_transformer.py — SURVEY.md §5) to Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators import cleaning
+from etl_ml_pipeline_spark.operators.cleaning import DataCleaning
+from etl_ml_pipeline_spark.operators.validation import Validate, compile_rules
+
+
+@pytest.fixture()
+def messy_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(ID=1, Name="  alice  ", email="a@x.com", age="30", joined="2024-01-05"),
+            Row(ID=2, Name="bob", email=None, age="not-a-number", joined="bad-date"),
+            Row(ID=2, Name="bob", email=None, age="not-a-number", joined="bad-date"),
+            Row(ID=3, Name=" carol", email="c@y.org", age="41", joined="2023-12-31"),
+        ]
+    )
+
+
+def test_drop_and_rename_and_lowercase(messy_df):
+    out = cleaning.drop_columns(messy_df, ["email", "nonexistent"])
+    assert "email" not in out.columns
+    out = cleaning.rename_columns(out, {"Name": "full_name", "missing": "x"})
+    assert "full_name" in out.columns
+    out = cleaning.lowercase_columns(out)
+    assert set(out.columns) == {"id", "full_name", "age", "joined"}
+
+
+def test_strip_whitespace_only_string_cols(messy_df):
+    out = cleaning.strip_whitespace(messy_df)
+    names = [r.Name for r in out.orderBy("ID", "Name").collect()]
+    assert names == ["alice", "bob", "bob", "carol"]
+    # non-string column untouched
+    assert [r.ID for r in out.orderBy("ID", "Name").collect()] == [1, 2, 2, 3]
+
+
+def test_fill_and_drop_nulls(messy_df):
+    filled = cleaning.fill_nulls(messy_df, {"email": "unknown", "missing_col": "x"})
+    assert filled.filter(F.col("email").isNull()).count() == 0
+    dropped = cleaning.drop_nulls(messy_df)
+    assert dropped.count() == 2  # rows with null email removed
+    subset = cleaning.drop_null_columns(messy_df, ["email"])
+    assert subset.count() == 2
+
+
+def test_deduplicate_full_row(messy_df):
+    assert cleaning.deduplicate(messy_df).count() == 3
+
+
+def test_deduplicate_columns_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v="b", seq=2), Row(k=1, v="a", seq=1), Row(k=2, v="z", seq=9)]
+    )
+    out = cleaning.deduplicate_columns(df, ["k"], order_by=["seq"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "z"}
+
+
+def test_standardize_dates_coerces_invalid_to_null(messy_df):
+    out = cleaning.standardize_dates(messy_df, ["joined"])
+    rows = {r.ID: r.joined for r in out.collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and str(rows[1]).startswith("2024-01-05")
+
+
+def test_cast_types_permissive_vs_column_atomic(messy_df):
+    perm = cleaning.cast_types(messy_df, {"age": "int"}, mode="permissive")
+    vals = {r.ID: r.age for r in perm.collect()}
+    assert vals[1] == 30 and vals[2] is None
+
+    atomic = cleaning.cast_types(messy_df, {"age": "int"}, mode="column_atomic")
+    vals = {r.ID: r.age for r in atomic.collect()}
+    # one uncastable value -> whole column kept as original strings
+    assert vals[1] == "30" and vals[2] == "not-a-number"
+
+    clean = messy_df.filter(F.col("ID") != 2)
+    atomic_ok = cleaning.cast_types(clean, {"age": "int"}, mode="column_atomic")
+    assert {r.age for r in atomic_ok.collect()} == {30, 41}
+
+
+def test_rule_pipeline_fixed_order(spark):
+    """Rules apply in RULE_ORDER regardless of config dict order."""
+    df = spark.createDataFrame(
+        [Row(A=" x ", b=None), Row(A=" x ", b=None), Row(A="y", b="z")]
+    )
+    # config deliberately lists rules "out of order"
+    out = DataCleaning(
+        {
+            "deduplicate": True,
+            "fill_nulls": {"b": "filled"},
+            "strip_whitespace": True,
+            "lowercase_columns": True,
+        }
+    ).transform(df)
+    rows = sorted((r.a, r.b) for r in out.collect())
+    # strip+fill happen BEFORE dedup -> the two " x " rows collapse
+    assert rows == [("x", "filled"), ("y", "z")]
+
+
+def test_unknown_rule_warns_not_crashes(spark, caplog):
+    df = spark.createDataFrame([Row(a=1)])
+    out = DataCleaning({"not_a_rule": True}).transform(df)
+    assert out.count() == 1
+
+
+def test_validate_drop_and_flag_and_fail(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="ok", email="a@b.co"),
+            Row(id=-5, name="bad-id", email="a@b.co"),
+            Row(id=2, name="", email="a@b.co"),
+            Row(id=3, name="bad-email", email="nope"),
+        ]
+    )
+    rules = {
+        "id": {"not_null": True, "min": 1},
+        "name": {"min_length": 1},
+        "email": {"email": True},
+    }
+    dropped = Validate({"rules": rules, "mode": "drop"}).transform(df)
+    assert [r.id for r in dropped.collect()] == [1]
+
+    flagged = Validate({"rules": rules, "mode": "flag"}).transform(df)
+    assert {r.id: r._valid for r in flagged.collect()} == {
+        1: True, -5: False, 2: False, 3: False,
+    }
+
+    with pytest.raises(ValueError, match="validation failed"):
+        Validate({"rules": rules, "mode": "fail"}).transform(df)
+
+    ok_only = df.filter(F.col("id") == 1)
+    assert Validate({"rules": rules, "mode": "fail"}).transform(ok_only).count() == 1
+
+
+def test_validate_empty_frame_short_circuits(spark):
+    df = spark.createDataFrame([], "id long, name string")
+    out = Validate({"rules": {"id": {"min": 1}}}).transform(df)
+    assert out.count() == 0
+
+
+def test_compile_rules_null_semantics():
+    pred = compile_rules({"x": {"min": 1}})
+    assert pred is not None
+    # nulls fail a min constraint (SQL three-valued logic -> filter drops)
+
+
+def test_validate_pydantic_model_compiles(spark):
+    """The reference's TodoItem-style contract via a pydantic model path."""
+    df = spark.createDataFrame(
+        [
+            Row(userId=1, id=1, title="do it", completed=True),
+            Row(userId=0, id=2, title="bad-user", completed=False),
+            Row(userId=2, id=3, title="", completed=False),
+        ]
+    )
+    out = Validate({"model": "tests.schemas_fixture.TodoItem"}).transform(df)
+    assert [r.id for r in out.collect()] == [1]
