@@ -1,0 +1,158 @@
+"""Technical-indicator transform: SMA, RSI, Bollinger bands, MACD.
+
+Capability parity with /root/reference/src/data_extractor/transformers/
+finance_transformer.py:29-144 (requires OHLCV columns case-insensitively,
+lowercases, parses dates, coerces numerics, sorts by date, computes 4
+indicator families, drops rolling-warmup rows). Re-expressed Spark-first:
+
+- SMA and Bollinger are plain frame aggregates (``avg`` / ``stddev_samp``
+  over ``rowsBetween(-(n-1), 0)``) with an explicit ``count >= n`` guard
+  reproducing Pandas ``min_periods`` semantics (Spark happily returns the
+  partial-frame mean; Pandas returns NaN — SURVEY.md §4.2).
+- RSI (Wilder smoothing) and MACD (span EWMAs) are *recursive* — state
+  carried row to row — which no SQL window frame expresses. They run as
+  Arrow-batched ``applyInPandas`` per series key: each key's rows are
+  sorted within its group and the standard public formulas (Wilder 1978
+  RSI; Appel MACD 12/26/9, ``adjust=False`` EWMA recurrence
+  y[t] = (1-a)*y[t-1] + a*x[t]) are computed vectorized in pandas.
+
+Scale: everything is keyed by ``series_col`` (symbol/user) — each series
+must fit one executor's memory (time-series length, not dataset width);
+thousands of series parallelize across the cluster. A single global
+unkeyed series is the degenerate case and is documented as such.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.registry import register_transform
+
+REQUIRED = ("date", "open", "high", "low", "close", "volume")
+
+
+def sma(df: DataFrame, col: str, n: int, w, out: str) -> DataFrame:
+    """Simple moving average with min_periods=n null semantics."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    return df.withColumn(
+        out,
+        F.when(
+            F.count(col).over(frame) >= n, F.avg(col).over(frame)
+        ).otherwise(F.lit(None)),
+    )
+
+
+def bollinger(df: DataFrame, col: str, n: int, k: float, w, prefix: str) -> DataFrame:
+    """Bollinger bands: SMA(n) ± k * sample stddev(n) (ddof=1, like Pandas)."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    guard = F.count(col).over(frame) >= n
+    mid = F.avg(col).over(frame)
+    sd = F.stddev_samp(col).over(frame)
+    return df.withColumns(
+        {
+            f"{prefix}_upper": F.when(guard, mid + k * sd).otherwise(F.lit(None)),
+            f"{prefix}_lower": F.when(guard, mid - k * sd).otherwise(F.lit(None)),
+        }
+    )
+
+
+def _ewm_kernel_schema(base_schema, cols: list[str]) -> str:
+    parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in base_schema.fields]
+    parts += [f"{c} double" for c in cols]
+    return ", ".join(parts)
+
+
+def add_rsi_macd(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    rsi_n: int = 14,
+    macd_fast: int = 12,
+    macd_slow: int = 26,
+    macd_signal: int = 9,
+) -> DataFrame:
+    """RSI + MACD via per-series applyInPandas (the one stateful scalar op)."""
+    out_cols = [f"rsi_{rsi_n}", "macd", "macd_signal", "macd_histogram"]
+    schema = _ewm_kernel_schema(df.schema, out_cols)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        close = pd.to_numeric(pdf[value_col], errors="coerce")
+
+        # Wilder RSI: smoothed gains/losses with alpha=1/n, warmup n
+        delta = close.diff()
+        gain = delta.clip(lower=0.0)
+        loss = -delta.clip(upper=0.0)
+        avg_gain = gain.ewm(alpha=1.0 / rsi_n, min_periods=rsi_n, adjust=False).mean()
+        avg_loss = loss.ewm(alpha=1.0 / rsi_n, min_periods=rsi_n, adjust=False).mean()
+        rs = avg_gain / avg_loss
+        pdf[f"rsi_{rsi_n}"] = 100.0 - 100.0 / (1.0 + rs)
+
+        # MACD: span EWMAs defined from row 0 (no warmup)
+        ema_fast = close.ewm(span=macd_fast, adjust=False).mean()
+        ema_slow = close.ewm(span=macd_slow, adjust=False).mean()
+        macd = ema_fast - ema_slow
+        signal = macd.ewm(span=macd_signal, adjust=False).mean()
+        pdf["macd"] = macd
+        pdf["macd_signal"] = signal
+        pdf["macd_histogram"] = macd - signal
+        return pdf
+
+    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
+
+
+@register_transform("technical_indicators")
+class TechnicalIndicators(BaseTransform):
+    """OHLCV indicator pipeline (reference finance_transformer parity)."""
+
+    def validate(self, df: DataFrame) -> None:
+        lower = {c.lower() for c in df.columns}
+        missing = [c for c in REQUIRED if c not in lower]
+        if missing:
+            raise ValueError(
+                f"technical_indicators requires OHLCV columns; missing {missing}"
+            )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cfg: dict[str, Any] = self.config
+        sma_n = int(cfg.get("sma_window", 50))
+        rsi_n = int(cfg.get("rsi_window", 14))
+        bb_n = int(cfg.get("bollinger_window", 20))
+        bb_k = float(cfg.get("bollinger_std", 2.0))
+        series_col = cfg.get("series_col")
+
+        # lowercase + date parse + numeric coercion (reference lines 55-66)
+        df = df.toDF(*[c.lower() for c in df.columns])
+        df = df.withColumn("date", F.expr("try_cast(date AS timestamp)"))
+        for c in ("open", "high", "low", "close", "volume"):
+            df = df.withColumn(c, F.expr(f"try_cast(`{c}` AS double)"))
+
+        if series_col is None:
+            # Single global series: one partition by construction; fine for
+            # API-scale OHLCV, documented degenerate case.
+            df = df.withColumn("__series", F.lit("_"))
+            series_col = "__series"
+
+        w = W.partitionBy(series_col).orderBy("date")
+        df = sma(df, "close", sma_n, w, f"sma_{sma_n}")
+        df = bollinger(df, "close", bb_n, bb_k, w, "bb")
+        df = add_rsi_macd(df, series_col, "date", "close", rsi_n=rsi_n)
+
+        # drop rolling-warmup rows (reference line 88: dropna())
+        indicator_cols = [f"sma_{sma_n}", f"rsi_{rsi_n}", "bb_upper", "bb_lower",
+                          "macd", "macd_signal", "macd_histogram"]
+        df = df.dropna(subset=indicator_cols)
+
+        # dates serialized as ISO-8601 UTC strings (reference lines 57-62)
+        if cfg.get("date_as_iso_string", True):
+            df = df.withColumn(
+                "date", F.date_format("date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            )
+        return df.drop("__series") if "__series" in df.columns else df

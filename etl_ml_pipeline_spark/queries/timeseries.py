@@ -1,0 +1,250 @@
+"""Time-series queries over the events table: moving aggregates with
+min_periods semantics, sessionization, tumbling windows, target
+engineering. RSI/MACD (recursive EWMAs) have no SQL oracle — they are
+covered by golden pandas tests in tests/test_indicators.py and appear
+here as rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.indicators import add_rsi_macd, bollinger, sma
+from etl_ml_pipeline_spark.operators.sessionize import sessionize
+from etl_ml_pipeline_spark.queries.tables import t
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# sma_events — 5-row moving average per user with Pandas min_periods
+# null-semantics (warmup rows dropped). Scale: shuffle on user_id + sorted
+# frame aggregate; series parallelize across users.
+# ---------------------------------------------------------------------------
+
+
+def sma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = sma(ev, "value", 5, w, "sma_5")
+    return (
+        out.filter(F.col("sma_5").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round("sma_5", 4).alias("sma_5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_SMA_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value, round(sma_5, 4) AS sma_5
+FROM (
+  SELECT user_id, event_id, value,
+         CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS sma_5
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+WHERE sma_5 IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bollinger_events — 10-row mean ± 2 * sample stddev per user.
+# ---------------------------------------------------------------------------
+
+
+def bollinger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = bollinger(ev, "value", 10, 2.0, w, "bb")
+    return (
+        out.filter(F.col("bb_upper").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round("bb_upper", 4).alias("bb_upper"),
+            F.round("bb_lower", 4).alias("bb_lower"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_BOLLINGER_SQL = """
+SELECT user_id, event_id,
+       round(m + 2.0 * sd, 4) AS bb_upper,
+       round(m - 2.0 * sd, 4) AS bb_lower
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 10 THEN avg(value) OVER w END AS m,
+         CASE WHEN count(value) OVER w >= 10 THEN stddev_samp(value) OVER w END AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+WHERE m IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events — 30-minute-gap sessions per user, one row per session.
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, "user_id", "ts", 30.0, order_cols=["ts", "event_id"])
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").cast("string").alias("session_start"),
+            F.max("ts").cast("string").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       CAST(max(ts) AS VARCHAR) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# tumble_hourly_events — tumbling event-time windows per event_type.
+# window() aligns to the epoch for divisor durations == date_trunc('hour').
+# ---------------------------------------------------------------------------
+
+
+def tumble_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_TUMBLE_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_target_events — next-event % change target per user (predict.py M2
+# analog: lead-based target engineering, last row per series dropped).
+# ---------------------------------------------------------------------------
+
+
+def ml_target_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("value").over(w)
+    return (
+        ev.withColumn(
+            "target_pct",
+            F.round((nxt - F.col("value")) / F.col("value") * 100.0, 4),
+        )
+        .filter(F.col("target_pct").isNotNull())
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "target_pct")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_TARGET_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value, target_pct
+FROM (
+  SELECT user_id, event_id, value,
+         round((lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - value) / value * 100.0, 4) AS target_pct
+  FROM events
+)
+WHERE target_pct IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rsi_macd_events — recursive EWMAs via applyInPandas (rows-only check;
+# numerics pinned by golden pandas tests).
+# ---------------------------------------------------------------------------
+
+
+def rsi_macd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = add_rsi_macd(ev, "user_id", "ts", "value", rsi_n=14)
+    return (
+        out.filter(F.col("rsi_14").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round("rsi_14", 4).alias("rsi_14"),
+            F.round("macd", 4).alias("macd"),
+            F.round("macd_signal", 4).alias("macd_signal"),
+            F.round("macd_histogram", 4).alias("macd_histogram"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+QUERIES = {
+    "sma_events": sma_events,
+    "bollinger_events": bollinger_events,
+    "sessionize_events": sessionize_events,
+    "tumble_hourly_events": tumble_hourly_events,
+    "ml_target_events": ml_target_events,
+    "rsi_macd_events": rsi_macd_events,
+}
+
+ORACLES = {
+    "sma_events": _SMA_SQL,
+    "bollinger_events": _BOLLINGER_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "tumble_hourly_events": _TUMBLE_SQL,
+    "ml_target_events": _TARGET_SQL,
+}
