@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+LLM-data-pipeline extension (BASELINE.json north star). All four are
+designed around one principle for 100 TB scale: **never form the full
+pairwise cross product**. Candidates come from equality joins on derived
+keys (fingerprint, LSH band, simhash bucket, shared shingle), each a
+plain shuffle join Catalyst can plan; exact verification runs only on
+the candidate set.
+
+Determinism across engines: all hashes derive from md5 (see
+``operators.text.token_hash60``), so every stage — including the MinHash
+signatures themselves — is reproducible bit-for-bit in SQL, which is how
+the oracle queries validate these operators end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.operators.text import fingerprint, token_hash60, tokens
+from etl_ml_pipeline_spark.registry import register_transform
+
+# MinHash universe: Mersenne prime 2^31-1; (a*h + b) % P permutations.
+MINHASH_PRIME = 2_147_483_647
+
+# Fixed, deterministic permutation coefficients (odd a, spread b). Chosen
+# once; stability matters more than randomness quality for LSH.
+MINHASH_COEFFS = [
+    (1_103_515_245 + 2 * i + 1, (12_345 + 7_919 * i) % MINHASH_PRIME)
+    for i in range(16)
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    Scale: one shuffle on the 128-bit fingerprint — uniform keys, no
+    skew; survivor choice via min(id) is associative (partial aggregates).
+    """
+    from pyspark.sql import Window as W
+
+    fp = fingerprint(F.col(text_col))
+    # Window keep-first beats a groupBy+semi-join here: one shuffle on the
+    # fingerprint and no duplicated input subtree (a self-join recomputes
+    # the whole upstream plan on both sides).
+    w = W.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: word n-gram shingles, distinct per doc."""
+    toks = tokens(F.col(text_col))
+    # n-gram shingles via transform over token positions
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature columns m0..m{n-1}.
+
+    Scale: one groupBy(id) over the exploded shingle set with n_perm
+    min() partial aggregates — fully map-side combinable.
+    """
+    h = token_hash60(F.col("shingle")) % MINHASH_PRIME
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_perm])
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Docs sharing >= 1 LSH band -> candidate pairs with estimated
+    Jaccard (fraction of equal minhashes).
+
+    Scale: zero joins — each doc's full signature travels into its band
+    bucket (explode bands -> ONE shuffle on the band key), and pairs are
+    generated inside each bucket with array higher-order functions.
+    A self-join formulation would recompute the signature subtree per
+    band; this recomputes nothing. Buckets larger than ``max_bucket``
+    (degenerate hot bands) are dropped — the standard LSH guard against
+    quadratic pair blowup; raise it if recall matters more than cost.
+    """
+    sig_cols = [c for c in signatures.columns if c.startswith("m")]
+    assert len(sig_cols) == bands * rows
+    sig = F.struct(F.col("id"), *[F.col(c) for c in sig_cols])
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        sig.alias("sig"), F.explode(band_entries).alias("bk")
+    )
+    buckets = (
+        exploded.groupBy("bk")
+        .agg(F.collect_list("sig").alias("sigs"))
+        .filter((F.size("sigs") >= 2) & (F.size("sigs") <= max_bucket))
+    )
+    # all i<j pairs within the bucket, generated JVM-side
+    pair_array = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("sigs"),
+                lambda a: F.transform(
+                    F.col("sigs"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"]["id"] < p["b"]["id"],
+    )
+    pairs = buckets.select(F.explode(pair_array).alias("p"))
+    matches = sum(
+        (F.col(f"p.a.{c}") == F.col(f"p.b.{c}")).cast("int") for c in sig_cols
+    )
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            (matches / F.lit(len(sig_cols))).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash16(shingles: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from shingle hashes.
+
+    Each bit j = sign of sum over shingles of (+1 if hash bit j set else
+    -1). Fully aggregate-expressible — one groupBy(id) with 16 sums.
+    """
+    h = token_hash60(F.col("shingle"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = shingles.groupBy("id").agg(*bit_sums)
+    fp = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(16)
+    )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidates.
+
+    Scale: |intersection| comes from a self-join on shingle (only pairs
+    sharing >= 1 shingle are ever materialized); |union| = |A|+|B|-|I|.
+    For corpora with ubiquitous shingles add a document-frequency cap on
+    the join key (drop shingles in > X% of docs) — the standard guard.
+    """
+    sh = shingle_df(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register_transform("dedup_exact")
+class ExactDedup(BaseTransform):
+    def transform(self, df: DataFrame) -> DataFrame:
+        return exact_dedup(
+            df,
+            text_col=self.config.get("text_col", "text"),
+            id_col=self.config.get("id_col", "doc_id"),
+        )
+
+
+@register_transform("dedup_minhash")
+class MinHashDedup(BaseTransform):
+    """Drop near-duplicates: keep lowest id of every LSH-candidate pair
+    whose estimated Jaccard clears the threshold."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text_col = self.config.get("text_col", "text")
+        id_col = self.config.get("id_col", "doc_id")
+        threshold = float(self.config.get("threshold", 0.8))
+        sh = shingle_df(df, text_col, id_col, int(self.config.get("shingle_n", 3)))
+        sigs = minhash_signatures(sh)
+        pairs = lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= threshold)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")

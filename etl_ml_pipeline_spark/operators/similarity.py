@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-data-pipeline extension (BASELINE.json north star): brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH bucketed
+variant as the scale path (candidates from bucket equality instead of a
+full cross product).
+
+Array math uses built-in higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, sequential left-fold accumulation, which is
+bit-identical to DuckDB's list functions (verified empirically), so the
+brute-force path is oracle-comparable.
+
+Scale posture: brute-force is O(Q*N) — correct for reranking and small
+query sets; the LSH path hashes every vector once (map-side), then joins
+on bucket — the classic sub-linear candidate generation. At 100 TB the
+bucketed join shuffles only (bucket, id, vec) and each bucket is small;
+skewed buckets (hot hyperplane regions) fall back to AQE skew handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.registry import register_transform
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. One shuffle on q_id for the ranking window."""
+    from pyspark.sql import Window as W
+
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cos"), F.asc(c_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos")
+    )
+
+
+def make_hyperplanes(dim: int, n_bits: int, seed: int = 0) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: np.ndarray, out_col: str = "bucket"
+) -> DataFrame:
+    """Sign-bit bucket id per vector via an Arrow-batched pandas UDF.
+
+    The hyperplane matrix ships to executors once (closure broadcast);
+    each batch is one numpy matmul — vectorized, no per-row Python.
+    """
+    planes_list = planes.tolist()
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        p = np.asarray(planes_list)  # (bits, dim)
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ p.T) > 0  # (batch, bits)
+        weights = (1 << np.arange(bits.shape[1])).astype(np.int64)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: np.ndarray,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine reranking within the bucket only."""
+    from pyspark.sql import Window as W
+
+    qb = add_lsh_bucket(queries, q_vec, planes, "bucket")
+    cb = add_lsh_bucket(corpus, c_vec, planes, "bucket")
+    cand = cb.join(F.broadcast(qb), "bucket").withColumn(
+        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cos"), F.asc(c_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos", "bucket")
+    )
+
+
+@register_transform("similarity_topk")
+class SimilarityTopK(BaseTransform):
+    """Config-driven ANN: joins the input (corpus) against a query table
+    registered as a temp view; exact or LSH mode."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        queries = spark.table(self.config["queries_view"])
+        k = int(self.config.get("k", 5))
+        if self.config.get("mode", "exact") == "lsh":
+            dim = int(self.config.get("dim", 64))
+            bits = int(self.config.get("n_bits", 12))
+            planes = make_hyperplanes(dim, bits, int(self.config.get("seed", 0)))
+            return lsh_topk(queries, df, planes, k=k)
+        return brute_force_topk(queries, df, k=k)

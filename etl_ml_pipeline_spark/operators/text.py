@@ -1,0 +1,112 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+Not in the reference (SURVEY.md §2.6) — built Spark-first per the
+BASELINE.json north star: token counting, quality scoring, language-ID
+heuristics, and document fingerprinting over a ``text`` column. Every
+expression is a built-in JVM function (codegen'd, no Python), so these
+run at scan speed and scale linearly; nothing shuffles until an
+aggregate is requested.
+
+Cross-engine determinism: fingerprints use md5 (identical in Spark and
+DuckDB); token hashes use the first 15 hex chars of md5 parsed as a
+60-bit integer — both engines compute the same value
+(Spark ``conv(substr(md5(x),1,15),16,10)``,
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.registry import register_transform
+
+# Small high-frequency English function words (public knowledge; subset
+# tuned to the synthetic corpus vocabulary).
+EN_STOPWORDS = ("the", "a", "or", "and", "of", "to", "in", "is")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def avg_token_length(col: Column) -> Column:
+    """Mean token length = (chars - separators) / tokens, fp-stable."""
+    toks = tokens(col)
+    total_chars = F.length(F.concat_ws("", toks))
+    return total_chars / F.size(toks)
+
+
+def type_token_ratio(col: Column) -> Column:
+    return unique_token_count(col) / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + lexical
+    diversity + stopword presence (a fluency proxy). Mirrors the shape of
+    published heuristic filters (C4/Gopher-style rules) with exact
+    arithmetic so an oracle can replicate it."""
+    n = token_count(col)
+    ttr = type_token_ratio(col)
+    sw_ratio = stopword_count(col) / n
+    length_ok = (n >= 10) & (n <= 1000)
+    return (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(ttr, F.lit(0.5)) * 0.6
+        + F.when(sw_ratio.between(0.01, 0.5), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-text md5 fingerprint (exact-dup key)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def token_hash60(col: Column) -> Column:
+    """Deterministic 60-bit token hash, identical across Spark/DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def en_score(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Language-ID heuristic: stopword mass as a fraction of tokens."""
+    return stopword_count(col, stopwords) / token_count(col)
+
+
+@register_transform("text_analysis")
+class TextAnalysis(BaseTransform):
+    """Adds token/quality/fingerprint columns to a text DataFrame."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text_col = self.config.get("text_col", "text")
+        c = F.col(text_col)
+        out = {
+            "n_tokens": token_count(c),
+            "n_unique_tokens": unique_token_count(c),
+            "avg_token_len": avg_token_length(c),
+            "type_token_ratio": type_token_ratio(c),
+            "stopword_ratio": stopword_count(c) / token_count(c),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+            "en_score": en_score(c),
+        }
+        keep = self.config.get("columns")
+        if keep:
+            out = {k: v for k, v in out.items() if k in keep}
+        return df.withColumns(out)

@@ -1,0 +1,273 @@
+"""Deduplication queries (oracle-matched, including MinHash + SimHash).
+
+The driver corpus has no duplicates, so every query first constructs a
+deterministic dup'd corpus the oracle replicates:
+
+- exact dups:  docs with doc_id % 7 == 0 re-inserted as doc_id + 1_000_000
+- near dups:   docs with doc_id % 11 == 0 re-inserted as doc_id + 2_000_000
+               with two extra tokens appended (high-but-<1 Jaccard)
+
+Because every hash derives from md5 (``operators.text.token_hash60``),
+the *entire* MinHash signature/banding pipeline and the SimHash bit
+aggregation are reproducible in DuckDB SQL — the oracles below are
+generated from the same coefficient table the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_df,
+    simhash16,
+)
+from etl_ml_pipeline_spark.queries.tables import t
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra tail' FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_documents — md5-fingerprint exact dedup, keep min(doc_id).
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return exact_dedup(corpus, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+_EXACT_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT min(doc_id) AS doc_id
+FROM corpus
+GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_documents — full MinHash-LSH candidate pipeline.
+# Restricted to doc_id % 3 == 0 of the dup'd corpus to bound the oracle's
+# runtime at larger sf (the Spark path scales; DuckDB's unnest does not).
+# ---------------------------------------------------------------------------
+
+_N_PERM = 16
+_BANDS, _ROWS = 4, 4
+
+
+def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    sh = shingle_df(corpus, "text", "doc_id", n=3)
+    sigs = minhash_signatures(sh, n_perm=_N_PERM)
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows=_ROWS)
+    return (
+        pairs.filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    coeff_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(MINHASH_COEFFS[:_N_PERM])
+    )
+    min_cols = ", ".join(
+        f"min(CASE WHEN perm = {i} THEN ph END) AS m{i}" for i in range(_N_PERM)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"m{b * _ROWS + r}" for r in range(_ROWS))
+        + f") AS band{b}"
+        for b in range(_BANDS)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b "
+        f"ON a.band{b} = b.band{b} AND a.id < b.id"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 3 = 0
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {coeff_rows}),
+permuted AS (
+  SELECT id, perm, (a * h + b) % {MINHASH_PRIME} AS ph
+  FROM hashed CROSS JOIN perms
+),
+sigs AS (
+  SELECT id, {min_cols} FROM permuted GROUP BY id
+),
+banded AS (
+  SELECT id, *, {band_exprs} FROM sigs
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM ({band_joins})
+)
+SELECT c.id_a, c.id_b, ({matches}) / {_N_PERM}.0 AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.id = c.id_a
+JOIN sigs sb ON sb.id = c.id_b
+WHERE ({matches}) / {_N_PERM}.0 >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_documents — 16-bit SimHash per doc + dup-bucket pairs.
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    sh = shingle_df(corpus, "text", "doc_id", n=3)
+    hashes = simhash16(sh)
+    return (
+        hashes.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("simhash")
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 3 = 0
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+sums AS (
+  SELECT id, {bit_sums} FROM hashed GROUP BY id
+),
+fps AS (
+  SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+)
+SELECT simhash, count(*) AS n_docs, min(id) AS min_doc
+FROM fps
+GROUP BY simhash
+HAVING count(*) >= 2
+ORDER BY simhash
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact word-trigram Jaccard via shared-shingle
+# candidates, restricted corpus (doc_id < 300 before dup insertion).
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") % 1_000_000) < 300
+    )
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_JACCARD_SQL = f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 1000000 < 300
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 10000) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_minhash_documents": dedup_minhash_documents,
+    "dedup_simhash_documents": dedup_simhash_documents,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact_documents": _EXACT_SQL,
+    "dedup_minhash_documents": _minhash_oracle(),
+    "dedup_simhash_documents": _simhash_oracle(),
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+}

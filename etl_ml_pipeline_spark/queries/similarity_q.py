@@ -1,0 +1,239 @@
+"""Similarity-search + multimodal queries (oracle-matched where exact).
+
+Cosine math: Spark ``zip_with``+``aggregate`` sequential folds are
+bit-identical to DuckDB's list functions on ``DOUBLE[]`` (verified
+empirically), so brute-force results compare exactly after floor
+truncation. The LSH ANN variant uses library-seeded hyperplanes — not
+SQL-expressible — and is covered by a recall test (tests/test_similarity.py)
+plus a rows-only driver check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    make_hyperplanes,
+)
+from etl_ml_pipeline_spark.queries.tables import t
+
+
+def _trunc4(c: F.Column) -> F.Column:
+    return F.floor(c * 10000) / 10000
+
+
+# ---------------------------------------------------------------------------
+# ann_bruteforce_topk — exact cosine top-5 for 10 query vectors.
+# ---------------------------------------------------------------------------
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = brute_force_topk(queries, corpus, k=5)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos")
+    ).orderBy("q_id", "rank")
+
+
+_BRUTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+  SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS cos FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup_pairs — cosine near-dup detection on a corpus with
+# deterministically injected duplicates (scaled copies, cosine == 1.0).
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = emb.select(F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v"))
+    scaled = base.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 100_000).alias("id"),
+        F.transform(F.col("v"), lambda x: x * 2.0).alias("v"),
+    )
+    corpus = base.unionByName(scaled)
+    a = corpus.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.999)
+    )
+    return pairs.select(
+        "id_a", "id_b", _trunc4(F.col("cos")).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+),
+scaled AS (
+  SELECT id + 100000 AS id, list_transform(v, x -> x * 2.0) AS v
+  FROM base WHERE id % 5 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM scaled),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS cos
+  FROM corpus a JOIN corpus b ON a.id < b.id
+)
+SELECT id_a, id_b, floor(cos * 10000) / 10000 AS cos
+FROM pairs
+WHERE cos >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_centroids — per-label centroid geometry via posexplode
+# (the distributed way to do dimension-wise means; no vectors collected).
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = dims.groupBy("label", "pos").agg(
+        F.avg("x").alias("cx"), F.count("*").alias("n")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.first("n").alias("n_vecs"),
+            _trunc4(F.sqrt(F.sum(F.col("cx") * F.col("cx")))).alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )
+
+
+_CENTROID_SQL = """
+WITH vecs AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  -- parallel unnests in one SELECT zip positionally in DuckDB
+  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM vecs
+),
+cent AS (
+  SELECT label, pos, avg(x) AS cx, count(*) AS n FROM dims GROUP BY 1, 2
+)
+SELECT label,
+       CAST(min(n) AS BIGINT) AS n_vecs,
+       floor(sqrt(sum(cx * cx)) * 10000) / 10000 AS centroid_l2
+FROM cent
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk — hyperplane-LSH ANN (rows-only; recall pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    planes = make_hyperplanes(dim=64, n_bits=8, seed=0)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = lsh_topk(queries, corpus, planes, k=5)
+    return out.select("q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos")).orderBy(
+        "q_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_features — binary media column + mapInPandas decode
+# (deterministic fake): real plumbing, oracle-matched via the md5 formula.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    media = attach_media_meta(media, "media", "image", "fake")
+    decoded = decode_image_features(media, "media", fake=True)
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        _trunc4(F.col("img.mean_luma")).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         length(text) AS n_bytes,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(1 + hv % 64 AS INT) AS width,
+       CAST(1 + hv % 48 AS INT) AS height,
+       floor((hv % 256) / 255.0 * 10000) / 10000 AS mean_luma
+FROM h
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_label_centroids": embedding_label_centroids,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_image_features": multimodal_image_features,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": _BRUTE_SQL,
+    "embedding_near_dup_pairs": _NEAR_DUP_SQL,
+    "embedding_label_centroids": _CENTROID_SQL,
+    "multimodal_image_features": _MULTIMODAL_SQL,
+}

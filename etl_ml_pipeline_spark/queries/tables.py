@@ -18,6 +18,29 @@ TABLE_NAMES = (
 )
 
 
+# Tables whose consumers do heavy per-row compute (JSON parsing, md5 /
+# shingle hashing, vector math). For these a scan that can't split (one
+# parquet row group) serializes the whole query on one core, so the
+# rebalance shuffle pays for itself. Relational tables (lineitem/orders/
+# ...) are NOT rebalanced: their queries are scan+join+agg, where an
+# extra pre-join exchange only adds cost and fights AQE's own planning.
+COMPUTE_HEAVY = {"events", "documents", "embeddings"}
+
+
+def _rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Adaptive scan rebalance: if the source yields far fewer partitions
+    than the cluster's parallelism (e.g. a handful of single-row-group
+    parquet files), round-robin repartition so downstream compute uses
+    every core. Catalyst still pushes filters/pruning beneath the
+    exchange. At real scale (splittable multi-row-group inputs) the
+    partition count is already >= parallelism and this is a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one test table (predicate/column pushdown intact).
 
@@ -30,8 +53,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _rebalance(
+            spark,
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in COMPUTE_HEAVY:
+        df = _rebalance(spark, df)
+    return df

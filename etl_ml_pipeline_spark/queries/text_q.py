@@ -1,0 +1,175 @@
+"""Text-analysis queries over the documents table (oracle-matched).
+
+All expressions are JVM built-ins from ``operators.text``; oracles
+replicate the exact arithmetic (divisions on identical integer inputs
+are bit-identical doubles; truncation uses floor — see verify skill
+notes on cross-engine round() ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators import text as X
+from etl_ml_pipeline_spark.queries.tables import t
+
+_STOP_SQL_LIST = ", ".join(f"'{s}'" for s in X.EN_STOPWORDS)
+
+# Shared dialect fragments for token stats
+_TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats. Scale: map-side token math + one tiny
+    shuffle on lang."""
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        X.token_count(c).alias("n_tok"),
+        X.unique_token_count(c).alias("n_uniq"),
+        F.length(F.concat_ws("", X.tokens(c))).alias("n_chars_tok"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.floor(F.sum("n_tok") / F.count("*") * 100) / 100).alias("avg_tokens"),
+            (F.floor(F.sum("n_chars_tok") / F.sum("n_tok") * 10000) / 10000).alias(
+                "avg_token_len"
+            ),
+            (F.floor(F.sum("n_uniq") / F.sum("n_tok") * 10000) / 10000).alias(
+                "uniq_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len({_TOKS_DUCK}) AS n_tok,
+         len(list_distinct({_TOKS_DUCK})) AS n_uniq,
+         length(array_to_string({_TOKS_DUCK}, '')) AS n_chars_tok
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       floor(sum(n_tok) / count(*) * 100) / 100 AS avg_tokens,
+       floor(sum(n_chars_tok) / sum(n_tok) * 10000) / 10000 AS avg_token_len,
+       floor(sum(n_uniq) / sum(n_tok) * 10000) / 10000 AS uniq_ratio
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + heuristic score (C4/Gopher-style
+    deterministic rules). Scale: pure map-side projection."""
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            X.token_count(c).alias("n_tokens"),
+            (F.floor(X.type_token_ratio(c) * 10000) / 10000).alias("ttr"),
+            (F.floor(X.en_score(c) * 10000) / 10000).alias("stopword_ratio"),
+            (F.floor(X.quality_score(c) * 10000) / 10000).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({_TOKS_DUCK}) AS n_tok,
+         len(list_distinct({_TOKS_DUCK})) AS n_uniq,
+         len(list_filter({_TOKS_DUCK}, tk -> tk IN ({_STOP_SQL_LIST}))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tok,
+         CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+         CAST(n_stop AS DOUBLE) / n_tok AS swr
+  FROM feats
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       floor(ttr * 10000) / 10000 AS ttr,
+       floor(swr * 10000) / 10000 AS stopword_ratio,
+       floor((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END
+              + least(ttr, 0.5) * 0.6
+              + CASE WHEN swr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END) * 10000
+       ) / 10000 AS quality
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column (confusion counts).
+    The synthetic corpus is English-ish word soup for every label, so the
+    heuristic marks most docs 'en' — the query pins the operator, not the
+    corpus. Scale: map-side + tiny shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    pred = F.when(X.en_score(F.col("text")) >= 0.05, "en").otherwise("other")
+    return (
+        docs.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_LANGID_SQL = f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter({_TOKS_DUCK}, tk -> tk IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+                 / len({_TOKS_DUCK}) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, predicted
+"""
+
+
+def text_fingerprint_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint nibble histogram — pins normalization + hashing
+    parity across engines (16 uniform buckets if the hash behaves)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.substring(X.fingerprint(F.col("text")), 1, 1).alias("nibble"))
+        .groupBy("nibble")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("nibble")
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 1) AS nibble,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY nibble
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_docs": text_quality_docs,
+    "text_langid_confusion": text_langid_confusion,
+    "text_fingerprint_hist": text_fingerprint_hist,
+}
+
+ORACLES = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_docs": _QUALITY_SQL,
+    "text_langid_confusion": _LANGID_SQL,
+    "text_fingerprint_hist": _FINGERPRINT_SQL,
+}

@@ -1,0 +1,157 @@
+"""Unit tests for the LLM-data operators: dedup, similarity, text,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.dedup import (
+    MinHashDedup,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_df,
+    simhash16,
+)
+from etl_ml_pipeline_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_image_features,
+    sample_frames,
+)
+from etl_ml_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    make_hyperplanes,
+)
+
+
+@pytest.fixture()
+def doc_df(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base + " today"
+    other = "completely different words about spark catalyst optimizer plans and shuffles"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),          # exact dup of 1
+            Row(doc_id=3, text=near),          # near dup of 1
+            Row(doc_id=4, text=other),
+            Row(doc_id=5, text="  " + base + "  "),  # whitespace variant
+        ]
+    )
+
+
+def test_exact_dedup_normalizes_whitespace(doc_df):
+    out = exact_dedup(doc_df, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    # 1,2,5 share a normalized fingerprint -> keep 1; 3 and 4 survive
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_finds_exact_and_near_dups(doc_df):
+    sh = shingle_df(doc_df, "text", "doc_id", 3)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0  # identical docs -> identical signatures
+    assert (1, 3) in got and got[(1, 3)] >= 0.5  # near dup caught by LSH
+    assert (1, 4) not in got  # unrelated doc shares no band
+
+
+def test_minhash_dedup_transform_drops_losers(doc_df):
+    out = MinHashDedup({"threshold": 0.9}).transform(doc_df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 4 in ids
+    assert 2 not in ids  # exact dup dropped (est_jaccard 1.0 >= 0.9)
+
+
+def test_simhash_identical_docs_same_fingerprint(doc_df):
+    sh = shingle_df(doc_df, "text", "doc_id", 3)
+    fps = {r.id: r.simhash for r in simhash16(sh).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    assert 0 <= fps[1] < 2**16
+    assert fps[1] != fps[4]
+
+
+def test_ngram_jaccard_exact_values(doc_df):
+    pairs = ngram_jaccard_pairs(doc_df, "text", "doc_id", n=3, threshold=0.1)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # near-dup: base has 12 shingles, +1 token adds 1 -> 12/13
+    assert got[(1, 3)] == pytest.approx(12 / 13)
+    assert (1, 4) not in got
+
+
+@pytest.fixture()
+def emb_df(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] * 0.5 + rng.standard_normal(16).astype(np.float32) * 0.01
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_self_is_rank1(emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = brute_force_topk(queries, corpus, k=3).collect()
+    rank1 = {r.q_id: (r.c_id, r.cos) for r in out if r.rank == 1}
+    for q, (c, cos) in rank1.items():
+        assert c == q and cos == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall_vs_brute_force(emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    planes = make_hyperplanes(dim=16, n_bits=4, seed=0)
+    exact = brute_force_topk(queries, corpus, k=3).collect()
+    approx = lsh_topk(queries, corpus, planes, k=3).collect()
+    exact_set = {(r.q_id, r.c_id) for r in exact}
+    approx_set = {(r.q_id, r.c_id) for r in approx}
+    # self-match always shares its own bucket -> recall floor
+    assert all((q, q) in approx_set for q in range(10))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 4-bit LSH on random data: coarse but nonzero
+
+
+def test_multimodal_decode_stub_and_meta(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, media=b"some image bytes"), Row(doc_id=2, media=b"other")]
+    )
+    df = attach_media_meta(df, "media", "image", "png")
+    out = decode_image_features(df, "media", fake=True).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].media_meta.n_bytes == 16
+    assert 1 <= by_id[1].img.width <= 64
+    assert 1 <= by_id[1].img.height <= 48
+    assert 0.0 <= by_id[1].img.mean_luma <= 1.0
+    # determinism
+    out2 = decode_image_features(df, "media", fake=True).collect()
+    assert {r.doc_id: r.img for r in out2} == {r.doc_id: r.img for r in out}
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([Row(doc_id=1, media=b"xx")])
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        decode_image_features(df, "media", fake=False).collect()
+
+
+def test_sample_frames_plumbing(spark):
+    df = spark.createDataFrame([Row(vid=1, media=bytes(range(100)))])
+    out = sample_frames(df, "media", n_frames=4, fake=True).collect()
+    assert len(out) == 4
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(len(r.frame_bytes) == 25 for r in out)
