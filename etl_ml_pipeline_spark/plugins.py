@@ -18,7 +18,7 @@ _OPTIONAL_IMPORT_ERRORS: dict[str, str] = {}
 for _mod in (
     "etl_ml_pipeline_spark.sources.rest_api",
     "etl_ml_pipeline_spark.sources.alpha_vantage",
-    "etl_ml_pipeline_spark.sources.scraper",
+    "etl_ml_pipeline_spark.sources.playwright_scraper",
     "etl_ml_pipeline_spark.operators.cleaning",
     "etl_ml_pipeline_spark.operators.validation",
     "etl_ml_pipeline_spark.operators.relational",
@@ -28,8 +28,7 @@ for _mod in (
     "etl_ml_pipeline_spark.operators.similarity",
     "etl_ml_pipeline_spark.operators.text",
     "etl_ml_pipeline_spark.operators.multimodal",
-    "etl_ml_pipeline_spark.sinks.jdbc",
-    "etl_ml_pipeline_spark.sinks.upsert",
+    "etl_ml_pipeline_spark.sinks.sql_database",
 ):
     try:
         __import__(_mod)

@@ -1,0 +1,182 @@
+"""SQL sink tests: append/replace/fail + upsert against sqlite3.
+
+Ports the reference's loader coverage
+(/root/reference/tests/test_sqlalchemy_loader.py:26-99 and
+/root/reference/tests/test_upsert.py:25-131, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from etl_ml_pipeline_spark.sinks.sql_database import (
+    SqlDatabaseSink,
+    unique_index_sql,
+    upsert_sql,
+)
+
+
+def _fetch(db, sql):
+    with sqlite3.connect(db) as conn:
+        return conn.execute(sql).fetchall()
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return str(tmp_path / "test.db")
+
+
+def _df(spark, rows, schema="id long, name string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_creates_and_appends(spark, db):
+    sink = SqlDatabaseSink(spark, {"database": db, "table": "t", "if_exists": "append"})
+    with sink:
+        sink.load(_df(spark, [(1, "a"), (2, "b")]))
+    with SqlDatabaseSink(spark, {"database": db, "table": "t", "if_exists": "append"}) as sink2:
+        sink2.load(_df(spark, [(3, "c")]))
+    assert _fetch(db, "SELECT count(*) FROM t") == [(3,)]
+
+
+def test_replace_drops_existing(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "replace"}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1, "a"), (2, "b")]))
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(9, "z")]))
+    assert _fetch(db, "SELECT id, name FROM t") == [(9, "z")]
+
+
+def test_fail_mode_raises_if_exists(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "fail"}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1, "a")]))
+    with SqlDatabaseSink(spark, cfg) as sink:
+        with pytest.raises(ValueError, match="already exists"):
+            sink.load(_df(spark, [(2, "b")]))
+
+
+def test_upsert_insert_then_update(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1, "a"), (2, "b")]))
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(2, "B2"), (3, "c")]))
+    assert sorted(_fetch(db, "SELECT id, name FROM t")) == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_upsert_composite_key(spark, db):
+    cfg = {
+        "database": db,
+        "table": "t",
+        "if_exists": "upsert",
+        "primary_keys": ["a", "b"],
+    }
+    schema = "a long, b long, v string"
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1, 1, "x"), (1, 2, "y")], schema))
+        sink.load(_df(spark, [(1, 2, "Y2"), (2, 1, "z")], schema))
+    assert sorted(_fetch(db, "SELECT a, b, v FROM t")) == [
+        (1, 1, "x"), (1, 2, "Y2"), (2, 1, "z"),
+    ]
+
+
+def test_upsert_requires_primary_keys(spark, db):
+    sink = SqlDatabaseSink(spark, {"database": db, "table": "t", "if_exists": "upsert"})
+    with sink:
+        with pytest.raises(ValueError, match="primary_keys"):
+            sink.load(_df(spark, [(1, "a")]))
+
+
+def test_upsert_missing_pk_column_raises(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["nope"]}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        with pytest.raises(ValueError, match="nope"):
+            sink.load(_df(spark, [(1, "a")]))
+
+
+def test_upsert_creates_unique_index(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1, "a")]))
+    idx = _fetch(db, "SELECT name FROM sqlite_master WHERE type='index' AND name='uq_t_id'")
+    assert idx == [("uq_t_id",)]
+
+
+def test_empty_df_is_noop(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(spark.createDataFrame([], "id long, name string"))
+    # no table should even be created (reference :82-84 returns before DDL)
+    assert _fetch(db, "SELECT name FROM sqlite_master WHERE type='table'") == []
+
+
+def test_pk_only_table_do_nothing(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(_df(spark, [(1,), (2,)], "id long"))
+        sink.load(_df(spark, [(2,), (3,)], "id long"))
+    assert sorted(_fetch(db, "SELECT id FROM t")) == [(1,), (2,), (3,)]
+
+
+def test_unknown_mode_raises(spark, db):
+    with SqlDatabaseSink(spark, {"database": db, "table": "t", "if_exists": "bogus"}) as sink:
+        with pytest.raises(ValueError, match="bogus"):
+            sink.load(_df(spark, [(1, "a")]))
+
+
+def test_sql_generation():
+    assert upsert_sql("t", ["id", "v"], ["id"]) == (
+        'INSERT INTO "t" ("id", "v") VALUES (?, ?) '
+        'ON CONFLICT ("id") DO UPDATE SET "v" = excluded."v"'
+    )
+    assert 'DO NOTHING' in upsert_sql("t", ["id"], ["id"])
+    assert unique_index_sql("t", ["a", "b"]).startswith('CREATE UNIQUE INDEX IF NOT EXISTS "uq_t_a_b"')
+
+
+def test_timestamps_and_doubles_roundtrip(spark, db):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, 1.5, datetime.datetime(2024, 1, 1, 12, 0))],
+        "id long, x double, ts timestamp",
+    )
+    cfg = {"database": db, "table": "t", "if_exists": "append"}
+    with SqlDatabaseSink(spark, cfg) as sink:
+        sink.load(df)
+    rows = _fetch(db, "SELECT id, x, ts FROM t")
+    assert rows[0][0] == 1 and rows[0][1] == 1.5
+    assert "2024-01-01" in str(rows[0][2])
+
+
+def test_engine_pipeline_to_sql_sink(spark, db, sf_dir, tmp_path):
+    """e2e: parquet source -> cleaning transform -> sql_database upsert sink."""
+    from etl_ml_pipeline_spark.config import PipelineConfig
+    from etl_ml_pipeline_spark.engine import PipelineEngine
+
+    cfg = PipelineConfig.model_validate(
+        {
+            "version": 1,
+            "pipeline": {
+                "name": "to_sql",
+                "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+                "transform": [],
+                "load": {
+                    "type": "sql_database",
+                    "config": {
+                        "database": db,
+                        "table": "region",
+                        "if_exists": "upsert",
+                        "primary_keys": ["r_regionkey"],
+                    },
+                },
+            },
+        }
+    )
+    engine = PipelineEngine(cfg, spark=spark, state_path=str(tmp_path / "state.json"))
+    engine.run()
+    engine.run()  # idempotent under upsert
+    assert _fetch(db, "SELECT count(*) FROM region") == [(5,)]
