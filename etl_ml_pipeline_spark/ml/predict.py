@@ -1,0 +1,178 @@
+"""Next-day-return regression: MLlib port of the reference's ML sidecar.
+
+Capability parity with /root/reference/predict.py (M1-M6 in SURVEY.md §2.5):
+
+- M1 load: the reference reads the finance pipeline's feature table from
+  SQLite sorted by date (predict.py:31-36); here any DataFrame works —
+  callers pass the output of the indicator pipeline.
+- M2 target: ``target_return = (close.shift(-1) - close)/close * 100``
+  and drop the last row (predict.py:39-44) → ``lead("close")`` over an
+  ordered window + ``filter(isNotNull)``.
+- M3 CV: ``TimeSeriesSplit(n_splits=5)`` expanding-window folds
+  (predict.py:52) — sklearn semantics reproduced exactly: with n rows
+  and k splits, test block size is ``n // (k+1)``, test blocks are the
+  last k contiguous blocks, train is every row before the test block.
+  Fold assignment is a ``row_number`` computation, so folds are plain
+  DataFrame filters (no driver-side materialization of features).
+- M4 models: ``XGBRegressor(n_estimators=100, max_depth=4,
+  random_state=42)`` → MLlib ``GBTRegressor(maxIter=100, maxDepth=4,
+  seed=42)``; ``Ridge(alpha=1.0)`` → ``LinearRegression(regParam=1.0,
+  elasticNetParam=0.0)`` (elastic-net mixing 0 = pure L2 = ridge)
+  (predict.py:54-57).
+- M5 eval: per-fold RMSE + mean (predict.py:67) via
+  ``RegressionEvaluator(metricName="rmse")``.
+- M6 importances: final fit on all rows; top-k ``featureImportances``
+  (predict.py:75-93). Plotting is left to the caller (matplotlib is a
+  driver-side concern); the sorted (feature, weight) list is returned.
+
+Scale posture: features stay distributed end-to-end (VectorAssembler is
+a narrow map; GBT/LR training is MLlib's distributed implementation).
+The only driver-side loop is over the 5 folds — each iteration trains
+on a filtered DataFrame, which is exactly how expanding-window CV
+parallelizes on a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_FEATURES = [
+    "open", "high", "low", "close", "volume",
+    "sma_50", "rsi_14", "bb_upper", "bb_lower",
+    "macd", "macd_signal", "macd_histogram",
+]  # the reference's 12-feature list (predict.py:24-28)
+
+
+def create_target(
+    df: DataFrame,
+    price_col: str = "close",
+    order_col: str = "date",
+    target_col: str = "target_return",
+) -> DataFrame:
+    """Next-day % return; final row (no next day) dropped (predict.py:39-44)."""
+    w = Window.orderBy(order_col)
+    nxt = F.lead(price_col).over(w)
+    return (
+        df.withColumn(target_col, (nxt - F.col(price_col)) / F.col(price_col) * 100.0)
+        .filter(F.col(target_col).isNotNull())
+    )
+
+
+def expanding_folds(
+    df: DataFrame,
+    n_splits: int = 5,
+    order_col: str = "date",
+) -> DataFrame:
+    """Tag rows with ``_rn`` (1-based time order) for TimeSeriesSplit folds.
+
+    sklearn ``TimeSeriesSplit``: test size ``n // (n_splits + 1)``; fold
+    ``i`` (0-based) tests rows ``[n - (n_splits - i) * size, ...)`` and
+    trains on everything before.
+    """
+    w = Window.orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w))
+
+
+def fold_bounds(n: int, n_splits: int) -> list[tuple[int, int, int]]:
+    """(train_end, test_start, test_end) 1-based inclusive bounds per fold."""
+    size = n // (n_splits + 1)
+    if size < 1:
+        raise ValueError(f"Not enough rows ({n}) for {n_splits} splits")
+    bounds = []
+    for i in range(n_splits):
+        test_start = n - (n_splits - i) * size + 1
+        test_end = test_start + size - 1
+        bounds.append((test_start - 1, test_start, test_end))
+    return bounds
+
+
+def _models(seed: int = 42):
+    from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+    return {
+        # XGBRegressor(n_estimators=100, max_depth=4) analog (predict.py:54-55)
+        "gbt": GBTRegressor(
+            featuresCol="features", labelCol="target_return",
+            maxIter=100, maxDepth=4, seed=seed,
+        ),
+        # Ridge(alpha=1.0) analog (predict.py:56)
+        "ridge": LinearRegression(
+            featuresCol="features", labelCol="target_return",
+            regParam=1.0, elasticNetParam=0.0,
+        ),
+    }
+
+
+def train_evaluate(
+    df: DataFrame,
+    features: Sequence[str] = DEFAULT_FEATURES,
+    n_splits: int = 5,
+    order_col: str = "date",
+    max_iter: int | None = None,
+    seed: int = 42,
+) -> dict[str, dict]:
+    """Expanding-window CV; returns per-model fold RMSEs + mean (predict.py:47-72)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=list(features), outputCol="features")
+    tagged = assembler.transform(expanding_folds(df, n_splits, order_col)).select(
+        "_rn", "features", "target_return"
+    )
+    tagged.cache()
+    n = tagged.count()
+    evaluator = RegressionEvaluator(
+        labelCol="target_return", predictionCol="prediction", metricName="rmse"
+    )
+
+    results: dict[str, dict] = {}
+    for name, model in _models(seed).items():
+        if max_iter is not None and model.hasParam("maxIter"):
+            model = model.copy({model.getParam("maxIter"): max_iter})
+        rmses = []
+        for train_end, test_start, test_end in fold_bounds(n, n_splits):
+            train = tagged.filter(F.col("_rn") <= train_end)
+            test = tagged.filter(F.col("_rn").between(test_start, test_end))
+            fitted = model.fit(train)
+            rmses.append(evaluator.evaluate(fitted.transform(test)))
+        results[name] = {"fold_rmse": rmses, "mean_rmse": sum(rmses) / len(rmses)}
+    tagged.unpersist()
+    return results
+
+
+def feature_importances(
+    df: DataFrame,
+    features: Sequence[str] = DEFAULT_FEATURES,
+    top_k: int = 5,
+    max_iter: int | None = None,
+    seed: int = 42,
+) -> list[tuple[str, float]]:
+    """Final full-data GBT fit -> top-k importances (predict.py:75-93)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=list(features), outputCol="features")
+    model = _models(seed)["gbt"]
+    if max_iter is not None:
+        model = model.copy({model.getParam("maxIter"): max_iter})
+    fitted = model.fit(assembler.transform(df))
+    weights = fitted.featureImportances.toArray()
+    ranked = sorted(zip(features, (float(w) for w in weights)), key=lambda t: -t[1])
+    return ranked[:top_k]
+
+
+def run_prediction(
+    df: DataFrame,
+    features: Sequence[str] = DEFAULT_FEATURES,
+    n_splits: int = 5,
+    order_col: str = "date",
+    max_iter: int | None = None,
+) -> dict:
+    """End-to-end M2→M6: target, CV, importances (predict.py:96-107)."""
+    with_target = create_target(df, order_col=order_col)
+    metrics = train_evaluate(with_target, features, n_splits, order_col, max_iter)
+    importances = feature_importances(with_target, features, max_iter=max_iter)
+    return {"metrics": metrics, "importances": importances}

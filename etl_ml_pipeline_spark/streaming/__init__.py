@@ -1,0 +1,10 @@
+"""Structured Streaming operators (SURVEY.md §7.3 step 7, watermark-ready)."""
+
+from etl_ml_pipeline_spark.streaming.windows import (  # noqa: F401
+    read_json_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)

@@ -1,0 +1,168 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+The reference is batch-only (SURVEY.md §2.6: "no streaming"); this
+module is the extension SURVEY.md §7.3 step 7 plans: the engine's
+sessionization/tumbling-window semantics (queries/timeseries.py) made
+incremental via Structured Streaming, so the same pipeline runs over a
+directory that keeps receiving files, a Kafka topic, etc.
+
+Design notes (Spark-first):
+
+- All aggregations use event-time ``window()`` / ``session_window()``
+  with a watermark, so state is bounded and late data beyond the
+  watermark is dropped — the standard Spark late-data story.
+- ``stateful_running_totals`` demonstrates the custom-stateful-operator
+  path (``applyInPandasWithState``): per-key running count/sum carried
+  across micro-batches — the streaming analog of the engine's
+  incremental cursor.
+- Tests drive everything with the file source + ``availableNow`` +
+  ``maxFilesPerTrigger=1`` so multi-micro-batch state transitions are
+  exercised hermetically (no network, no Kafka dependency).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (JSONL). Schema is mandatory for streams."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Tumbling event-time counts/sums; batch analog: tumble_hourly_events."""
+    keys = [F.window(ts_col, window).alias("win"), *group_cols]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping windows — each event lands in window/slide buckets."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions (session_window) — streaming analog of the
+    batch sessionize_events query (lag+cumsum formulation)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n bigint, total double"
+_OUT_SCHEMA = "user_id bigint, n bigint, total double"
+
+
+def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running count/sum across micro-batches.
+
+    Custom stateful operator via ``applyInPandasWithState`` — state
+    (n, total) survives between triggers, the streaming analog of an
+    incremental cursor. Output mode must be 'update'.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 4)]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Process everything currently available, then stop (hermetic runs).
+
+    Writes to an in-memory table named ``query_name``; the same plan
+    pointed at a real sink (``.format("parquet")``, Kafka, foreachBatch
+    upsert into the sql_database sink) is the production path.
+    """
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,86 @@
+"""CLI tests (E8 parity; reference tests/test_cli.py coverage model)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from etl_ml_pipeline_spark.__main__ import load_dotenv, main
+
+
+def test_list_modules(capsys):
+    assert main(["-l"]) == 0
+    out = capsys.readouterr().out
+    assert "sources:" in out and "transforms:" in out and "sinks:" in out
+    for key in ("rest_api", "parquet", "data_cleaning", "sql_database"):
+        assert f"  - {key}" in out
+
+
+def test_missing_config_errors():
+    with pytest.raises(SystemExit):
+        main([])
+
+
+def test_dotenv_loader(tmp_path, monkeypatch):
+    env = tmp_path / ".env"
+    env.write_text("# comment\nMY_KEY=abc\nQUOTED='q v'\nNOEQUALS\n")
+    monkeypatch.delenv("MY_KEY", raising=False)
+    monkeypatch.chdir(tmp_path)
+    load_dotenv()
+    import os
+
+    assert os.environ["MY_KEY"] == "abc"
+    assert os.environ["QUOTED"] == "q v"
+
+
+def test_cli_runs_pipeline(tmp_path, monkeypatch, spark, sf_dir):
+    """-c end-to-end: parquet -> cleaning -> json sink; then -f full refresh."""
+    out_dir = tmp_path / "out"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "cli_e2e",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}},
+            "transform": [
+                {"type": "data_cleaning", "config": {"lowercase_columns": True}}
+            ],
+            "load": {"type": "json_local", "config": {"path": str(out_dir), "mode": "overwrite"}},
+            "incremental": {"cursor_field": "r_regionkey", "initial_value": -1},
+        },
+    }
+    cfg_path = tmp_path / "pipeline.yaml"
+    import yaml
+
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    state = tmp_path / "state.json"
+    monkeypatch.chdir(tmp_path)
+
+    assert main(["-c", str(cfg_path), "--state-path", str(state)]) == 0
+    rows = [
+        json.loads(line)
+        for f in Path(out_dir).glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(rows) == 5
+    # cursor committed after load (engine.py:126-128 parity)
+    assert json.loads(state.read_text())["cli_e2e"] == 4
+
+    # second incremental run: cursor=4 filters everything out
+    assert main(["-c", str(cfg_path), "--state-path", str(state)]) == 0
+    rows2 = [
+        json.loads(line)
+        for f in Path(out_dir).glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    assert rows2 == []
+
+    # full refresh ignores the stored cursor
+    assert main(["-c", str(cfg_path), "--state-path", str(state), "-f"]) == 0
+    rows3 = [
+        json.loads(line)
+        for f in Path(out_dir).glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(rows3) == 5

@@ -1,0 +1,86 @@
+"""MLlib prediction pipeline tests (M1-M6 parity, SURVEY.md §2.5).
+
+Mirrors the reference's flow: indicator features -> next-day-return
+target -> TimeSeriesSplit expanding folds -> GBT + ridge -> RMSE +
+importances (/root/reference/predict.py:31-107). Uses the same
+deterministic synthetic OHLCV generator as the indicator tests
+(rng seed 42).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_ml_pipeline_spark.ml import (
+    create_target,
+    feature_importances,
+    run_prediction,
+    train_evaluate,
+)
+from etl_ml_pipeline_spark.ml.predict import DEFAULT_FEATURES, fold_bounds
+from tests.test_indicators import make_ohlcv
+
+
+@pytest.fixture(scope="module")
+def features_df(spark):
+    """Synthetic OHLCV through the indicator pipeline = the feature table."""
+    from etl_ml_pipeline_spark.operators.indicators import TechnicalIndicators
+
+    df = spark.createDataFrame(make_ohlcv(220))
+    out = TechnicalIndicators({}).transform(df)
+    out.cache()
+    out.count()
+    return out
+
+
+def test_create_target_matches_pandas(spark, features_df):
+    pdf = features_df.orderBy("date").toPandas()
+    expected = (pdf["close"].shift(-1) - pdf["close"]) / pdf["close"] * 100.0
+    out = create_target(features_df).orderBy("date").toPandas()
+    assert len(out) == len(pdf) - 1  # last row dropped (predict.py:44)
+    assert out["target_return"].values == pytest.approx(
+        expected.iloc[:-1].values, abs=1e-9
+    )
+
+
+def test_fold_bounds_match_sklearn_semantics():
+    # n=100, 5 splits -> test size 16, first train end 20 (sklearn TimeSeriesSplit)
+    bounds = fold_bounds(100, 5)
+    assert bounds[0] == (20, 21, 36)
+    assert bounds[-1] == (84, 85, 100)
+    # folds expand: each train_end grows by test size
+    train_ends = [b[0] for b in bounds]
+    assert train_ends == [20, 36, 52, 68, 84]
+    with pytest.raises(ValueError):
+        fold_bounds(3, 5)
+
+
+def test_train_evaluate_both_models(features_df):
+    df = create_target(features_df)
+    results = train_evaluate(df, n_splits=3, max_iter=5)
+    assert set(results) == {"gbt", "ridge"}
+    for model, res in results.items():
+        assert len(res["fold_rmse"]) == 3
+        assert all(math.isfinite(r) and r >= 0 for r in res["fold_rmse"])
+        assert res["mean_rmse"] == pytest.approx(
+            sum(res["fold_rmse"]) / 3, rel=1e-12
+        )
+
+
+def test_feature_importances_top5(features_df):
+    df = create_target(features_df)
+    imp = feature_importances(df, top_k=5, max_iter=5)
+    assert len(imp) == 5
+    names = [n for n, _ in imp]
+    assert set(names) <= set(DEFAULT_FEATURES)
+    weights = [w for _, w in imp]
+    assert weights == sorted(weights, reverse=True)
+    assert all(0.0 <= w <= 1.0 for w in weights)
+
+
+def test_run_prediction_end_to_end(features_df):
+    out = run_prediction(features_df, n_splits=3, max_iter=5)
+    assert "metrics" in out and "importances" in out
+    assert out["metrics"]["ridge"]["mean_rmse"] > 0

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: hermetic file-source + availableNow runs.
+
+Each test writes JSONL files, streams them with maxFilesPerTrigger=1
+(forcing multiple micro-batches), and asserts on the memory sink — so
+watermark semantics and cross-batch state are genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from etl_ml_pipeline_spark.streaming import (
+    read_json_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)
+
+SCHEMA = "user_id bigint, ts timestamp, value double"
+
+
+def _write_events(dir_path: Path, name: str, rows):
+    dir_path.mkdir(parents=True, exist_ok=True)
+    with open(dir_path / name, "w") as f:
+        for user_id, ts, value in rows:
+            f.write(json.dumps({"user_id": user_id, "ts": ts, "value": value}) + "\n")
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    _write_events(
+        d,
+        "batch1.json",
+        [
+            (1, "2024-01-01 10:05:00", 1.0),
+            (1, "2024-01-01 10:20:00", 2.0),
+            (2, "2024-01-01 10:45:00", 3.0),
+        ],
+    )
+    _write_events(
+        d,
+        "batch2.json",
+        [
+            (1, "2024-01-01 11:10:00", 4.0),
+            (2, "2024-01-01 12:30:00", 5.0),
+        ],
+    )
+    return d
+
+
+def test_tumbling_window_counts(spark, events_dir, tmp_path):
+    stream = read_json_stream(spark, str(events_dir), SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream, window="1 hour", watermark="10 hours")
+    run_available_now(agg, "tumble_out", str(tmp_path / "ckpt"), output_mode="complete")
+    rows = {
+        str(r["window_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("tumble_out").collect()
+    }
+    assert rows["2024-01-01 10:00:00"] == (3, 6.0)
+    assert rows["2024-01-01 11:00:00"] == (1, 4.0)
+    assert rows["2024-01-01 12:00:00"] == (1, 5.0)
+
+
+def test_sliding_windows_overlap(spark, events_dir, tmp_path):
+    stream = read_json_stream(spark, str(events_dir), SCHEMA)
+    agg = sliding_window_agg(stream, window="1 hour", slide="30 minutes", watermark="10 hours")
+    run_available_now(agg, "slide_out", str(tmp_path / "ckpt"), output_mode="complete")
+    rows = {
+        str(r["window_start"]): r["n_events"] for r in spark.table("slide_out").collect()
+    }
+    # 10:05 and 10:20 fall in both the 09:30 and 10:00 windows
+    assert rows["2024-01-01 09:30:00"] == 2
+    assert rows["2024-01-01 10:00:00"] == 3  # 10:05, 10:20, 10:45
+
+
+def test_session_windows_gap(spark, events_dir, tmp_path):
+    stream = read_json_stream(spark, str(events_dir), SCHEMA)
+    agg = session_window_agg(stream, gap="30 minutes", watermark="10 hours")
+    run_available_now(agg, "sess_out", str(tmp_path / "ckpt"), output_mode="complete")
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("sess_out").collect()
+    )
+    # user 1: 10:05+10:20 chain (gap<30m) -> one session; 11:10 -> new session
+    # user 2: 10:45 and 12:30 -> two sessions
+    assert rows == [
+        (1, "2024-01-01 10:05:00", 2),
+        (1, "2024-01-01 11:10:00", 1),
+        (2, "2024-01-01 10:45:00", 1),
+        (2, "2024-01-01 12:30:00", 1),
+    ]
+
+
+def test_stateful_running_totals_across_batches(spark, events_dir, tmp_path):
+    stream = read_json_stream(spark, str(events_dir), SCHEMA, max_files_per_trigger=1)
+    out = stateful_running_totals(stream)
+    run_available_now(out, "state_out", str(tmp_path / "ckpt"), output_mode="update")
+    # memory sink in update mode appends each update; the LAST row per key
+    # is the final state -> proves state carried across micro-batches
+    pdf = spark.table("state_out").toPandas()
+    final = {int(r.user_id): (int(r.n), float(r.total)) for r in pdf.itertuples()}
+    assert final[1] == (3, 7.0)
+    assert final[2] == (2, 8.0)
+    # more output rows than keys => at least one key updated in >1 batch
+    assert len(pdf) > 2
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    d = tmp_path / "late_in"
+    _write_events(d, "b1.json", [(1, "2024-01-01 10:00:00", 1.0),
+                                 (1, "2024-01-01 23:00:00", 1.0)])
+    # batch 2 arrives with an event 13h older than the max seen ts;
+    # watermark=1h -> its window is already closed and it must be ignored
+    _write_events(d, "b2.json", [(1, "2024-01-01 09:59:00", 99.0)])
+    stream = read_json_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream, window="1 hour", watermark="1 hour")
+    run_available_now(agg, "late_out", str(tmp_path / "ckpt"), output_mode="append")
+    rows = {str(r["window_start"]): r["n_events"] for r in spark.table("late_out").collect()}
+    assert rows.get("2024-01-01 10:00:00") == 1  # late 09:59 event not counted
