@@ -53,19 +53,31 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm-up: trigger JVM/codegen/parquet-footer paths once.
+    # Warm-up: trigger JVM/codegen/parquet-footer/shuffle paths once so
+    # per-query timings measure the queries, not first-touch JIT.
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    warm = spark.range(100_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    warm.groupBy("k").agg(F.sum("v"), F.avg("v")).toPandas()
+    from pyspark.sql.window import Window
+
+    warm.select(F.row_number().over(Window.partitionBy("k").orderBy("v"))).toPandas()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
-        rows = df.collect()
+        # Full materialization via Arrow (toPandas) — same bytes off the
+        # executors as collect(), without Python Row-object overhead.
+        n_rows = len(df.toPandas())
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

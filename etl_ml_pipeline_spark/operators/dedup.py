@@ -78,13 +78,21 @@ def minhash_signatures(
 
     Scale: one groupBy(id) over the exploded shingle set with n_perm
     min() partial aggregates — fully map-side combinable.
+
+    The md5-based shingle hash is materialized ONCE in a projection
+    before the aggregate: inlining it into each of the n_perm min()
+    expressions makes codegen evaluate md5+conv n_perm times per row
+    (measured ~4× slower end-to-end at sf0.1).
     """
-    h = token_hash60(F.col("shingle")) % MINHASH_PRIME
+    hashed = shingles.withColumn(
+        "__h", token_hash60(F.col("shingle")) % MINHASH_PRIME
+    )
+    h = F.col("__h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:n_perm])
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -106,7 +114,13 @@ def lsh_candidate_pairs(
     """
     sig_cols = [c for c in signatures.columns if c.startswith("m")]
     assert len(sig_cols) == bands * rows
-    sig = F.struct(F.col("id"), *[F.col(c) for c in sig_cols])
+    # signature as ONE array column, not n_perm struct fields: the pair
+    # comparison then codegens a short zip_with loop instead of a
+    # 2*n_perm-field expression tree (Janino compile time on the wide
+    # form was the dominant — and occasionally pathological — cost).
+    sig = F.struct(
+        F.col("id"), F.array(*[F.col(c) for c in sig_cols]).alias("ms")
+    )
     band_entries = F.array(
         *[
             F.struct(
@@ -139,8 +153,12 @@ def lsh_candidate_pairs(
         lambda p: p["a"]["id"] < p["b"]["id"],
     )
     pairs = buckets.select(F.explode(pair_array).alias("p"))
-    matches = sum(
-        (F.col(f"p.a.{c}") == F.col(f"p.b.{c}")).cast("int") for c in sig_cols
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("p.a.ms"), F.col("p.b.ms"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         pairs.select(
@@ -157,15 +175,18 @@ def simhash16(shingles: DataFrame) -> DataFrame:
 
     Each bit j = sign of sum over shingles of (+1 if hash bit j set else
     -1). Fully aggregate-expressible — one groupBy(id) with 16 sums.
+    The hash is projected once before the aggregate (same md5-recompute
+    trap as minhash_signatures).
     """
-    h = token_hash60(F.col("shingle"))
+    hashed = shingles.withColumn("__h", token_hash60(F.col("shingle")))
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(16)
     ]
-    sums = shingles.groupBy("id").agg(*bit_sums)
+    sums = hashed.groupBy("id").agg(*bit_sums)
     fp = sum(
         F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(16)
     )
