@@ -1,0 +1,114 @@
+"""As-of join: each left row matched to the latest right row at-or-before it.
+
+The reference has no joins at all (SURVEY.md §2.6); this is part of the
+planned time-series extension (SURVEY.md §7.1). An as-of join is THE
+canonical point-in-time lookup (trade→latest-quote, event→latest-state)
+and Spark has no built-in operator for it.
+
+Spark-first formulation — union + ordered window, NOT a range join:
+
+1. Tag both inputs and union them on aligned schemas.
+2. One window per key ordered by (ts, side-tag): ``last(right-payload,
+   ignorenulls=True)`` carries the most recent right-side values forward
+   onto every subsequent left row.
+3. Keep only left rows.
+
+Scale: exactly ONE shuffle (the window's partitionBy(key)); no
+range-predicate join, which Catalyst would execute as a broadcast
+nested-loop (quadratic) — the union+window plan is linear and spills
+cleanly. Skewed keys behave like any other window partition.
+
+The ``tolerance`` option drops matches older than the given number of
+seconds (same semantics as pandas ``merge_asof(tolerance=...)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right.on <= left.on`` per key.
+
+    ``on``: ordering column (timestamp or numeric), same name both sides.
+    ``by``: equality key(s). ``value_cols``: right-side payload columns to
+    carry (defaults to all non-key, non-ordering columns).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by_cols, on)]
+
+    left_tagged = left.select(
+        *by_cols,
+        F.col(on),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_on"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    right_tagged = right.select(
+        *by_cols,
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(on).alias("__r_on"),
+        # typed all-null struct (casting an empty struct literal is not
+        # allowed in Spark 4)
+        F.struct(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+            ]
+        ).alias("__l"),
+    )
+
+    # Right rows sort BEFORE left rows at equal ts (__is_left asc), so an
+    # exactly-simultaneous right row IS visible to the left row — the
+    # standard as-of (<=) convention.
+    w = (
+        W.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = left_tagged.unionByName(right_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
+    )
+
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        in_window = (
+            F.col("__m_on").isNotNull()
+            & (
+                F.col(on).cast("double") - F.col("__m_on").cast("double")
+                <= F.lit(float(tolerance))
+            )
+        )
+        matched = [
+            F.when(in_window, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+        matched_on = F.when(in_window, F.col("__m_on")).alias(f"{on}{suffix}")
+    else:
+        matched = [F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        matched_on = F.col("__m_on").alias(f"{on}{suffix}")
+
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        matched_on,
+        *matched,
+    )

@@ -27,6 +27,7 @@ _MODULES = (
     "dedup_q",
     "similarity_q",
     "ml_q",
+    "asof_q",
 )
 
 

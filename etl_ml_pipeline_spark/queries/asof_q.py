@@ -1,0 +1,147 @@
+"""As-of join + cube queries (time-series/point-in-time extension).
+
+The reference has no joins (SURVEY.md §2.6); asof_join is the planned
+custom time-series operator (SURVEY.md §7.1's "custom operators"
+bucket: composition of existing DataFrame ops). DuckDB ships a native
+ASOF JOIN, giving an exact oracle for our union+window formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.asof import asof_join
+from etl_ml_pipeline_spark.queries.tables import t
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent purchase at-or-before it.
+
+    Scale note: one shuffle on user_id (the window partition); no range
+    join. ~40% of clicks precede any purchase -> NULL match (LEFT asof).
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.round("value", 2).alias("click_value"),
+        F.col("ts_right").cast("string").alias("purchase_ts"),
+        F.round("value_right", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+SELECT c.event_id,
+       c.user_id,
+       CAST(c.ts AS VARCHAR) AS click_ts,
+       round(c.value, 2) AS click_value,
+       CAST(p.ts AS VARCHAR) AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def asof_tolerance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 1-hour tolerance: stale matches dropped.
+
+    Aggregated to matched/unmatched counts per user bucket so the result
+    is compact at any sf while still pinning tolerance semantics.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        value_cols=["value"], tolerance=3600.0,
+    )
+    return (
+        joined.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("value_right").alias("n_matched"),
+            F.round(F.sum("value_right"), 2).alias("sum_matched_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_ASOF_TOL_SQL = """
+SELECT user_id % 10 AS user_bucket,
+       count(*) AS n_clicks,
+       count(matched_value) AS n_matched,
+       round(sum(matched_value), 2) AS sum_matched_value
+FROM (
+  SELECT c.event_id, c.user_id,
+         CASE WHEN p.ts IS NOT NULL
+                   AND epoch(c.ts) - epoch(p.ts) <= 3600
+              THEN p.value END AS matched_value
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN
+       (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+GROUP BY user_id % 10
+ORDER BY user_bucket
+"""
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations.
+
+    Complements rollup_order_stats (hierarchical); cube adds the
+    priority-only and grand-total slices. Same one-pass expand+agg plan.
+    """
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "asof_click_purchase": asof_click_purchase,
+    "asof_tolerance_counts": asof_tolerance_counts,
+    "cube_status_priority": cube_status_priority,
+}
+
+ORACLES = {
+    "asof_click_purchase": _ASOF_SQL,
+    "asof_tolerance_counts": _ASOF_TOL_SQL,
+    "cube_status_priority": _CUBE_SQL,
+}

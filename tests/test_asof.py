@@ -1,0 +1,66 @@
+"""asof_join golden tests: <= convention, per-key isolation, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_ml_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "l0"), (1, _ts(10), "l1"), (1, _ts(30), "l2"), (2, _ts(5), "l3")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(6), 300.0)],
+        "k long, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lv"]: r["rv_right"]
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out["l0"] is None          # no right row at/before 10:00
+    assert out["l1"] == 100.0         # exactly simultaneous right row matches (<=)
+    assert out["l2"] == 200.0         # latest of the two earlier rows
+    assert out["l3"] is None          # key 2's right row is later (10:06 > 10:05)
+
+
+def test_asof_keys_do_not_leak(spark):
+    left, right = _frames(spark)
+    rows = asof_join(left, right, on="ts", by="k").filter("k = 2").collect()
+    assert [r["rv_right"] for r in rows] == [None]  # key 1's rows invisible
+
+
+def test_asof_tolerance_drops_stale(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lv"]: r["rv_right"]
+        for r in asof_join(
+            left, right, on="ts", by="k", tolerance=300.0  # 5 minutes
+        ).collect()
+    }
+    assert out["l1"] == 100.0          # same-instant match, age 0
+    assert out["l2"] is None           # 10:30 vs 10:20 = 600s > 300s -> dropped
+    # matched ts also nulled by tolerance
+    rows = {
+        r["lv"]: r["ts_right"]
+        for r in asof_join(left, right, on="ts", by="k", tolerance=300.0).collect()
+    }
+    assert rows["l2"] is None and rows["l1"] == _ts(10)
+
+
+def test_asof_preserves_left_columns_and_count(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="k")
+    assert out.count() == left.count()  # left join: no row loss or dup
+    assert out.columns == ["k", "ts", "lv", "ts_right", "rv_right"]
