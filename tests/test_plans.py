@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the scale properties the engine relies on.
+
+These tests pin the plan shapes that make the 100 TB posture real:
+filters reach the parquet scan, column pruning limits ReadSchema, small
+dimensions broadcast instead of shuffling, and hot paths stay inside
+WholeStageCodegen. A change that silently regresses any of these would
+still pass correctness tests — this file is the guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_ml_pipeline_spark.queries.relational import (
+    q1_pricing_summary,
+    q5_region_revenue,
+    q6_forecast_revenue,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushed_to_scan(spark, sf_dir):
+    plan = _formatted(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # the shipdate range + discount/quantity bounds must reach the scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l or "l_discount" in l for l in pushed), pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _formatted(q6_forecast_revenue(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, "no ReadSchema in plan"
+    line = read_schema[0]
+    # q6 needs only 4 columns; l_orderkey/l_partkey etc. must NOT be read
+    assert "l_extendedprice" in line and "l_discount" in line
+    assert "l_orderkey" not in line and "l_comment" not in line
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q5_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact-side join must not broadcast lineitem: at least the
+    # dims go through BroadcastExchange
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = _plan(df)
+    # codegen stages render as "*(n)" prefixes in the final AQE plan
+    assert "*(" in plan or "WholeStageCodegen" in plan
+    # aggregation is partial (map-side combine) before the exchange
+    assert "partial" in plan.lower()
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    # one exchange for the groupBy, one for the final orderBy — no more
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, f"unexpected extra shuffles:\n{plan}"
+
+
+def test_cursor_predicate_pushed(spark, sf_dir):
+    """Incremental cursor filters must reach the parquet scan."""
+    from etl_ml_pipeline_spark import plugins  # noqa: F401 (registers built-ins)
+    from etl_ml_pipeline_spark.registry import SOURCES
+
+    src = SOURCES.get("parquet")(spark, {"path": f"{sf_dir}/orders.parquet"})
+    src.apply_cursor(1000, "o_orderkey", None)
+    plan = _formatted(src.extract())
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderkey" in l and "GreaterThan" in l for l in pushed), pushed
+
+
+def test_exact_dedup_no_self_join(spark, sf_dir):
+    """exact_dedup must be window-based: one pass, no join of the input
+    against itself (which would double-scan upstream at 100 TB)."""
+    from etl_ml_pipeline_spark.operators.dedup import exact_dedup
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    plan = _plan(exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id"))
+    assert "Join" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
