@@ -3,9 +3,10 @@
 Cosine math: Spark ``zip_with``+``aggregate`` sequential folds are
 bit-identical to DuckDB's list functions on ``DOUBLE[]`` (verified
 empirically), so brute-force results compare exactly after floor
-truncation. The LSH ANN variant uses library-seeded hyperplanes — not
-SQL-expressible — and is covered by a recall test (tests/test_similarity.py)
-plus a rows-only driver check.
+truncation. The LSH ANN variant's seeded hyperplanes are embedded as
+literal DOUBLE[] lists in generated oracle SQL (sign-bit bucket via
+list_dot_product), so it is hash-compared too; a recall test
+(tests/test_similarity.py) additionally pins ANN quality.
 """
 
 from __future__ import annotations
@@ -160,7 +161,11 @@ ORDER BY label
 
 
 # ---------------------------------------------------------------------------
-# ann_lsh_topk — hyperplane-LSH ANN (rows-only; recall pinned in tests).
+# ann_lsh_topk — hyperplane-LSH ANN. The hyperplanes are deterministic
+# (seeded Gaussian), so the oracle SQL embeds them as literal DOUBLE[]
+# lists and recomputes the sign-bit bucket with list_dot_product — the
+# same generated-constant technique as the MinHash oracle. Sign
+# disagreement would need |dot| < ~1e-13 (never at dim=64).
 # ---------------------------------------------------------------------------
 
 
@@ -177,6 +182,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos")).orderBy(
         "q_id", "rank"
     )
+
+
+def _lsh_oracle() -> str:
+    planes = make_hyperplanes(dim=64, n_bits=8, seed=0)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in row)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, row in enumerate(planes)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM vecs
+),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS cos
+  FROM q JOIN c USING (bucket)
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -235,5 +272,6 @@ ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
+    "ann_lsh_topk": _lsh_oracle(),
     "multimodal_image_features": _MULTIMODAL_SQL,
 }

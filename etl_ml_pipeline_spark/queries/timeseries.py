@@ -1,8 +1,8 @@
 """Time-series queries over the events table: moving aggregates with
 min_periods semantics, sessionization, tumbling windows, target
-engineering. RSI/MACD (recursive EWMAs) have no SQL oracle — they are
-covered by golden pandas tests in tests/test_indicators.py and appear
-here as rows-only checks.
+engineering. RSI/MACD (recursive EWMAs) are oracle-checked via a DuckDB
+RECURSIVE CTE that replays the pandas ewm(adjust=False) recursion
+step-for-step (plus golden pandas tests in tests/test_indicators.py).
 """
 
 from __future__ import annotations
@@ -210,8 +210,8 @@ ORDER BY user_id, event_id
 
 
 # ---------------------------------------------------------------------------
-# rsi_macd_events — recursive EWMAs via applyInPandas (rows-only check;
-# numerics pinned by golden pandas tests).
+# rsi_macd_events — recursive EWMAs via applyInPandas; oracle below
+# replays the recursion in a DuckDB RECURSIVE CTE.
 # ---------------------------------------------------------------------------
 
 
@@ -232,6 +232,54 @@ def rsi_macd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the recursive EWMAs: a DuckDB RECURSIVE CTE advancing every
+# user's series one row per iteration (depth = max rows/user, ~86 at
+# sf0.01). Each arithmetic step mirrors pandas ewm(adjust=False)
+# EXACTLY — y = ((1-a)*prev + a*x) / ((1-a)+a), including the
+# divide-by-weight-sum — so doubles agree bit-for-bit before round(4).
+# Wilder avg gain/loss seed at the first delta (leading NaN skipped,
+# pandas ignore_na default), masked until min_periods=14 valid obs.
+_RSI_MACD_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, rn, value,
+         value AS ema_f, value AS ema_s, 0.0::DOUBLE AS sig,
+         CAST(NULL AS DOUBLE) AS avg_gain,
+         CAST(NULL AS DOUBLE) AS avg_loss
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn, o.value,
+         ((1 - 2.0/13.0) * r.ema_f + 2.0/13.0 * o.value) / ((1 - 2.0/13.0) + 2.0/13.0),
+         ((1 - 2.0/27.0) * r.ema_s + 2.0/27.0 * o.value) / ((1 - 2.0/27.0) + 2.0/27.0),
+         ((1 - 2.0/10.0) * r.sig
+            + 2.0/10.0 * (((1 - 2.0/13.0) * r.ema_f + 2.0/13.0 * o.value) / ((1 - 2.0/13.0) + 2.0/13.0)
+                          - ((1 - 2.0/27.0) * r.ema_s + 2.0/27.0 * o.value) / ((1 - 2.0/27.0) + 2.0/27.0)))
+           / ((1 - 2.0/10.0) + 2.0/10.0),
+         CASE WHEN r.avg_gain IS NULL THEN greatest(o.value - r.value, 0.0::DOUBLE)
+              ELSE ((1 - 1.0/14.0) * r.avg_gain + 1.0/14.0 * greatest(o.value - r.value, 0.0::DOUBLE))
+                     / ((1 - 1.0/14.0) + 1.0/14.0) END,
+         CASE WHEN r.avg_loss IS NULL THEN greatest(r.value - o.value, 0.0::DOUBLE)
+              ELSE ((1 - 1.0/14.0) * r.avg_loss + 1.0/14.0 * greatest(r.value - o.value, 0.0::DOUBLE))
+                     / ((1 - 1.0/14.0) + 1.0/14.0) END
+  FROM rec r
+  JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id,
+       round(CASE WHEN avg_loss = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 4) AS rsi_14,
+       round(ema_f - ema_s, 4) AS macd,
+       round(sig, 4) AS macd_signal,
+       round((ema_f - ema_s) - sig, 4) AS macd_histogram
+FROM rec
+WHERE rn >= 15
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "bollinger_events": bollinger_events,
@@ -247,4 +295,5 @@ ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
     "tumble_hourly_events": _TUMBLE_SQL,
     "ml_target_events": _TARGET_SQL,
+    "rsi_macd_events": _RSI_MACD_SQL,
 }
