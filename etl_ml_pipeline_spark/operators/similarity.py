@@ -141,3 +141,78 @@ class SimilarityTopK(BaseTransform):
             planes = make_hyperplanes(dim, bits, int(self.config.get("seed", 0)))
             return lsh_topk(queries, df, planes, k=k)
         return brute_force_topk(queries, df, k=k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    The centroid table is tiny (k_coarse rows) and broadcasts; the argmin
+    is a per-row window over the broadcast-join product — the classic
+    IVF list-assignment as ONE map-side pass + a rank filter. At 100 TB
+    the corpus never shuffles for assignment (broadcast join), only for
+    the (cent_id)-keyed layout that downstream probes exploit.
+
+    Distance = cosine (consistent with the query path); ties broken by
+    centroid id for cross-engine determinism.
+    """
+    from pyspark.sql import Window as W
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(as_double(F.col(vec_col)), as_double(F.col(cent_vec)))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(cent_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", cent_vec)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` nearest centroid lists,
+    exact cosine rerank within those lists only.
+
+    Complements the hyperplane-LSH path: IVF partitions by data-adaptive
+    regions (any provided coarse quantizer — e.g. MLlib KMeans centers —
+    works), LSH by fixed random planes. Candidate generation is an
+    equi-join on cent_id — sub-linear scan per query at scale.
+    """
+    from pyspark.sql import Window as W
+
+    cb = ivf_assign(corpus, centroids, c_vec, c_id)
+    # per-query probe list: top n_probe centroids
+    qs = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(as_double(F.col(q_vec)), as_double(F.col("cent_vec")))
+    )
+    wq = W.partitionBy(q_id).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    qb = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(q_id, q_vec, "cent_id")
+    )
+    cand = cb.join(F.broadcast(qb), "cent_id").withColumn(
+        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cos"), F.asc(c_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos", "cent_id")
+    )

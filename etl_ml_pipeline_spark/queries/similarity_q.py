@@ -260,11 +260,76 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF ANN: deterministic coarse centroids (every 50th
+# vector), broadcast argmin assignment, probe-1 candidate lists, exact
+# rerank. Fully oracle-checked: the quantizer is data-deterministic, so
+# DuckDB replays assignment + probe with the same argmin.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = ivf_topk(queries, corpus, centroids, k=5, n_probe=1)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM assigned WHERE vec_id < 10
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, q.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "multimodal_image_features": multimodal_image_features,
 }
 
@@ -273,5 +338,6 @@ ORACLES = {
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
     "ann_lsh_topk": _lsh_oracle(),
+    "ann_ivf_topk": _IVF_SQL,
     "multimodal_image_features": _MULTIMODAL_SQL,
 }

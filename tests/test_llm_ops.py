@@ -155,3 +155,40 @@ def test_sample_frames_plumbing(spark):
     assert len(out) == 4
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert all(len(r.frame_bytes) == 25 for r in out)
+
+
+def test_ivf_topk_self_match_and_recall(emb_df):
+    from etl_ml_pipeline_spark.operators.similarity import ivf_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb_df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = brute_force_topk(queries, corpus, k=3).collect()
+    approx = ivf_topk(queries, corpus, centroids, k=3, n_probe=2).collect()
+    approx_set = {(r.q_id, r.c_id) for r in approx}
+    # a query always shares its own centroid list -> self-match floor
+    assert all((q, q) in approx_set for q in range(10))
+    exact_set = {(r.q_id, r.c_id) for r in exact}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3
+    # every candidate came from a probed centroid
+    assert all(r.cent_id % 10 == 0 for r in approx)
+
+
+def test_ivf_assign_unique_and_nearest(emb_df):
+    from etl_ml_pipeline_spark.operators.similarity import ivf_assign
+
+    centroids = emb_df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    assigned = ivf_assign(emb_df, centroids, "embedding", "vec_id")
+    rows = assigned.collect()
+    assert len(rows) == emb_df.count()  # exactly one centroid per vector
+    by_id = {r.vec_id: r.cent_id for r in rows}
+    assert by_id[0] == 0 and by_id[10] == 10  # centroids assign to themselves
