@@ -166,3 +166,34 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def write_stream_upsert(
+    stream_df: DataFrame,
+    sink_config: dict,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+):
+    """Stream into the SQL upsert sink via foreachBatch.
+
+    Each micro-batch runs one batched ON CONFLICT upsert (see
+    sinks/sql_database.py), so the destination table always holds the
+    latest value per primary key — the streaming materialized-view
+    pattern. foreachBatch + idempotent upsert gives effectively-once
+    semantics across restarts (a replayed batch overwrites itself).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from etl_ml_pipeline_spark.sinks.sql_database import SqlDatabaseSink
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with SqlDatabaseSink(batch_df.sparkSession, sink_config) as sink:
+            sink.load(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -123,3 +123,34 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     run_available_now(agg, "late_out", str(tmp_path / "ckpt"), output_mode="append")
     rows = {str(r["window_start"]): r["n_events"] for r in spark.table("late_out").collect()}
     assert rows.get("2024-01-01 10:00:00") == 1  # late 09:59 event not counted
+
+
+def test_stream_upsert_materialized_view(spark, events_dir, tmp_path):
+    """stateful running totals streamed into the SQL upsert sink: the
+    table ends with exactly the latest per-key state (effectively-once)."""
+    import sqlite3
+
+    from etl_ml_pipeline_spark.streaming.windows import write_stream_upsert
+
+    db = str(tmp_path / "totals.db")
+    stream = read_json_stream(spark, str(events_dir), SCHEMA, max_files_per_trigger=1)
+    out = stateful_running_totals(stream)
+    q = write_stream_upsert(
+        out,
+        {
+            "database": db,
+            "table": "user_totals",
+            "if_exists": "upsert",
+            "primary_keys": ["user_id"],
+        },
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    with sqlite3.connect(db) as conn:
+        rows = dict(
+            (uid, (n, total))
+            for uid, n, total in conn.execute(
+                "SELECT user_id, n, total FROM user_totals"
+            )
+        )
+    assert rows == {1: (3, 7.0), 2: (2, 8.0)}  # exactly latest state per key
