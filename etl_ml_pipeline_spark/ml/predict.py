@@ -176,3 +176,35 @@ def run_prediction(
     metrics = train_evaluate(with_target, features, n_splits, order_col, max_iter)
     importances = feature_importances(with_target, features, max_iter=max_iter)
     return {"metrics": metrics, "importances": importances}
+
+
+def plot_importance(
+    importances: list[tuple[str, float]],
+    out_path: str = "feature_importance.png",
+) -> str:
+    """Horizontal-bar importance plot (M6, reference predict.py:75-93).
+
+    matplotlib is an optional dependency (not in this container); the
+    ranked list from ``feature_importances`` is the data product and the
+    plot is presentation-only, so this raises NotImplementedError with a
+    clear message when matplotlib is absent instead of failing at import.
+    """
+    try:
+        import matplotlib
+    except ImportError as exc:
+        raise NotImplementedError(
+            "matplotlib is not installed; install it to render the "
+            "importance plot, or consume the (feature, weight) list directly"
+        ) from exc
+    matplotlib.use("Agg")  # pragma: no cover - needs matplotlib
+    import matplotlib.pyplot as plt  # pragma: no cover
+
+    names = [n for n, _ in reversed(importances)]  # pragma: no cover
+    weights = [w for _, w in reversed(importances)]  # pragma: no cover
+    fig, ax = plt.subplots(figsize=(8, 4))  # pragma: no cover
+    ax.barh(names, weights)  # pragma: no cover
+    ax.set_xlabel("importance")  # pragma: no cover
+    fig.tight_layout()  # pragma: no cover
+    fig.savefig(out_path)  # pragma: no cover
+    plt.close(fig)  # pragma: no cover
+    return out_path  # pragma: no cover

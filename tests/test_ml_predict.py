@@ -84,3 +84,10 @@ def test_run_prediction_end_to_end(features_df):
     out = run_prediction(features_df, n_splits=3, max_iter=5)
     assert "metrics" in out and "importances" in out
     assert out["metrics"]["ridge"]["mean_rmse"] > 0
+
+
+def test_plot_importance_gated_without_matplotlib():
+    from etl_ml_pipeline_spark.ml.predict import plot_importance
+
+    with pytest.raises(NotImplementedError, match="matplotlib"):
+        plot_importance([("close", 0.5), ("volume", 0.3)])
