@@ -84,3 +84,34 @@ def test_cli_runs_pipeline(tmp_path, monkeypatch, spark, sf_dir):
         for line in f.read_text().splitlines()
     ]
     assert len(rows3) == 5
+
+
+def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
+    """Shipped example configs are valid and the runnable ones execute."""
+    from pathlib import Path
+
+    import yaml
+
+    from etl_ml_pipeline_spark.config import PipelineConfig
+    from etl_ml_pipeline_spark.engine import PipelineEngine
+
+    repo = Path(__file__).resolve().parent.parent
+    configs = sorted((repo / "configs").glob("*.yaml"))
+    assert len(configs) >= 4
+    for cfg_path in configs:
+        PipelineConfig.model_validate(yaml.safe_load(cfg_path.read_text()))
+
+    # Spark resolves relative sink paths against the JVM cwd, so point
+    # the outputs at tmp_path explicitly via inline_config overrides.
+    for name, out in (
+        ("clean_customers", tmp_path / "out1"),
+        ("dedup_documents", tmp_path / "out2"),
+    ):
+        engine = PipelineEngine(
+            str(repo / "configs" / f"{name}.yaml"),
+            spark=spark,
+            inline_config={"pipeline": {"load": {"config": {"path": str(out)}}}},
+            state_path=str(tmp_path / "state.json"),
+        )
+        engine.run()
+        assert out.exists()
