@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "asof_click_purchase",
+    "text_winnow_sketch",
 ]
 
 
