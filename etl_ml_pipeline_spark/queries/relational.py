@@ -506,6 +506,70 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# scalar_function_battery — one pass over orders exercising the scalar
+# function library broadly (string/date/math/conditional), every
+# expression aliased identically in both engines. Catches any semantic
+# drift in individual functions with a single cheap query.
+# ---------------------------------------------------------------------------
+
+
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_k_floor"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_coalesced"
+        ),
+        F.greatest(F.col("o_orderkey") % 10, F.col("o_custkey") % 10).alias("g10"),
+    ).orderBy("o_orderkey")
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey,
+       upper(substr(o_orderstatus, 1, 1)) AS status_u,
+       CAST(length(o_orderpriority) AS INT) AS prio_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+       o_orderkey % 7 AS key_mod7,
+       round(sqrt(o_totalprice), 4) AS price_sqrt,
+       round(ln(o_totalprice), 6) AS price_ln,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'low' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced,
+       greatest(o_orderkey % 10, o_custkey % 10) AS g10
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -521,6 +585,7 @@ QUERIES = {
     "case_bucket_orders": case_bucket_orders,
     "json_extract_events": json_extract_events,
     "pivot_status_by_priority": pivot_status_by_priority,
+    "scalar_function_battery": scalar_function_battery,
 }
 
 ORACLES = {
@@ -538,4 +603,5 @@ ORACLES = {
     "case_bucket_orders": _CASE_SQL,
     "json_extract_events": _JSON_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
+    "scalar_function_battery": _SCALAR_SQL,
 }
