@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = (
     "relational",
+    "subqueries",
     "windows",
     "cleaning_q",
     "timeseries",
