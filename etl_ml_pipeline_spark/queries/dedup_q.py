@@ -31,20 +31,48 @@ from etl_ml_pipeline_spark.operators.dedup import (
 from etl_ml_pipeline_spark.queries.tables import t
 
 
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_corpus(spark: SparkSession, sf_dir: str, heavy: bool = False) -> DataFrame:
+    """Deterministically dup'd corpus in ONE scan.
+
+    A 3-way self-union re-executes the documents scan per branch (3x I/O,
+    and 3x the partition count when the scan is rebalanced); instead each
+    row emits its 1-3 copies through an explode of a compacted struct
+    array — same rows, one scan, one stage. ``heavy=True`` fans the
+    corpus out across all cores *after* the union for the compute-bound
+    consumers (MinHash/SimHash hashing); guarded by the same bytes/core
+    floor the scan rebalance uses so tiny inputs stay unshuffled.
+    """
+    import os
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    copy = F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))
+    exact = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.struct(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text").alias("text")
+        ),
     )
-    near = (
-        docs.filter(F.col("doc_id") % 11 == 0)
-        .select(
+    near = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.struct(
             (F.col("doc_id") + 2_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
-        )
+        ),
     )
-    return docs.unionByName(exact).unionByName(near)
+    corpus = docs.select(
+        F.explode(F.array_compact(F.array(copy, exact, near))).alias("c")
+    ).select("c.doc_id", "c.text")
+    if heavy:
+        from etl_ml_pipeline_spark.queries.tables import _HEAVY_MIN_BYTES_PER_CORE
+
+        target = spark.sparkContext.defaultParallelism
+        try:
+            input_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+        except OSError:
+            input_bytes = 1 << 40
+        if input_bytes >= target * _HEAVY_MIN_BYTES_PER_CORE:
+            corpus = corpus.repartition(target)
+    return corpus
 
 
 _DUP_CORPUS_SQL = """
@@ -86,7 +114,7 @@ _BANDS, _ROWS = 4, 4
 
 
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    corpus = _dup_corpus(spark, sf_dir, heavy=True).filter(F.col("doc_id") % 3 == 0)
     sh = shingle_df(corpus, "text", "doc_id", n=3)
     sigs = minhash_signatures(sh, n_perm=_N_PERM)
     pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows=_ROWS)
@@ -164,7 +192,7 @@ ORDER BY id_a, id_b
 
 
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    corpus = _dup_corpus(spark, sf_dir, heavy=True).filter(F.col("doc_id") % 3 == 0)
     sh = shingle_df(corpus, "text", "doc_id", n=3)
     hashes = simhash16(sh)
     return (

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-DataFrame-call Python stack inspection for error call-sites
+        # costs ~0.3-1.5s of driver time per built plan (measured: 60% of
+        # dedup-query build time; it even imports IPython). Pure
+        # diagnostics — no effect on results or executor-side execution.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
