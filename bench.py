@@ -30,6 +30,8 @@ HEADLINE = [
     "q3_top_orders",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q9_product_profit",
+    "q21_waiting_supplier",
     "agg_distinct_parts",
     "rollup_order_stats",
     "json_extract_events",

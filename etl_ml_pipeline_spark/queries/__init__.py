@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = (
     "relational",
     "subqueries",
+    "tpch_extra",
     "windows",
     "cleaning_q",
     "timeseries",
