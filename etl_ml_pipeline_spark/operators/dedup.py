@@ -229,6 +229,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair list -> (node, component) with
+    component = min node id reachable from each node. Deterministic.
+
+    The dedup use-case: near-dup PAIRS (from LSH/Jaccard) overlap into
+    CLUSTERS (a~b, b~c => {a,b,c}); keeping one canonical doc per cluster
+    needs the component, not the pair.
+
+    Algorithm: min-label propagation — each iteration every node adopts
+    the smallest label among itself and its neighbors; stop when no label
+    changes. Iterations = graph diameter, and dup clusters are
+    near-cliques (diameter 2-3), so 3-4 rounds in practice. Each round is
+    ONE shuffle join (labels x symmetrized edges) + ONE aggregate — the
+    same per-round cost profile as GraphFrames/GraphX CC but without the
+    dependency. ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1 (at 100 TB use reliable
+    checkpointing to HDFS instead).
+
+    The convergence probe (`changed == 0`) is a 1-row count per round —
+    a driver-side action, but O(rounds), not O(rows).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

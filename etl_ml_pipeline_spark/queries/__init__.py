@@ -28,6 +28,7 @@ _MODULES = (
     "text_q",
     "dedup_q",
     "similarity_q",
+    "sampling_q",
     "ml_q",
     "asof_q",
 )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from etl_ml_pipeline_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -286,8 +287,63 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cluster_canonical — near-dup PAIRS -> CLUSTERS via connected
+# components (min-label propagation; see operators.dedup). Pairs overlap
+# into clusters (a~b, b~c => {a,b,c}); canonical doc per cluster = min id.
+# Oracle: transitive closure in a RECURSIVE CTE (small candidate graph).
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir).filter((F.col("doc_id") % 1_000_000) < 300)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.orderBy("node")
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 1000000 < 300
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2) i
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node, min(r) AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -295,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": _EXACT_SQL,
+    "dedup_cluster_canonical": _CLUSTER_SQL,
     "dedup_minhash_documents": _minhash_oracle(),
     "dedup_simhash_documents": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,

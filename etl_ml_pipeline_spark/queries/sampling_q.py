@@ -1,0 +1,97 @@
+"""Deterministic sampling queries over the documents table.
+
+At training-data scale, sampling must be REPRODUCIBLE (same subset on
+re-run, resumable after failure) and PUSHABLE (a filter, not a
+shuffle). ``df.sample()`` is neither across retries/engines — partition
+RNG seeds change with partitioning. The standard fix is hash-mod
+sampling on a stable key: ``h(id) % N < rate*N``. That's a pure
+map-side predicate: no shuffle, survives any repartitioning, and the
+SAME rows come out of Spark, DuckDB, or a SQL warehouse — which is
+exactly how the oracle validates it. Hash = md5-derived 60-bit int
+(``operators.text.token_hash60``), identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.text import token_hash60
+from etl_ml_pipeline_spark.queries.tables import t
+
+_HASH_DUCK = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+# Per-language sampling rates (percent) for the stratified variant — the
+# up/down-sampling move every multilingual training mix needs.
+_STRATA = {"en": 80, "zh": 40}
+_DEFAULT_RATE = 20
+
+
+def _bucket() -> F.Column:
+    return token_hash60(F.col("doc_id").cast("string")) % 100
+
+
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic hash sample. Scale: map-side filter only — the
+    predicate references one column and pushes to the scan."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(_bucket() < 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_HASH_DUCK} % 100 < 10
+ORDER BY doc_id
+"""
+
+
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rates (up-sample en, down-sample tail languages),
+    verified by per-stratum counts. Scale: still one map-side predicate —
+    the rate lookup is a CASE on the stratum column, no join, no shuffle;
+    totals and sampled counts come from one aggregation pass."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.col("lang")
+    expr = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(_STRATA.items()):
+        expr = F.when(rate == lang, F.lit(r)).otherwise(expr)
+    return (
+        docs.withColumn("__in", (_bucket() < expr).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("__in").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CASE_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(_STRATA.items())
+) + f" ELSE {_DEFAULT_RATE} END"
+
+_STRATIFIED_SQL = f"""
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN {_HASH_DUCK} % 100 < {_CASE_RATE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "sample_hash_documents": sample_hash_documents,
+    "sample_stratified_lang": sample_stratified_lang,
+}
+
+ORACLES = {
+    "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "sample_stratified_lang": _STRATIFIED_SQL,
+}

@@ -213,8 +213,38 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_vocab_topk — corpus-level vocabulary: top-40 tokens by frequency.
+# The token explode multiplies rows ~60x, but partial aggregation
+# (map-side combine) collapses each partition's counts BEFORE the
+# shuffle, so the exchange carries |vocab|-sized partials, not |tokens|
+# rows. Deterministic top-k: count desc, token asc tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(40)
+    )
+
+
+_VOCAB_SQL = f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOKS_DUCK}) AS token FROM documents) a
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 40
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_vocab_topk": text_vocab_topk,
     "text_quality_docs": text_quality_docs,
     "text_langid_confusion": text_langid_confusion,
     "text_fingerprint_hist": text_fingerprint_hist,
@@ -223,6 +253,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_vocab_topk": _VOCAB_SQL,
     "text_quality_docs": _QUALITY_SQL,
     "text_langid_confusion": _LANGID_SQL,
     "text_fingerprint_hist": _FINGERPRINT_SQL,

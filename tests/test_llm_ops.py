@@ -242,3 +242,30 @@ def test_rolling_hash_equals_direct_fold():
             h = (h * WINNOW_BASE + ord(ch)) % WINNOW_MOD
         direct.append(h)
     assert _kgram_hash_list(text, k) == direct
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (needs >1 propagation round), a disjoint pair, and
+    pair overlap (a~b, b~c) must resolve to min-id components."""
+    from etl_ml_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path(spark):
+    """Diameter-9 path exercises convergence over multiple rounds."""
+    from etl_ml_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 1, -1)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 2 for i in range(2, 12)}
