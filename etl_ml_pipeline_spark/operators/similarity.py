@@ -241,3 +241,39 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "cos", "cent_id")
     )
+
+
+def sq8_quantize(vec: Column) -> Column:
+    """Per-vector int8 scalar quantization (FAISS SQ8-style): codes =
+    round((x - vmin) / ((vmax - vmin)/255)). 4x storage cut for float32
+    embeddings — the difference between shipping 100 TB and 25 TB of
+    vectors through an ANN build. Pure map-side expression: no shuffle,
+    codegen-able, exact same double arithmetic in any engine (rounding
+    via floor(x+0.5) = deterministic HALF_UP, no libm calls).
+
+    Returns struct(codes: array<int>, vmin: double, vmax: double);
+    dequantization is ``vmin + code * (vmax - vmin)/255``.
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    scale = (vmax - vmin) / 255.0
+    codes = F.when(
+        vmax > vmin,
+        F.transform(v, lambda x: F.floor((x - vmin) / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return F.struct(
+        codes.alias("codes"), vmin.alias("vmin"), vmax.alias("vmax")
+    )
+
+
+def sq8_reconstruction_mae(vec: Column, q: Column) -> Column:
+    """Mean absolute reconstruction error of an SQ8-quantized vector —
+    the quality probe run alongside quantization. Sequential fold, same
+    accumulation order as DuckDB list_sum."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    scale = (q["vmax"] - q["vmin"]) / 255.0
+    abs_err = F.zip_with(
+        v, q["codes"], lambda x, c: F.abs(x - (q["vmin"] + c * scale))
+    )
+    total = F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
+    return total / F.size(v)

@@ -324,8 +324,71 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_quantize_sq8 — per-vector int8 scalar quantization + quality
+# probe. Map-side only (no shuffle, no UDF): min/max/codes/MAE are all
+# array expressions inside whole-stage codegen. At 100 TB this is the 4x
+# vector-storage cut before an ANN index build; MAE is the standard
+# quantization-quality metric shipped with it.
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_reconstruction_mae,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    q = sq8_quantize(F.col("embedding"))
+    qc = F.col("__q")
+    return (
+        emb.withColumn("__q", q)
+        .select(
+            "vec_id",
+            F.concat_ws(",", F.slice(qc["codes"], 1, 6)).alias("codes6"),
+            _trunc4(qc["vmin"]).alias("vmin"),
+            _trunc4(qc["vmax"]).alias("vmax"),
+            (F.floor(sq8_reconstruction_mae(F.col("embedding"), qc) * 1e6) / 1e6).alias(
+                "mae"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SQ8_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id < 500
+),
+q AS (
+  SELECT vec_id, x,
+         list_min(x) AS vmin, list_max(x) AS vmax,
+         (list_max(x) - list_min(x)) / 255.0 AS scale
+  FROM v
+),
+coded AS (
+  SELECT vec_id, x, vmin, vmax, scale,
+         CASE WHEN vmax > vmin
+              THEN list_transform(x, e -> CAST(floor((e - vmin) / scale + 0.5) AS INT))
+              ELSE list_transform(x, e -> 0) END AS codes
+  FROM q
+)
+SELECT vec_id,
+       array_to_string(codes[1:6], ',') AS codes6,
+       floor(vmin * 10000) / 10000 AS vmin,
+       floor(vmax * 10000) / 10000 AS vmax,
+       floor(list_sum(list_transform(list_zip(x, codes),
+                                     p -> abs(p[1] - (vmin + p[2] * scale))))
+             / len(x) * 1e6) / 1e6 AS mae
+FROM coded
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_quantize_sq8": embedding_quantize_sq8,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_lsh_topk": ann_lsh_topk,
@@ -335,6 +398,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "embedding_quantize_sq8": _SQ8_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
     "ann_lsh_topk": _lsh_oracle(),

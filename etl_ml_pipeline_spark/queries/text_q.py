@@ -242,9 +242,100 @@ LIMIT 40
 """
 
 
+# ---------------------------------------------------------------------------
+# text_bm25_top_terms — TF-IDF + BM25 term scoring, top-3 terms per doc.
+# The full retrieval-scoring pipeline: per-(doc,term) TF, document
+# frequency DF, global N and avgdl, smooth IDF, BM25 saturation.
+# Scale shape: ONE explode->groupBy(doc,term) shuffle builds TF; DF is a
+# |vocab|-sized aggregate of that result (re-aggregation, no second scan
+# of the corpus) broadcast back; N/avgdl are 1-row scalars cross-joined.
+# Cross-engine parity: avgdl = exact-int sum/count division (not avg());
+# scores floor-truncated at 1e-4; ranking sorts the TRUNCATED score with
+# a term tiebreak so an ULP wobble in ln() can't flip row_number.
+# ---------------------------------------------------------------------------
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    n, dfc, tfc = F.col("n_docs"), F.col("df"), F.col("tf")
+    idf_smooth = F.log((n + 1) / (dfc + 1)) + 1
+    idf_bm25 = F.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+    denom = tfc + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.floor(tfc * idf_smooth * 10000) / 10000).alias("tfidf"),
+            (F.floor(idf_bm25 * tfc * (_BM25_K1 + 1) / denom * 10000) / 10000).alias(
+                "bm25"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .drop("rnk")
+        .orderBy("doc_id", F.desc("bm25"), "term")
+    )
+
+
+_BM25_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+  FROM documents WHERE doc_id < 200
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dl  AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         floor(t.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1)
+               * 10000) / 10000 AS tfidf,
+         floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+               * 10000) / 10000 AS bm25
+  FROM tfc t
+  JOIN dfc USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scalars
+)
+SELECT doc_id, term, tf, tfidf, bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, term) AS rnk
+      FROM scored) a
+WHERE rnk <= 3
+ORDER BY doc_id, bm25 DESC, term
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_vocab_topk": text_vocab_topk,
+    "text_bm25_top_terms": text_bm25_top_terms,
     "text_quality_docs": text_quality_docs,
     "text_langid_confusion": text_langid_confusion,
     "text_fingerprint_hist": text_fingerprint_hist,
@@ -254,6 +345,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_vocab_topk": _VOCAB_SQL,
+    "text_bm25_top_terms": _BM25_SQL,
     "text_quality_docs": _QUALITY_SQL,
     "text_langid_confusion": _LANGID_SQL,
     "text_fingerprint_hist": _FINGERPRINT_SQL,

@@ -269,3 +269,35 @@ def test_connected_components_long_path(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {i: 2 for i in range(2, 12)}
+
+
+def test_sq8_quantize_roundtrip_bounds(spark):
+    """Codes stay in [0,255]; endpoints map to 0/255; MAE bounded by
+    half a quantization step."""
+    from pyspark.sql import functions as F
+    from etl_ml_pipeline_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_reconstruction_mae,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5, 0.25]), (2, [-3.0, 3.0, 0.0, 1.5]), (3, [2.0, 2.0, 2.0, 2.0])],
+        ["id", "vec"],
+    )
+    q = sq8_quantize(F.col("vec"))
+    out = df.select(
+        "id",
+        F.col("vec"),
+        q.alias("q"),
+        sq8_reconstruction_mae(F.col("vec"), q).alias("mae"),
+    ).collect()
+    for r in out:
+        codes, vmin, vmax = r["q"]["codes"], r["q"]["vmin"], r["q"]["vmax"]
+        assert all(0 <= c <= 255 for c in codes)
+        if vmax > vmin:
+            assert codes[r["vec"].index(vmin)] == 0
+            assert codes[r["vec"].index(vmax)] == 255
+            step = (vmax - vmin) / 255.0
+            assert r["mae"] <= step / 2 + 1e-12
+        else:  # constant vector: all-zero codes, MAE 0 is not defined -> vmin recon
+            assert set(codes) == {0}
