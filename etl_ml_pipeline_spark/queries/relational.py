@@ -570,8 +570,75 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_percentile_prices — ordered-set aggregates (exact interpolated
+# percentiles per group). Spark's `percentile` and DuckDB's
+# `quantile_cont` both use linear interpolation on the sorted group, and
+# the arithmetic matches bit-for-bit (verified; truncation is belt and
+# braces). Scale: exact percentiles sort within each group — fine for
+# bounded group sizes; for 100 TB unbounded groups switch to
+# approx_percentile (t-digest) cutpoints, same output contract
+# (see agg_approx_distinct_parts for the sketch-aggregate pattern).
+# ---------------------------------------------------------------------------
+
+
+def agg_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", [0.25, 0.5, 0.75, 0.9])
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            *[
+                (F.floor(pct[i] * 10000) / 10000).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p90"])
+            ],
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       floor(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25,
+       floor(quantile_cont(o_totalprice, 0.50) * 10000) / 10000 AS p50,
+       floor(quantile_cont(o_totalprice, 0.75) * 10000) / 10000 AS p75,
+       floor(quantile_cont(o_totalprice, 0.90) * 10000) / 10000 AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_distinct_parts — HyperLogLog++ cardinality sketch. THE
+# scale move for count-distinct at 100 TB: the exact two-phase distinct
+# expands rows (see agg_distinct_parts); the sketch is a fixed-size,
+# mergeable state flowing through a normal partial aggregation — no
+# expand, no second shuffle. No oracle entry: DuckDB's approx_distinct
+# uses a different sketch, so cross-engine hashes can't match (driver
+# records the weaker rows-only check); the relative-error contract is
+# pinned by tests/test_oracle_parity.py::test_approx_distinct_error_bound.
+# ---------------------------------------------------------------------------
+
+
+def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_percentile_prices": agg_percentile_prices,
+    "agg_approx_distinct_parts": agg_approx_distinct_parts,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -590,6 +657,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "agg_percentile_prices": _PERCENTILE_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q3_top_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,

@@ -30,3 +30,16 @@ def test_query_matches_oracle(name, spark, sf_dir):
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ sketch (rsd=0.02) stays within 3x the configured relative
+    error of the exact count on every group (no DuckDB oracle possible —
+    different sketch algorithms)."""
+    rows = _QUERIES["agg_approx_distinct_parts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact, approx = r["exact_parts"], r["approx_parts"]
+        assert abs(approx - exact) <= max(3, 0.06 * exact), (
+            f"suppkey {r['l_suppkey']}: approx {approx} vs exact {exact}"
+        )
