@@ -117,6 +117,27 @@ _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: Iterable[str] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    key state once the watermark passes — the streaming analog of the
+    batch ``dedup_exact`` operator, and the only way dedup state stays
+    bounded on an infinite stream (a plain ``dropDuplicates`` on a
+    stream accumulates keys forever). For content dedup, pass a
+    fingerprint column (``operators.text.fingerprint``) as the key so
+    state stores 128-bit hashes, not documents.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Per-key running count/sum across micro-batches.
 

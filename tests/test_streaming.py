@@ -154,3 +154,38 @@ def test_stream_upsert_materialized_view(spark, events_dir, tmp_path):
             )
         )
     assert rows == {1: (3, 7.0), 2: (2, 8.0)}  # exactly latest state per key
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys across micro-batches collapse to one row while the
+    watermark holds their state; output carries the first-seen row."""
+    d = tmp_path / "dedup_in"
+    _write_events(
+        d,
+        "batch1.json",
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:01:00", 99.0),   # dup key within watermark
+            (2, "2024-01-01 10:02:00", 2.0),
+        ],
+    )
+    _write_events(
+        d,
+        "batch2.json",
+        [
+            (1, "2024-01-01 10:03:00", 98.0),   # still duplicate
+            (3, "2024-01-01 10:04:00", 3.0),
+        ],
+    )
+    from etl_ml_pipeline_spark.streaming.windows import stream_dedup
+
+    stream = read_json_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, keys=["user_id"], watermark="2 hours")
+    run_available_now(deduped, "dedup_out", str(tmp_path / "ckpt"), output_mode="append")
+    out = spark.table("dedup_out").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["value"])
+    assert sorted(by_user) == [1, 2, 3]
+    assert all(len(v) == 1 for v in by_user.values())
+    assert by_user[2] == [2.0] and by_user[3] == [3.0]
