@@ -560,8 +560,115 @@ ORDER BY numwait DESC, s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q16_supplier_cnt — TPC-H Q16 analog (NOT IN + grouped count-distinct).
+# Distinct suppliers per (brand, type, size) bucket, excluding one brand
+# and excluding "complaint" suppliers (negative balance — the schema's
+# stand-in for the comment LIKE filter). NOT IN compiles to a broadcast
+# LEFT ANTI join on suppkey; the count-distinct runs on the already-
+# reduced (brand,type,size,supp) distinct set, not raw lineitem.
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 7, 10, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20_dominant_supplier — TPC-H Q20 analog (nested IN + correlated share
+# threshold). Suppliers who shipped >40% of a red part's total 1999
+# volume ("excess stock" stand-in, no partsupp). The correlated
+# half-of-sum becomes a window share over the per-(part,supp) aggregate
+# — aggregate and threshold share ONE shuffle on partkey; the final
+# supplier list joins the tiny qualifying key set.
+# ---------------------------------------------------------------------------
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    red_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    per_ps = (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.4 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        dominant.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate < TIMESTAMP '2000-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+        FROM per_ps) a
+  WHERE qty > 0.4 * part_total
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_dominant_supplier": q20_dominant_supplier,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -574,6 +681,8 @@ QUERIES = {
 
 ORACLES = {
     "q2_min_cost_supplier": _Q2_SQL,
+    "q16_supplier_cnt": _Q16_SQL,
+    "q20_dominant_supplier": _Q20_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_profit": _Q9_SQL,

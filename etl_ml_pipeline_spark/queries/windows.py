@@ -229,7 +229,40 @@ ORDER BY quartile
 """
 
 
+# ---------------------------------------------------------------------------
+# window_dist_functions — distribution window functions (percent_rank,
+# cume_dist) over supplier balances within nation. Both derive from
+# exact integer rank/count arithmetic ((rank-1)/(n-1), rank_hi/n), so
+# the doubles are bit-identical cross-engine; truncation is belt and
+# braces. One shuffle on the partition key, sort within partitions.
+# ---------------------------------------------------------------------------
+
+
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        (F.floor(F.percent_rank().over(w) * 10000) / 10000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 10000) / 10000).alias("cume"),
+    ).orderBy("s_suppkey")
+
+
+_DIST_SQL = """
+SELECT s_suppkey, s_nationkey,
+       round(s_acctbal, 2) AS acctbal,
+       floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+       floor(cume_dist()   OVER w * 10000) / 10000 AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "window_dist_functions": window_dist_functions,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_rank_suppliers": window_rank_suppliers,
     "window_lag_lead_orders": window_lag_lead_orders,
@@ -239,6 +272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_dist_functions": _DIST_SQL,
     "window_topk_orders_per_customer": _TOPK_SQL,
     "window_rank_suppliers": _RANK_SQL,
     "window_lag_lead_orders": _LAG_SQL,

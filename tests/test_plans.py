@@ -137,3 +137,41 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
         wh = Path("spark-warehouse")
         if wh.exists():
             shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_hash_sample_filter_pushed_and_no_shuffle(spark, sf_dir):
+    """Hash-mod sampling must stay a map-side scan filter: the md5
+    predicate itself can't push into parquet, but the plan must contain
+    no Exchange before the (tiny) final sort."""
+    from etl_ml_pipeline_spark.queries.sampling_q import sample_hash_documents
+
+    df = sample_hash_documents(spark, sf_dir)
+    plan = _plan(df)
+    # exactly one exchange: the final orderBy range partitioning
+    assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
+    assert "Sample" not in plan  # deterministic filter, not RNG sampling
+
+
+def test_vocab_topk_partial_aggregation(spark, sf_dir):
+    """Token counting must partial-aggregate before the shuffle so the
+    exchange carries vocab-sized partials, not exploded token rows."""
+    from etl_ml_pipeline_spark.queries.text_q import text_vocab_topk
+
+    plan = _formatted(text_vocab_topk(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # the partial aggregate must appear below the exchange
+    lines = plan.splitlines()
+    first_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    # formatted plans print top-down: final agg, exchange, partial agg, scan
+    assert first_agg < first_exchange
+
+
+def test_sq8_quantize_no_shuffle_no_python(spark, sf_dir):
+    """SQ8 quantization is a pure map: no Exchange except the display
+    sort, and no Python/Arrow eval nodes (stays in codegen)."""
+    from etl_ml_pipeline_spark.queries.similarity_q import embedding_quantize_sq8
+
+    plan = _plan(embedding_quantize_sq8(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
