@@ -166,3 +166,66 @@ def test_registry_unknown_key_lists_available():
 
     with pytest.raises(KeyError, match="Available:"):
         SOURCES.get("definitely_not_registered")
+
+
+def test_training_data_prep_pipeline(tmp_path, spark):
+    """The full LLM training-data prep chain (score -> gate -> dedup ->
+    deterministic sample -> partitioned parquet) runs as ONE config-driven
+    pipeline; output is lang-partitioned, gated, and reproducible."""
+    from pathlib import Path
+
+    from etl_ml_pipeline_spark.engine import PipelineEngine
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "training_docs"
+
+    def run(path):
+        PipelineEngine(
+            str(repo / "configs" / "training_data_prep.yaml"),
+            spark=spark,
+            inline_config={"pipeline": {"load": {"config": {"path": str(path)}}}},
+            state_path=str(tmp_path / "state.json"),
+        ).run()
+
+    run(out)
+    # hive-style lang partitioning on disk
+    assert sorted(p.name for p in out.glob("lang=*")) and (out / "_SUCCESS").exists()
+    df = spark.read.parquet(str(out))
+    rows = df.collect()
+    assert rows
+    # quality/length gates held
+    assert all(r["quality"] >= 0.4 and r["n_tokens"] >= 10 for r in rows)
+    # deterministic sampling + dedup: a second run produces the same ids
+    out2 = tmp_path / "training_docs_2"
+    run(out2)
+    ids1 = {r["doc_id"] for r in rows}
+    ids2 = {r["doc_id"] for r in spark.read.parquet(str(out2)).collect()}
+    assert ids1 == ids2
+    # both strata present in the sampled output
+    n_en_out = sum(1 for r in rows if r["lang"] == "en")
+    n_other_out = len(rows) - n_en_out
+    assert n_en_out > 0 and n_other_out > 0
+
+
+def test_relational_transform_validation(spark):
+    """filter/select/hash_sample fail fast on bad config (plan-time, before I/O)."""
+    from etl_ml_pipeline_spark.operators.relational import (
+        FilterTransform,
+        HashSampleTransform,
+        SelectTransform,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="where"):
+        FilterTransform({})(df)
+    with pytest.raises(ValueError, match="columns"):
+        SelectTransform({})(df)
+    with pytest.raises(ValueError, match="key_col"):
+        HashSampleTransform({})(df)
+    with pytest.raises(ValueError, match="rate_pct"):
+        HashSampleTransform({"key_col": "k", "rate_pct": 150})(df)
+    # happy paths
+    assert FilterTransform({"where": "k >= 5"})(df).count() == 5
+    assert SelectTransform({"exprs": {"k2": "k * 2"}})(df).columns == ["k2"]
+    sampled = HashSampleTransform({"key_col": "k", "rate_pct": 100})(df)
+    assert sampled.count() == 10
