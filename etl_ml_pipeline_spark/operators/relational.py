@@ -60,6 +60,70 @@ class SelectTransform(BaseTransform):
         return df.select(*cols)
 
 
+@register_transform("sql")
+class SqlTransform(BaseTransform):
+    """Run a SQL statement over the current DataFrame.
+
+    config: {query: "SELECT lang, count(*) AS n FROM input GROUP BY lang",
+             view: "input"}          # view name the query sees (default)
+
+    This hands the YAML engine Spark's ENTIRE SQL surface in one plugin —
+    and because ``spark.sql`` parses into the same Catalyst plan as the
+    DataFrame API, pushdown/pruning/AQE all still apply to the upstream
+    source. The temp view registration is metadata-only (no
+    materialization).
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        if not str(self.config.get("query", "")).strip():
+            raise ValueError("sql transform requires a non-empty 'query'")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        view = self.config.get("view", "input")
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(self.config["query"])
+
+
+@register_transform("join")
+class JoinTransform(BaseTransform):
+    """Join the pipeline DataFrame against a secondary source.
+
+    config:
+      right: {type: parquet, config: {path: ...}}   # any registered source
+      on: [custkey]              # or {left: c_custkey, right: o_custkey}
+      how: inner                 # any Spark join type
+      broadcast: true            # hint the right side (dimension tables)
+
+    The right side goes through the same source registry as extract, so
+    every format/API the engine reads can be a join dimension. With
+    ``broadcast: true`` the join never shuffles the (big) pipeline side —
+    the 100 TB default for fact-dim enrichment.
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        right = self.config.get("right") or {}
+        if "type" not in right:
+            raise ValueError("join transform requires right.type")
+        if not self.config.get("on"):
+            raise ValueError("join transform requires 'on'")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from etl_ml_pipeline_spark.registry import SOURCES
+
+        right_cfg = self.config["right"]
+        source_cls = SOURCES.get(right_cfg["type"])
+        with source_cls(df.sparkSession, right_cfg.get("config", {})) as src:
+            right = src.extract()
+        if self.config.get("broadcast"):
+            right = F.broadcast(right)
+        on = self.config["on"]
+        if isinstance(on, dict):
+            cond = df[on["left"]] == right[on["right"]]
+        else:
+            cond = list(on) if isinstance(on, (list, tuple)) else [on]
+        return df.join(right, cond, self.config.get("how", "inner"))
+
+
 @register_transform("hash_sample")
 class HashSampleTransform(BaseTransform):
     """Deterministic hash-mod sampling (see queries/sampling_q.py for the

@@ -612,6 +612,53 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# agg_stats_battery — statistical aggregate battery (corr, covar pop/samp,
+# stddev_pop, var_samp, min_by/max_by argmin/argmax). One pass over
+# orders; every function is a distributive/algebraic aggregate (partial
+# moments merge associatively), so map-side combine applies and the
+# exchange carries O(groups) moment tuples. min_by/max_by key on a
+# continuous column (ties measure-zero); mode() is deliberately excluded
+# — its tie-breaking is engine-defined, a semantic (not precision) gap.
+# ---------------------------------------------------------------------------
+
+
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            (F.floor(F.corr("o_totalprice", "o_custkey") * 1e6) / 1e6).alias("corr_pc"),
+            (F.floor(F.covar_pop("o_totalprice", "o_custkey") * 100) / 100).alias(
+                "covar_p"
+            ),
+            (F.floor(F.covar_samp("o_totalprice", "o_custkey") * 100) / 100).alias(
+                "covar_s"
+            ),
+            (F.floor(F.stddev_pop("o_totalprice") * 10000) / 10000).alias("sd_pop"),
+            (F.floor(F.var_samp("o_totalprice") * 100) / 100).alias("var_s"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_STATS_SQL = """
+SELECT o_orderstatus,
+       floor(corr(o_totalprice, o_custkey) * 1e6) / 1e6 AS corr_pc,
+       floor(covar_pop(o_totalprice, o_custkey) * 100) / 100 AS covar_p,
+       floor(covar_samp(o_totalprice, o_custkey) * 100) / 100 AS covar_s,
+       floor(stddev_pop(o_totalprice) * 10000) / 10000 AS sd_pop,
+       floor(var_samp(o_totalprice) * 100) / 100 AS var_s,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_approx_distinct_parts — HyperLogLog++ cardinality sketch. THE
 # scale move for count-distinct at 100 TB: the exact two-phase distinct
 # expands rows (see agg_distinct_parts); the sketch is a fixed-size,
@@ -638,6 +685,7 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_percentile_prices": agg_percentile_prices,
+    "agg_stats_battery": agg_stats_battery,
     "agg_approx_distinct_parts": agg_approx_distinct_parts,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_top_orders": q3_top_orders,
@@ -658,6 +706,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
+    "agg_stats_battery": _STATS_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q3_top_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,

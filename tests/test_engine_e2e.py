@@ -229,3 +229,69 @@ def test_relational_transform_validation(spark):
     assert SelectTransform({"exprs": {"k2": "k * 2"}})(df).columns == ["k2"]
     sampled = HashSampleTransform({"key_col": "k", "rate_pct": 100})(df)
     assert sampled.count() == 10
+
+
+def test_sql_and_join_transforms(tmp_path, spark, sf_dir):
+    """A YAML pipeline can enrich via a broadcast join against a second
+    source and then aggregate with raw SQL — full relational surface
+    through config alone."""
+    out = tmp_path / "out_sqljoin"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "nation_customers",
+            "extract": {
+                "type": "parquet",
+                "config": {"path": f"{sf_dir}/customer.parquet"},
+            },
+            "transform": [
+                {
+                    "type": "join",
+                    "config": {
+                        "right": {
+                            "type": "parquet",
+                            "config": {"path": f"{sf_dir}/nation.parquet"},
+                        },
+                        "on": {"left": "c_nationkey", "right": "n_nationkey"},
+                        "how": "inner",
+                        "broadcast": True,
+                    },
+                },
+                {
+                    "type": "sql",
+                    "config": {
+                        "query": "SELECT n_name, count(*) AS n_customers, "
+                        "round(sum(c_acctbal), 2) AS total_bal "
+                        "FROM input GROUP BY n_name"
+                    },
+                },
+            ],
+            "load": {"type": "parquet", "config": {"path": str(out)}},
+        },
+    }
+    PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "s.json")
+    ).run()
+    got = {r["n_name"]: r["n_customers"] for r in spark.read.parquet(str(out)).collect()}
+    import duckdb
+
+    want = dict(
+        duckdb.sql(
+            f"SELECT n_name, count(*) FROM '{sf_dir}/customer.parquet' c "
+            f"JOIN '{sf_dir}/nation.parquet' n ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_sql_join_transform_validation(spark):
+    from etl_ml_pipeline_spark.operators.relational import JoinTransform, SqlTransform
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="query"):
+        SqlTransform({})(df)
+    with pytest.raises(ValueError, match="right.type"):
+        JoinTransform({"on": ["id"]})(df)
+    with pytest.raises(ValueError, match="'on'"):
+        JoinTransform({"right": {"type": "parquet"}})(df)
