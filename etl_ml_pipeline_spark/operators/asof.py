@@ -112,3 +112,50 @@ def asof_join(
         matched_on,
         *matched,
     )
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str = "ts",
+    tolerance_seconds: int = 600,
+) -> DataFrame:
+    """Tolerance-window join: every (left, right) pair with the same key
+    whose timestamps lie within ±tolerance — WITHOUT a range join.
+
+    A naive `l.ts BETWEEN r.ts - tol AND r.ts + tol` predicate forces a
+    cross product per key (Spark plans non-equi conditions as
+    BroadcastNestedLoop/CartesianProduct) — quadratic per key and fatal
+    at 100 TB. The banding trick makes it an EQUI join: bucket time into
+    tolerance-sized bins, explode the left side into its bin and the two
+    neighbors (any right row within ±tol falls in one of those three),
+    join on (key, bin), then apply the exact tolerance as a residual
+    filter. One shuffle, linear in matches; each true pair matches
+    exactly once because the right row has exactly one bin.
+
+    Columns from `right` come back suffixed `_right` (same contract as
+    asof_join).
+    """
+    bin_col = (F.unix_timestamp(F.col(ts)) / tolerance_seconds).cast("long")
+    l = left.withColumn(
+        "__bin", F.explode(F.array(bin_col - 1, bin_col, bin_col + 1))
+    )
+    r = right.withColumn("__bin", bin_col)
+    renamed = r.select(
+        F.col(by).alias(f"{by}_right"),
+        F.col("__bin"),
+        *[
+            F.col(c).alias(f"{c}_right")
+            for c in right.columns
+            if c != by
+        ],
+    )
+    joined = l.join(
+        renamed,
+        (F.col(by) == F.col(f"{by}_right")) & (l["__bin"] == renamed["__bin"]),
+    )
+    dt = F.abs(
+        F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col(f"{ts}_right"))
+    )
+    return joined.filter(dt <= tolerance_seconds).drop("__bin", f"{by}_right")

@@ -134,14 +134,66 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+# ---------------------------------------------------------------------------
+# range_join_purchase_context — tolerance-window (interval) join via
+# BANDING: clicks within ±10 min of each purchase by the same user.
+# A raw BETWEEN predicate plans as a per-key cross product
+# (BroadcastNestedLoop) — quadratic and fatal at scale; the banded
+# operator buckets time into tolerance-sized bins and equi-joins on
+# (user, bin) with the exact tolerance as a residual filter: ONE
+# shuffle, linear in matches (operators/asof.py::banded_interval_join).
+# The DuckDB oracle uses the naive inequality join — fine at oracle
+# scale, and semantically identical.
+# ---------------------------------------------------------------------------
+
+
+def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.asof import banded_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = banded_interval_join(
+        purchases, clicks, by="user_id", ts="ts", tolerance_seconds=600
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("value_right"), 2).alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id,
+       count(*) AS n_clicks,
+       round(sum(c.value), 2) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND abs(CAST(floor(epoch(p.ts)) AS BIGINT)
+         - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 600
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "asof_click_purchase": asof_click_purchase,
+    "range_join_purchase_context": range_join_purchase_context,
     "asof_tolerance_counts": asof_tolerance_counts,
     "cube_status_priority": cube_status_priority,
 }
 
 ORACLES = {
     "asof_click_purchase": _ASOF_SQL,
+    "range_join_purchase_context": _RANGE_JOIN_SQL,
     "asof_tolerance_counts": _ASOF_TOL_SQL,
     "cube_status_priority": _CUBE_SQL,
 }

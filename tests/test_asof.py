@@ -64,3 +64,36 @@ def test_asof_preserves_left_columns_and_count(spark):
     out = asof_join(left, right, on="ts", by="k")
     assert out.count() == left.count()  # left join: no row loss or dup
     assert out.columns == ["k", "ts", "lv", "ts_right", "rv_right"]
+
+
+def test_banded_interval_join_matches_naive(spark):
+    """Banded equi-join formulation must produce exactly the naive
+    inequality join's pairs, including at the ±tolerance boundary and
+    across bin edges."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.operators.asof import banded_interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    lefts = [Row(lid=i, user_id=1, ts=base + dt.timedelta(seconds=s))
+             for i, s in enumerate([0, 599, 600, 1800])]
+    rights = [Row(rid=j, user_id=1, ts=base + dt.timedelta(seconds=s))
+              for j, s in enumerate([-600, -601, 0, 600, 1199, 1200, 2400, 2401])]
+    l = spark.createDataFrame(lefts)
+    r = spark.createDataFrame(rights)
+    got = {
+        (row["lid"], row["rid_right"])
+        for row in banded_interval_join(l, r, by="user_id", ts="ts",
+                                        tolerance_seconds=600).collect()
+    }
+    want = {
+        (i.lid, j.rid)
+        for i in lefts for j in rights
+        if abs(int(i.ts.timestamp()) - int(j.ts.timestamp())) <= 600
+    }
+    assert got == want
+    # sanity: boundary pairs present, just-outside pairs absent
+    assert (0, 0) in got and (0, 3) in got      # exactly ±600s
+    assert (0, 1) not in got                    # 601s away
