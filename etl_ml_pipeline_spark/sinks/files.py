@@ -25,6 +25,13 @@ class _FileSink(BaseSink):
     format = ""
 
     def _writer(self, df: DataFrame):
+        # sort_by: cluster rows inside each output file so parquet
+        # row-group min/max statistics become selective — readers skip
+        # row groups on sorted-column predicates without any index. The
+        # sortWithinPartitions is a local per-partition sort (no shuffle).
+        sort_by = self.config.get("sort_by")
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         writer = df.write.mode(self.config.get("mode", "overwrite"))
         partition_by = self.config.get("partition_by")
         if partition_by:

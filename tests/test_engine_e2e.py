@@ -295,3 +295,30 @@ def test_sql_join_transform_validation(spark):
         JoinTransform({"on": ["id"]})(df)
     with pytest.raises(ValueError, match="'on'"):
         JoinTransform({"right": {"type": "parquet"}})(df)
+
+
+def test_parquet_sink_sort_by_layout(tmp_path, spark, sf_dir):
+    """sort_by clusters rows within files (local sort, no shuffle) so
+    parquet min/max stats are selective on the sorted column."""
+    out = tmp_path / "sorted_out"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "sorted_orders",
+            "extract": {"type": "parquet", "config": {"path": f"{sf_dir}/orders.parquet"}},
+            "load": {
+                "type": "parquet",
+                "config": {"path": str(out), "sort_by": ["o_totalprice"]},
+            },
+        },
+    }
+    PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "s.json")
+    ).run()
+    import pyarrow.parquet as pq
+
+    files = sorted(out.glob("*.parquet"))
+    assert files
+    for f in files:
+        prices = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
+        assert prices == sorted(prices)
