@@ -42,6 +42,19 @@ def unique_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# BPE-style pre-tokenizer pattern: letter runs, digit runs, punctuation
+# runs (GPT-2's pre-split shape, minus the lookahead/unicode-category
+# pieces so Java regex (Spark) and RE2 (DuckDB) agree exactly).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-style token count via the BPE pre-split regex — the
+    budget metric for LLM training data (whitespace counts undershoot
+    on punctuation-heavy or CJK text)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def stopword_count(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(s) for s in stopwords])

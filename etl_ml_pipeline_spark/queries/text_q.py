@@ -332,10 +332,53 @@ ORDER BY doc_id, bm25 DESC, term
 """
 
 
+# ---------------------------------------------------------------------------
+# text_bpe_token_stats — whitespace vs BPE-pre-split token budgets per
+# language, with the fertility ratio (subword tokens per whitespace
+# word) every multilingual training mix is costed by. Pure map-side
+# regex + one tiny shuffle on lang.
+# ---------------------------------------------------------------------------
+
+
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        X.token_count(c).alias("n_ws"),
+        X.bpe_token_count(c).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            (F.floor(F.sum("n_bpe") / F.sum("n_ws") * 10000) / 10000).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_BPE_STATS_SQL = f"""
+SELECT lang,
+       CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+            '{X.BPE_SPLIT_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+       floor(sum(len(regexp_extract_all(text, '{X.BPE_SPLIT_PATTERN}')))
+             / sum(len({_TOKS_DUCK})) * 10000) / 10000 AS fertility
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_vocab_topk": text_vocab_topk,
     "text_bm25_top_terms": text_bm25_top_terms,
+    "text_bpe_token_stats": text_bpe_token_stats,
     "text_quality_docs": text_quality_docs,
     "text_langid_confusion": text_langid_confusion,
     "text_fingerprint_hist": text_fingerprint_hist,
@@ -346,6 +389,7 @@ ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_bm25_top_terms": _BM25_SQL,
+    "text_bpe_token_stats": _BPE_STATS_SQL,
     "text_quality_docs": _QUALITY_SQL,
     "text_langid_confusion": _LANGID_SQL,
     "text_fingerprint_hist": _FINGERPRINT_SQL,
