@@ -274,6 +274,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # EAGER checkpoint: the round's join/aggregate executes exactly
+        # once; both the convergence probe and the next round read the
+        # materialized result (a lazy checkpoint would re-execute the
+        # join when round N+1 first touches it — measured 2x per-round
+        # cost).
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -281,11 +286,10 @@ def connected_components(
                 "label",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
-        labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=False)
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
