@@ -277,3 +277,40 @@ def sq8_reconstruction_mae(vec: Column, q: Column) -> Column:
     )
     total = F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
     return total / F.size(v)
+
+
+def ivf_build_kmeans(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train the IVF coarse quantizer with distributed k-means (MLlib)
+    instead of deterministic row selection — the production index-build
+    path: Lloyd iterations run as Spark aggregations over the full
+    corpus, so the build scales with the cluster, and the resulting
+    (cent_id, cent_vec) table plugs straight into ivf_assign/ivf_topk.
+
+    Vectors are L2-normalized BEFORE clustering so Euclidean k-means
+    optimizes the same neighborhoods the cosine query path probes
+    (spherical-kmeans approximation).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    unit = F.transform(vec_col, lambda x: x.cast("double") / norm)
+    train = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id long, cent_vec array<double>",
+    )

@@ -301,3 +301,33 @@ def test_sq8_quantize_roundtrip_bounds(spark):
             assert r["mae"] <= step / 2 + 1e-12
         else:  # constant vector: all-zero codes, MAE 0 is not defined -> vmin recon
             assert set(codes) == {0}
+
+
+def test_ivf_kmeans_build_and_recall(emb_df):
+    """KMeans-built centroids plug into ivf_topk and beat the recall
+    floor; the build is deterministic under a fixed seed."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_kmeans,
+        ivf_topk,
+    )
+
+    cents = ivf_build_kmeans(emb_df, "embedding", k=5, seed=7)
+    assert cents.count() == 5
+    # deterministic build
+    cents2 = ivf_build_kmeans(emb_df, "embedding", k=5, seed=7)
+    c1 = sorted(map(tuple, (r["cent_vec"] for r in cents.collect())))
+    c2 = sorted(map(tuple, (r["cent_vec"] for r in cents2.collect())))
+    assert c1 == c2
+    queries = emb_df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(queries, corpus, k=3).collect()}
+    approx = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(queries, corpus, cents, k=3, n_probe=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5  # trained centroids: better lists
