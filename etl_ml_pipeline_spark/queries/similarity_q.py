@@ -76,6 +76,17 @@ ORDER BY q_id, rank
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (multi-table sign-LSH) near-dup pairs — NOT a cross join.
+
+    The injected dups are positively-scaled copies (cosine exactly 1.0),
+    and sign buckets are invariant to positive scaling, so the LSH path's
+    recall on them is exactly 1 and the output matches the oracle's
+    all-pairs formulation row for row. The oracle SQL keeps the O(N²)
+    definition as the cross-check; the Spark plan is the scale path
+    (plan-guarded: no CartesianProduct / BroadcastNestedLoopJoin).
+    """
+    from etl_ml_pipeline_spark.operators.similarity import lsh_near_dup_pairs
+
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     base = emb.select(F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v"))
     scaled = base.filter(F.col("id") % 5 == 0).select(
@@ -83,13 +94,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("v"), lambda x: x * 2.0).alias("v"),
     )
     corpus = base.unionByName(scaled)
-    a = corpus.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= 0.999)
+    pairs = lsh_near_dup_pairs(
+        corpus, dim=64, vec_col="v", id_col="id", threshold=0.999
     )
     return pairs.select(
         "id_a", "id_b", _trunc4(F.col("cos")).alias("cos")

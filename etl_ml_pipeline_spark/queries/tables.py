@@ -38,6 +38,70 @@ _REBALANCE_MIN_BYTES_PER_CORE = 512 * 1024
 # exchange costs more than the parallelism recovers.
 _HEAVY_MIN_BYTES_PER_CORE = 16 * 1024
 
+# Sessions (by id) that already received the one-time catalog conf
+# tuning, and the per-session scan cache. Keyed by id() — sessions are
+# few and long-lived in every harness that calls this.
+_TUNED_SESSIONS: set[int] = set()
+_SCAN_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """One-time runtime-conf tuning applied to whatever session runs the
+    catalog — including external harness sessions we didn't build
+    (the correctness driver constructs its own SparkSession).
+
+    All of these are runtime-settable SQL confs, applied ONCE per
+    session (the round-1 review rightly flagged per-call conf mutation).
+
+    The PySpark DataFrame-debugging toggle is the big one: when enabled
+    (the default) every DataFrame method call inspects the Python stack
+    to record error call-sites — measured 0.3-1.5s of driver time per
+    built plan, which across an 83-query catalog is most of a
+    correctness-run budget. PySpark caches the flag in a module global
+    on first use (pyspark/errors/utils.py: _enable_debugging_cache), so
+    a session whose conf wasn't set before its first DataFrame op is
+    stuck with it; we set both the conf and the cache.
+    """
+    if id(spark) in _TUNED_SESSIONS:
+        return
+    _TUNED_SESSIONS.add(id(spark))
+    try:
+        import pyspark.errors.utils as _peu
+
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+        _peu._enable_debugging_cache = False
+    except Exception:  # noqa: BLE001 — internals moved; conf alone still helps
+        pass
+    # events stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    # read nanos as long and truncate in the projection (see t()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Untuned sessions carry Spark's default 200 shuffle partitions —
+    # 200 tasks per exchange is pure scheduling overhead on local[N].
+    # Only replace the stock default; an explicitly tuned value (ours is
+    # 2×cores, a cluster operator's could be anything) is left alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
+
+
+def _estimated_scan_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Partition count the parquet scan will get, from file metadata —
+    NOT ``df.rdd.getNumPartitions()``, which forces a driver-side
+    plan->RDD conversion per scan (measured driver overhead on every
+    catalog query). Spark splits files into ~maxPartitionBytes chunks;
+    a byte-based estimate is exact enough for the "is this scan
+    ridiculously narrower than the cluster" decision.
+    """
+    max_pb = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b")
+    )
+    return max(1, (input_bytes + max_pb - 1) // max_pb)
+
 
 def _rebalance(
     spark: SparkSession,
@@ -60,7 +124,7 @@ def _rebalance(
     target = spark.sparkContext.defaultParallelism
     if input_bytes < target * min_bytes_per_core:
         return df
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if _estimated_scan_partitions(spark, input_bytes) < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -74,11 +138,23 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
     is already wide and both paths are no-ops.
 
     The ``events`` table stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long (legacy conf) and truncate to
-    microseconds with integer division (matches DuckDB's ns->us cast;
-    double division would lose precision on ~1.7e18 nanosecond epochs).
+    reader rejects; read nanos as long (legacy conf, set once per session
+    in _tune_session) and truncate to microseconds with integer division
+    (matches DuckDB's ns->us cast; double division would lose precision
+    on ~1.7e18 nanosecond epochs).
+
+    Scans are cached per (session, sf_dir, table, heavy): a DataFrame is
+    an immutable logical plan, so reuse is safe, and it saves re-reading
+    parquet footers + re-analysis on every one of the catalog's ~83
+    queries.
     """
     import os
+
+    _tune_session(spark)
+    key = (id(spark), sf_dir, name, heavy)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     path = f"{sf_dir}/{name}.parquet"
     try:
@@ -87,13 +163,14 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
         input_bytes = 1 << 40
     min_bpc = _HEAVY_MIN_BYTES_PER_CORE if heavy else _REBALANCE_MIN_BYTES_PER_CORE
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return _rebalance(
+        df = _rebalance(
             spark, spark.read.parquet(path), input_bytes, min_bpc
         ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    df = spark.read.parquet(path)
-    if name in COMPUTE_HEAVY:
-        df = _rebalance(spark, df, input_bytes, min_bpc)
+    else:
+        df = spark.read.parquet(path)
+        if name in COMPUTE_HEAVY:
+            df = _rebalance(spark, df, input_bytes, min_bpc)
+    _SCAN_CACHE[key] = df
     return df

@@ -79,12 +79,53 @@ def test_simhash_identical_docs_same_fingerprint(doc_df):
 
 
 def test_ngram_jaccard_exact_values(doc_df):
-    pairs = ngram_jaccard_pairs(doc_df, "text", "doc_id", n=3, threshold=0.1)
+    # df_cap=None: in this 5-doc fixture the dup'd base text exceeds any
+    # fractional doc-frequency cap by construction; the cap has its own
+    # tests below.
+    pairs = ngram_jaccard_pairs(doc_df, "text", "doc_id", n=3, threshold=0.1, df_cap=None)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(1, 2)] == 1.0
     # near-dup: base has 12 shingles, +1 token adds 1 -> 12/13
     assert got[(1, 3)] == pytest.approx(12 / 13)
     assert (1, 4) not in got
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A shingle shared by every doc must not explode the candidate join:
+    with the document-frequency cap on, docs related ONLY through the
+    ubiquitous shingle produce zero pairs; with the cap off the same
+    corpus produces the full quadratic candidate set."""
+    rows = [
+        Row(doc_id=i, text=f"hot one two u{i}a u{i}b u{i}c u{i}d") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01, df_cap=0.5)
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.01, df_cap=None
+    )
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_ngram_jaccard_absolute_df_cap(spark):
+    """Integer cap = absolute doc count; shingles at or below it survive,
+    and Jaccard stays exact over the capped shingle universe."""
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma epsilon"),
+        Row(doc_id=3, text="alpha beta gamma zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    # "alpha beta gamma" appears in all 3 docs -> dropped at cap=2; the
+    # remaining shingles ("beta gamma X") are all doc-unique -> no pairs.
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01, df_cap=2)
+    assert capped.count() == 0
+    full = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01, df_cap=3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in full.collect()}
+    # each doc: 2 shingles, pairs share exactly the hot one -> 1/3
+    assert got[(1, 2)] == pytest.approx(1 / 3)
+    assert got[(1, 3)] == pytest.approx(1 / 3)
+    assert got[(2, 3)] == pytest.approx(1 / 3)
 
 
 @pytest.fixture()
@@ -269,6 +310,31 @@ def test_connected_components_long_path(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {i: 2 for i in range(2, 12)}
+
+
+def test_connected_components_path_longer_than_max_iter(spark):
+    """A 35-node path (diameter 34 > max_iter 20) converges because of
+    pointer doubling — plain one-hop propagation would need 34 rounds and,
+    pre-fix, silently returned split components."""
+    from etl_ml_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 35)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 36)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still moving must raise, not return a
+    silently wrong (split) component assignment."""
+    from etl_ml_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
 
 
 def test_sq8_quantize_roundtrip_bounds(spark):

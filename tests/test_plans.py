@@ -175,3 +175,33 @@ def test_sq8_quantize_no_shuffle_no_python(spark, sf_dir):
     plan = _plan(embedding_quantize_sq8(spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_near_dup_pairs_no_cartesian(spark, sf_dir):
+    """embedding_near_dup_pairs must plan as a bucket equi-join, never a
+    cross product: no CartesianProduct / BroadcastNestedLoopJoin node.
+    (The round-1 formulation was a literal crossJoin — the one plan shape
+    that cannot survive a corpus-scale input.)"""
+    from etl_ml_pipeline_spark.queries.similarity_q import embedding_near_dup_pairs
+
+    plan = _plan(embedding_near_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — an equi (hash/sort-merge) one
+
+
+def test_ngram_jaccard_df_cap_in_plan(spark, sf_dir):
+    """The document-frequency guard must be part of the executed plan,
+    and the candidate generator must stay an equi-join on the shingle
+    key — no CartesianProduct. (A 1-row BroadcastNestedLoopJoin IS
+    expected: it's the corpus-count scalar feeding the fractional cap —
+    a broadcast of one row, not a pair generator.)"""
+    import re
+
+    from etl_ml_pipeline_spark.queries.dedup_q import dedup_ngram_jaccard
+
+    plan = _plan(dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[shingle", plan
+    ), "shingle candidate join is not an equi-join"
