@@ -4,20 +4,23 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is total steady-state wall time across the headline query set.
-Each query is built and fully materialized (Arrow ``toPandas``) TWICE:
-the first, untimed pass absorbs one-time per-plan-shape costs (Janino
-whole-stage-codegen compilation, C2 JIT of the generated classes, parquet
-footer caches) that a long-lived cluster pays once per query shape, not
-per execution; the second pass is the reported timing. Measured at sf0.1
-the first-touch overhead is ~45% of cold wall time (24s cold vs 13s
-steady) while results are byte-identical. The cold total is still
-reported under ``cold_value`` for transparency.
+Each query is built and fully materialized (Arrow ``toPandas``) FOUR
+times: the first, untimed pass absorbs one-time per-plan-shape costs
+(Janino whole-stage-codegen compilation, C2 JIT of the generated
+classes, parquet footer caches) that a long-lived cluster pays once per
+query shape, not per execution; the reported per-query timing is the
+MEDIAN of the next three passes — this host shows occasional +5-10s
+contention spikes on individual queries, and a median-of-3 makes
+round-over-round regressions attributable to code, not noise. The
+per-query min/max spread ships under ``spread`` and the first-pass total
+under ``cold_value`` for transparency.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -68,23 +71,33 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     total = 0.0
     cold_total = 0.0
     for name in names:
         # Pass 1 (untimed): absorbs per-plan-shape codegen/JIT one-time
-        # cost. Pass 2 (timed): steady-state execution, full plan build +
-        # materialization via Arrow (toPandas — same bytes off the
-        # executors as collect(), without Python Row-object overhead).
-        t0 = time.perf_counter()
-        len(queries[name](spark, sf_dir).toPandas())
-        cold = time.perf_counter() - t0
+        # cost. Passes 2-4 (timed): steady-state execution, full plan
+        # build + materialization via Arrow (toPandas — same bytes off
+        # the executors as collect(), without Python Row-object
+        # overhead); median reported, min/max kept as the spread.
         t0 = time.perf_counter()
         n_rows = len(queries[name](spark, sf_dir).toPandas())
-        dt = time.perf_counter() - t0
+        cold = time.perf_counter() - t0
+        passes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            len(queries[name](spark, sf_dir).toPandas())
+            passes.append(time.perf_counter() - t0)
+        dt = statistics.median(passes)
         timings[name] = round(dt, 3)
+        spreads[name] = [round(min(passes), 3), round(max(passes), 3)]
         total += dt
         cold_total += cold
-        print(f"# {name}: {dt:.3f}s steady / {cold:.3f}s cold ({n_rows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s median (spread {min(passes):.3f}-{max(passes):.3f}) "
+            f"/ {cold:.3f}s cold ({n_rows} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -94,6 +107,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "cold_value": round(cold_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

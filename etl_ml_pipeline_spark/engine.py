@@ -56,8 +56,10 @@ class PipelineEngine:
         self.state = StateManager(state_path)
 
     # ------------------------------------------------------------------
-    def run(self, full_refresh: bool = False) -> DataFrame:
-        """Execute the pipeline; returns the final (lazy) DataFrame.
+    def run(self, full_refresh: bool = False) -> DataFrame | None:
+        """Execute the pipeline; returns the final (lazy) DataFrame, or
+        ``None`` when the pipeline failed and ``on_failure`` is
+        skip/warn (the failure is logged; callers can branch on None).
 
         If the pipeline has no ``load`` step the plan is returned without
         triggering an action (library/testing use, mirrors the reference's
@@ -82,7 +84,11 @@ class PipelineEngine:
             log = logger.warning if settings.on_failure == "warn" else logger.info
             log("pipeline '%s' failed; on_failure=%s -> continuing",
                 cfg.name, settings.on_failure, exc_info=True)
-            return self.spark.createDataFrame([], "error string")
+            # Explicit None, not a sentinel empty frame: a frame with a
+            # made-up schema is indistinguishable from real (empty) data
+            # to programmatic callers; None makes the skipped/warned
+            # outcome unmistakable.
+            return None
 
     # ------------------------------------------------------------------
     def _extract(self, full_refresh: bool = False) -> tuple[DataFrame, Any]:

@@ -90,15 +90,50 @@ def fold_bounds(n: int, n_splits: int) -> list[tuple[int, int, int]]:
     return bounds
 
 
-def _models(seed: int = 42):
-    from pyspark.ml.regression import GBTRegressor, LinearRegression
+def _boosted_regressor(seed: int = 42):
+    """The reference's actual model family is XGBoost
+    (``XGBRegressor(n_estimators=100, max_depth=4)``, reference
+    predict.py:54-55). ``xgboost.spark.SparkXGBRegressor`` is its
+    distributed drop-in and is used whenever the xgboost package is
+    importable; otherwise MLlib ``GBTRegressor`` with matched
+    hyperparameters stands in (same gradient-boosted-trees family,
+    different split-finding internals — published RMSE parity is only
+    meaningful on the XGB path)."""
+    try:
+        from xgboost.spark import SparkXGBRegressor
 
-    return {
-        # XGBRegressor(n_estimators=100, max_depth=4) analog (predict.py:54-55)
-        "gbt": GBTRegressor(
+        return SparkXGBRegressor(
+            features_col="features", label_col="target_return",
+            prediction_col="prediction",
+            n_estimators=100, max_depth=4, random_state=seed,
+        )
+    except ImportError:
+        from pyspark.ml.regression import GBTRegressor
+
+        return GBTRegressor(
             featuresCol="features", labelCol="target_return",
             maxIter=100, maxDepth=4, seed=seed,
-        ),
+        )
+
+
+def _with_max_iter(model, max_iter: int | None):
+    """Apply an iteration-count override across model families: MLlib
+    estimators call it maxIter (trees for GBT, solver iterations for
+    LinearRegression — same as before), xgboost.spark calls it
+    n_estimators; anything with neither passes through untouched."""
+    if max_iter is None:
+        return model
+    for param_name in ("maxIter", "n_estimators"):
+        if model.hasParam(param_name):
+            return model.copy({model.getParam(param_name): max_iter})
+    return model
+
+
+def _models(seed: int = 42):
+    from pyspark.ml.regression import LinearRegression
+
+    return {
+        "gbt": _boosted_regressor(seed),
         # Ridge(alpha=1.0) analog (predict.py:56)
         "ridge": LinearRegression(
             featuresCol="features", labelCol="target_return",
@@ -131,8 +166,7 @@ def train_evaluate(
 
     results: dict[str, dict] = {}
     for name, model in _models(seed).items():
-        if max_iter is not None and model.hasParam("maxIter"):
-            model = model.copy({model.getParam("maxIter"): max_iter})
+        model = _with_max_iter(model, max_iter)
         rmses = []
         for train_end, test_start, test_end in fold_bounds(n, n_splits):
             train = tagged.filter(F.col("_rn") <= train_end)
@@ -155,12 +189,14 @@ def feature_importances(
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=list(features), outputCol="features")
-    model = _models(seed)["gbt"]
-    if max_iter is not None:
-        model = model.copy({model.getParam("maxIter"): max_iter})
+    model = _with_max_iter(_models(seed)["gbt"], max_iter)
     fitted = model.fit(assembler.transform(df))
-    weights = fitted.featureImportances.toArray()
-    ranked = sorted(zip(features, (float(w) for w in weights)), key=lambda t: -t[1])
+    if hasattr(fitted, "featureImportances"):  # MLlib GBTRegressionModel
+        weights = [float(w) for w in fitted.featureImportances.toArray()]
+    else:  # SparkXGBRegressorModel: booster scores keyed f0..fN
+        scores = fitted.get_feature_importances()
+        weights = [float(scores.get(f"f{i}", 0.0)) for i in range(len(features))]
+    ranked = sorted(zip(features, weights), key=lambda t: -t[1])
     return ranked[:top_k]
 
 

@@ -152,7 +152,15 @@ class TechnicalIndicators(BaseTransform):
 
         # dates serialized as ISO-8601 UTC strings (reference lines 57-62)
         if cfg.get("date_as_iso_string", True):
+            # The 'Z' suffix claims UTC, so convert from the session
+            # timezone first — under a non-UTC session the raw
+            # date_format would stamp local wall-clock times as UTC.
+            # (No-op when the session already runs UTC, as ours do.)
             df = df.withColumn(
-                "date", F.date_format("date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                "date",
+                F.date_format(
+                    F.to_utc_timestamp("date", F.current_timezone()),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ),
             )
         return df.drop("__series") if "__series" in df.columns else df

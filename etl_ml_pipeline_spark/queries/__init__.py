@@ -38,8 +38,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _MODULES:
         mod = _load(name)
-        if mod is None:
-            continue
         for k, v in getattr(mod, "QUERIES", {}).items():
             if k in out:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
@@ -51,16 +49,15 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for name in _MODULES:
         mod = _load(name)
-        if mod is None:
-            continue
         out.update(getattr(mod, "ORACLES", {}))
     return out
 
 
 def _load(name: str):
+    """Import a catalog module, loudly. No ImportError guard: every
+    query module is core, and a swallowed import error would silently
+    drop queries AND their oracles — the correctness harness then shows
+    green on a shrunken catalog (this bit us once; see plugins.py)."""
     import importlib
 
-    try:
-        return importlib.import_module(f"etl_ml_pipeline_spark.queries.{name}")
-    except ImportError:
-        return None
+    return importlib.import_module(f"etl_ml_pipeline_spark.queries.{name}")

@@ -261,24 +261,38 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
-# agg_distinct_parts — exact count-distinct per group.
-# Scale: count_distinct expands to a two-phase aggregation (partial
-# distinct on (suppkey, partkey) then count) — Catalyst plans this; no
-# driver-side set building.
+# agg_distinct_parts — exact count-distinct per group, TWO distinct
+# columns. Catalyst plans multi-distinct via Expand (3x row replication
+# with a gid column, then two aggregate phases) — measured at sf0.1 /
+# local[32] that loses to computing each distinct as its own narrow
+# (suppkey, value) pre-aggregate and joining the per-suppkey results:
+# median 1.22s vs 1.78s (scripts/distinct_experiment.py). Why: each
+# pre-aggregate shuffles only its own 2-column pairs after map-side
+# dedup, while Expand ships 3x the full rows; and the three aggregates
+# all come out hash-partitioned on l_suppkey, so the joins add no
+# exchange (co-partitioned). At 100 TB the same argument holds — three
+# narrow combinable shuffles beat one 3x-wide one.
 # ---------------------------------------------------------------------------
 
 
 def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        )
-        .orderBy("l_suppkey")
+    parts = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts"))
     )
+    orders = (
+        li.select("l_suppkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    qty = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+    return parts.join(orders, "l_suppkey").join(qty, "l_suppkey").orderBy("l_suppkey")
 
 
 _DISTINCT_SQL = """

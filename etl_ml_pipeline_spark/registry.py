@@ -58,12 +58,19 @@ register_sink = SINKS.register
 
 
 def list_registered() -> dict[str, list[str]]:
-    """Dump all registered plugin keys (CLI ``--list-modules`` support)."""
+    """Dump all registered plugin keys (CLI ``--list-modules`` support).
+
+    The ``unavailable`` entry surfaces optional modules whose import
+    failed (missing third-party dependency) — visible instead of
+    silently absent."""
     # Import side-effect modules so every built-in plugin is registered.
-    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark import plugins
 
     return {
         "sources": SOURCES.keys(),
         "transforms": TRANSFORMS.keys(),
         "sinks": SINKS.keys(),
+        "unavailable": [
+            f"{mod}: {err}" for mod, err in plugins._OPTIONAL_IMPORT_ERRORS.items()
+        ],
     }

@@ -18,16 +18,24 @@ Spark-first differences (SURVEY.md §2.3/L3, §4.2):
 - The reference executes ONE statement per row (reference :104-118) —
   an O(rows) anti-pattern we deliberately do not port. Statements here
   are batched via ``executemany`` over Arrow-sized chunks.
-- Rows stream off the executors through ``toLocalIterator`` (one
-  partition in driver memory at a time), never a full ``collect``.
-  SQLite is a single-writer embedded DB, so a single driver-side writer
+- **Upsert default is STAGED MERGE**: rows land in a transient stage
+  table (executors write plain appends concurrently under
+  ``distributed: true``; single-writer stream otherwise), then ONE
+  server-side ``INSERT ... SELECT ... ON CONFLICT`` merges stage into
+  target and the stage is dropped. This is the scaled-up shape of the
+  reference's upsert: conflict resolution happens inside the database
+  engine in one set-based statement instead of per-batch statement
+  round-trips, and executors only ever perform the cheap append.
+  ``upsert_strategy: rows`` restores the direct row-level ON CONFLICT
+  path (toLocalIterator stream, or ``foreachPartition`` when
+  ``distributed: true``).
+- SQLite is a single-writer embedded DB, so a single driver-side writer
   is the *correct* concurrency model for it. For server databases
-  (Postgres), set ``distributed: true`` to run the same batched upsert
-  inside ``foreachPartition`` — N executors write concurrently and the
-  driver never sees a row; ``connection_factory`` supplies the DBAPI
-  connection per partition. On a real cluster the idiomatic path for
-  lakehouse targets is Delta ``MERGE INTO`` (SURVEY.md §4.2) — the
-  sink keeps the same interface so that swap is config-only.
+  (Postgres), ``connection_factory`` supplies the DBAPI connection per
+  partition. On a real cluster the idiomatic path for lakehouse targets
+  is Delta ``MERGE INTO`` (SURVEY.md §4.2): pass ``delta_path`` and the
+  sink uses it when delta-spark is importable (import-gated — not in
+  this container; the staged merge is the tested default).
 
 Only the stdlib ``sqlite3`` driver ships in this container; the SQL
 emitted (ON CONFLICT) is the same dialect the reference targets
@@ -147,8 +155,10 @@ def write_batches(
 class SqlDatabaseSink(BaseSink):
     """Config: database (sqlite path), table, if_exists
     (append|replace|fail|upsert), primary_keys, batch_size,
-    distributed (bool), connection_factory (callable -> DBAPI conn,
-    overrides sqlite; required for distributed mode with server DBs).
+    upsert_strategy ("staged" default | "rows"), delta_path (Delta
+    MERGE target, import-gated), distributed (bool),
+    connection_factory (callable -> DBAPI conn, overrides sqlite;
+    required for distributed mode with server DBs).
     """
 
     def connect(self) -> None:
@@ -209,9 +219,15 @@ class SqlDatabaseSink(BaseSink):
         # still must know emptiness; isEmpty() is a cheap limit-1 action.
         if df.isEmpty():
             return
-        self._prepare_table(df, table, mode, pks)
 
         batch_size = int(self.config.get("batch_size", 1000))
+        if mode == "upsert" and self.config.get("delta_path"):
+            self._load_delta_merge(df, pks)
+            return
+        self._prepare_table(df, table, mode, pks)
+        if mode == "upsert" and self.config.get("upsert_strategy", "staged") == "staged":
+            self._load_staged_upsert(df, table, pks, batch_size)
+            return
         if self.config.get("distributed"):
             self._load_distributed(df, sql, batch_size)
             return
@@ -219,6 +235,94 @@ class SqlDatabaseSink(BaseSink):
         # at a time, batched executemany into a single connection.
         rows = (tuple(row) for row in df.toLocalIterator(prefetchPartitions=True))
         write_batches(self._conn, sql, rows, batch_size)
+
+    def _load_staged_upsert(
+        self, df: DataFrame, table: str, pks: list[str], batch_size: int
+    ) -> None:
+        """Stage-and-merge upsert (the default): append rows to a
+        transient stage table, then one server-side set-based merge.
+
+        Why this is the scale path: executors do only conflict-free
+        appends (no per-batch upsert statement round-trips, no unique-
+        index contention while loading), and the database engine
+        resolves conflicts once, set-based, inside a single statement —
+        the same division of labor as Delta/Snowflake ``MERGE INTO``
+        (stage = the source relation). Intra-batch duplicate PKs are
+        reduced to one row per key in the merge's SELECT (``row_number()
+        OVER (PARTITION BY pks)``) — Postgres rejects a multi-hit ON
+        CONFLICT DO UPDATE, and distributed appends have no defined row
+        order to prefer anyway.
+        """
+        import uuid
+
+        stage = f"{table}__stage_{uuid.uuid4().hex[:8]}"
+        columns = df.columns
+        col_list = ", ".join(quote_ident(c) for c in columns)
+        placeholders = ", ".join("?" for _ in columns)
+        stage_insert = (
+            f"INSERT INTO {quote_ident(stage)} ({col_list}) VALUES ({placeholders})"
+        )
+        pk_list = ", ".join(quote_ident(k) for k in pks)
+        non_pk = [c for c in columns if c not in pks]
+        if non_pk:
+            sets = ", ".join(
+                f"{quote_ident(c)} = excluded.{quote_ident(c)}" for c in non_pk
+            )
+            conflict = f"DO UPDATE SET {sets}"
+        else:
+            conflict = "DO NOTHING"
+        # the inner WHERE also satisfies SQLite's parser requirement that
+        # an INSERT..SELECT..ON CONFLICT source carry a WHERE clause
+        merge = (
+            f"INSERT INTO {quote_ident(table)} ({col_list}) "
+            f"SELECT {col_list} FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY {pk_list}) AS __rn "
+            f"  FROM {quote_ident(stage)}"
+            f") WHERE __rn = 1 "
+            f"ON CONFLICT ({pk_list}) {conflict}"
+        )
+        self._conn.execute(create_table_sql(stage, df.schema))
+        self._conn.commit()
+        try:
+            if self.config.get("distributed"):
+                self._load_distributed(df, stage_insert, batch_size)
+            else:
+                rows = (
+                    tuple(row) for row in df.toLocalIterator(prefetchPartitions=True)
+                )
+                write_batches(self._conn, stage_insert, rows, batch_size)
+            self._conn.execute(merge)
+            self._conn.commit()
+        finally:
+            self._conn.execute(f"DROP TABLE IF EXISTS {quote_ident(stage)}")
+            self._conn.commit()
+
+    def _load_delta_merge(self, df: DataFrame, pks: list[str]) -> None:
+        """Delta Lake ``MERGE INTO`` upsert (SURVEY §4.2) — the lakehouse
+        path, import-gated because delta-spark is not in this container.
+        Config: ``delta_path`` points at the Delta table location; the
+        table is created on first load."""
+        try:
+            from delta.tables import DeltaTable
+        except ImportError as exc:  # pragma: no cover - env without delta
+            raise NotImplementedError(
+                "delta_path configured but delta-spark is not installed; "
+                "install delta-spark or use the staged/rows upsert strategies"
+            ) from exc
+        path = self.config["delta_path"]
+        spark = df.sparkSession
+        if not DeltaTable.isDeltaTable(spark, path):
+            df.write.format("delta").save(path)
+            return
+        target = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.{quote_ident(k)} = s.{quote_ident(k)}" for k in pks)
+        (
+            target.alias("t")
+            .merge(df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     def _load_distributed(self, df: DataFrame, sql: str, batch_size: int) -> None:
         """foreachPartition concurrent writers (server DBs; SURVEY §2.3/L3)."""

@@ -115,3 +115,35 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         )
         engine.run()
         assert out.exists()
+
+
+def test_query_catalog_counts():
+    """Guard against silently-shrunken catalogs: a broken query-module
+    import now raises (no blanket ImportError guard), and this pins the
+    expected size so an accidental drop is a loud diff, not a quietly
+    greener correctness run."""
+    from etl_ml_pipeline_spark.queries import all_oracles, all_queries
+
+    qs, oracles = all_queries(), all_oracles()
+    assert len(qs) == 83, sorted(qs)
+    assert len(oracles) == 82, sorted(oracles)
+    # the single rows-only query (HLL sketch: no exact cross-engine oracle)
+    assert set(qs) - set(oracles) == {"agg_approx_distinct_parts"}
+
+
+def test_list_modules_surfaces_unavailable(monkeypatch):
+    """Optional-module import failures must be visible in the registry
+    dump, not silently absent. (In this container every optional module
+    import-gates its dependency internally, so the real list is empty —
+    simulate a failure to exercise the surfacing path.)"""
+    from etl_ml_pipeline_spark import plugins
+    from etl_ml_pipeline_spark.registry import list_registered
+
+    assert list_registered()["unavailable"] == []
+    monkeypatch.setattr(
+        plugins,
+        "_OPTIONAL_IMPORT_ERRORS",
+        {"etl_ml_pipeline_spark.sources.playwright_scraper": "No module named 'playwright'"},
+    )
+    reg = list_registered()
+    assert any("playwright" in entry for entry in reg["unavailable"])

@@ -142,7 +142,7 @@ def test_on_failure_warn_swallows(tmp_path, spark):
     engine = PipelineEngine(
         _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "s.json")
     )
-    engine.run()  # must not raise
+    assert engine.run() is None  # swallowed failure -> explicit None
 
 
 def test_config_validation_fail_fast(tmp_path):

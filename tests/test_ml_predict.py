@@ -91,3 +91,42 @@ def test_plot_importance_gated_without_matplotlib():
 
     with pytest.raises(NotImplementedError, match="matplotlib"):
         plot_importance([("close", 0.5), ("volume", 0.3)])
+
+
+def test_boosted_regressor_selects_gbt_without_xgboost():
+    """In this container xgboost is absent -> the MLlib GBT stand-in."""
+    from pyspark.ml.regression import GBTRegressor
+
+    from etl_ml_pipeline_spark.ml.predict import _boosted_regressor
+
+    model = _boosted_regressor(seed=7)
+    assert isinstance(model, GBTRegressor)
+    assert model.getMaxIter() == 100 and model.getMaxDepth() == 4
+
+
+def test_boosted_regressor_selects_xgb_when_importable(monkeypatch):
+    """When xgboost.spark is importable, its SparkXGBRegressor must be
+    chosen over the GBT stand-in (simulated module: xgboost isn't in
+    this container)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeSparkXGBRegressor:
+        def __init__(self, **kw):
+            calls.update(kw)
+
+    xgb = types.ModuleType("xgboost")
+    xgb_spark = types.ModuleType("xgboost.spark")
+    xgb_spark.SparkXGBRegressor = FakeSparkXGBRegressor
+    xgb.spark = xgb_spark
+    monkeypatch.setitem(sys.modules, "xgboost", xgb)
+    monkeypatch.setitem(sys.modules, "xgboost.spark", xgb_spark)
+
+    from etl_ml_pipeline_spark.ml.predict import _boosted_regressor
+
+    model = _boosted_regressor(seed=7)
+    assert isinstance(model, FakeSparkXGBRegressor)
+    assert calls["n_estimators"] == 100 and calls["max_depth"] == 4
+    assert calls["random_state"] == 7

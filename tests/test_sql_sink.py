@@ -180,3 +180,64 @@ def test_engine_pipeline_to_sql_sink(spark, db, sf_dir, tmp_path):
     engine.run()
     engine.run()  # idempotent under upsert
     assert _fetch(db, "SELECT count(*) FROM region") == [(5,)]
+
+
+def test_upsert_rows_strategy_matches_staged(spark, db):
+    """The legacy row-level ON CONFLICT path stays available behind
+    upsert_strategy='rows' and produces the same table state."""
+    cfg = {
+        "database": db, "table": "t", "if_exists": "upsert",
+        "primary_keys": ["id"], "upsert_strategy": "rows",
+    }
+    sink = SqlDatabaseSink(spark, cfg)
+    sink.load(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    sink.load(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]))
+    sink.disconnect()
+    got = dict(sqlite3.connect(db).execute("SELECT id, v FROM t").fetchall())
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_staged_upsert_dedupes_intra_batch_pks(spark, db):
+    """Duplicate PKs inside one load must collapse to a single row —
+    Postgres rejects a multi-hit ON CONFLICT DO UPDATE, so the merge
+    dedupes in its SELECT; exactly one of the candidate values lands."""
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    sink = SqlDatabaseSink(spark, cfg)
+    sink.load(spark.createDataFrame([(1, "x"), (1, "y"), (2, "b")], ["id", "v"]))
+    sink.disconnect()
+    rows = sqlite3.connect(db).execute("SELECT id, v FROM t ORDER BY id").fetchall()
+    assert [r[0] for r in rows] == [1, 2]
+    assert rows[0][1] in ("x", "y")
+
+
+def test_staged_upsert_drops_stage_table(spark, db):
+    cfg = {"database": db, "table": "t", "if_exists": "upsert", "primary_keys": ["id"]}
+    sink = SqlDatabaseSink(spark, cfg)
+    sink.load(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    sink.disconnect()
+    names = [
+        r[0]
+        for r in sqlite3.connect(db).execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    ]
+    assert names == ["t"], names
+
+
+def test_delta_path_without_delta_spark_raises(spark, db):
+    """delta_path is the import-gated lakehouse MERGE route; without
+    delta-spark installed it must fail loudly, not fall back silently."""
+    cfg = {
+        "database": db, "table": "t", "if_exists": "upsert",
+        "primary_keys": ["id"], "delta_path": "/tmp/nope-delta",
+    }
+    sink = SqlDatabaseSink(spark, cfg)
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        sink.load(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    sink.disconnect()
