@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_ml_pipeline_spark.operators.base import BaseTransform
-from etl_ml_pipeline_spark.operators.text import fingerprint, token_hash60, tokens
+from etl_ml_pipeline_spark.operators.text import fingerprint, token_hash60
 from etl_ml_pipeline_spark.registry import register_transform
 
 # MinHash universe: Mersenne prime 2^31-1; (a*h + b) % P permutations.
@@ -60,12 +60,9 @@ def shingle_df(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingle) pairs: word n-gram shingles, distinct per doc."""
-    toks = tokens(F.col(text_col))
-    # n-gram shingles via transform over token positions
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    from etl_ml_pipeline_spark.operators.text import word_ngrams
+
+    shingles = word_ngrams(F.col(text_col), n)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )

@@ -104,6 +104,127 @@ def en_score(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     return stopword_count(col, stopwords) / token_count(col)
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-gram array (space-joined) — the shingle primitive shared by
+    repetition stats, dedup, and contamination checks."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document most-frequent word n-gram and the fraction of n-gram
+    slots it occupies — the Gopher-style repetition signal (a document
+    whose top 2-gram covers a large fraction of the text is boilerplate
+    or spam, not prose).
+
+    Scale: explode -> one shuffle on (doc, gram) with map-side combine,
+    then the per-doc argmax window re-shuffles only the already-reduced
+    (doc, gram, count) rows by doc — the wide data moves once. Both keys
+    are uniform (doc ids, gram strings), no skew. Ties break to the
+    lexicographically smallest gram so results are deterministic
+    cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+    slots = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    w = W.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return top.join(slots, "id").select(
+        F.col("id"),
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").alias("top_count"),
+        (F.col("cnt") / F.col("n_grams")).alias("top_frac"),
+    )
+
+
+# PII patterns constrained to the Java-regex/RE2 common subset (no
+# lookaround, no \b ambiguity across engines at string edges is avoided
+# by the explicit boundary classes). Public, standard shapes.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_emails, n_ipv4) found in the text — detection side."""
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_PATTERN), 0)).alias("n_ipv4"),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails then IPv4s with typed placeholder tokens. Pure
+    map-side regexp_replace chain — codegen'd, scan-speed, the shape a
+    100 TB pre-training scrub pass needs (no shuffle, no Python)."""
+    scrubbed = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_IPV4_PATTERN, "<IP>")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share word
+    n-grams with a held-out benchmark set (the standard decontamination
+    pass before pre-training; n=8..13 in published pipelines, lower here
+    for the synthetic corpus).
+
+    Scale: both sides explode to DISTINCT (id, 60-bit gram hash) pairs
+    and meet in ONE equi-join on the hash — never a text comparison, and
+    the benchmark side of the join is typically small enough to
+    broadcast. Output: (corpus doc, benchmark doc, #shared n-grams).
+    """
+    def side(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        ).withColumn("gh", token_hash60(F.col("gram"))).drop("gram")
+
+    c = side(corpus, "corpus_id")
+    b = side(benchmark, "bench_id")
+    return (
+        c.join(F.broadcast(b), "gh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@register_transform("pii_scrub")
+class PiiScrub(BaseTransform):
+    """Adds pii counts and replaces the text column with its scrubbed
+    form (config: text_col, keep_original: bool)."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text_col = self.config.get("text_col", "text")
+        c = F.col(text_col)
+        out = df.withColumn("pii", pii_counts(c))
+        if self.config.get("keep_original"):
+            out = out.withColumn(f"{text_col}_raw", c)
+        return out.withColumn(text_col, scrub_pii(c))
+
+
 @register_transform("text_analysis")
 class TextAnalysis(BaseTransform):
     """Adds token/quality/fingerprint columns to a text DataFrame."""

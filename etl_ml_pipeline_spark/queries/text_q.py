@@ -374,8 +374,177 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# text_repetition_stats — Gopher-style repetition filter signal: the
+# most frequent word 2-gram per document and the fraction of 2-gram
+# slots it covers; documents above the published-style threshold are
+# flagged. Per-doc rows bounded to doc_id < 300 (same convention as the
+# dedup oracles).
+# ---------------------------------------------------------------------------
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import top_ngram_stats
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    stats = top_ngram_stats(docs, "text", "doc_id", n=2)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "top_gram",
+        "top_count",
+        (F.floor(F.col("top_frac") * 10000) / 10000).alias("top_frac"),
+        (F.col("top_frac") > 0.18).cast("int").alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents WHERE doc_id < 300
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i+1])) AS gram
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+),
+slots AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+top AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counts
+)
+SELECT t.doc_id,
+       t.gram AS top_gram,
+       t.cnt AS top_count,
+       floor(CAST(t.cnt AS DOUBLE) / s.n_grams * 10000) / 10000 AS top_frac,
+       CAST(CAST(t.cnt AS DOUBLE) / s.n_grams > 0.18 AS INT) AS repetitive
+FROM top t JOIN slots s USING (doc_id)
+WHERE t.rn = 1
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — PII detection + redaction over a corpus with
+# deterministically injected PII (the driver corpus has none, so docs
+# with doc_id % 10 == 0 get an email and % 15 == 0 an IPv4 appended —
+# both sides replicate the injection). Detection counts and the md5 of
+# the scrubbed text are compared, proving the redaction byte-exact.
+# ---------------------------------------------------------------------------
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import pii_counts, scrub_pii
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 15 == 0,
+                F.concat(
+                    F.lit(" from 192.168.1."), (F.col("doc_id") % 255).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    c = F.col("text")
+    return (
+        injected.select(
+            "doc_id",
+            pii_counts(c)["n_emails"].alias("n_emails"),
+            pii_counts(c)["n_ipv4"].alias("n_ipv4"),
+            F.md5(scrub_pii(c)).alias("scrubbed_md5"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_ipv4") > 0))
+        .orderBy("doc_id")
+    )
+
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 15 = 0
+                 THEN ' from 192.168.1.' || (doc_id % 255) ELSE '' END AS text
+  FROM documents WHERE doc_id < 500
+),
+scored AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{X.PII_EMAIL_PATTERN}')) AS n_emails,
+         len(regexp_extract_all(text, '{X.PII_IPV4_PATTERN}')) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(text, '{X.PII_EMAIL_PATTERN}',
+             '<EMAIL>', 'g'), '{X.PII_IPV4_PATTERN}', '<IP>', 'g')) AS scrubbed_md5
+  FROM injected
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ipv4 AS INT) AS n_ipv4,
+       scrubbed_md5
+FROM scored
+WHERE n_emails > 0 OR n_ipv4 > 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_contamination — benchmark-decontamination pass: corpus docs
+# sharing word 5-grams with a held-out "benchmark" subset
+# (doc_id % 97 == 0), matched via 60-bit gram hashes in one equi-join.
+# ---------------------------------------------------------------------------
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import contamination_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    pairs = contamination_pairs(corpus, benchmark, n=5, min_shared=1)
+    return pairs.orderBy("corpus_id", "bench_id")
+
+
+_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams
+),
+bench AS (SELECT doc_id AS bench_id, gh FROM hashed WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id AS corpus_id, gh FROM hashed WHERE doc_id % 97 != 0)
+SELECT c.corpus_id, b.bench_id, count(*) AS n_shared
+FROM corpus c JOIN bench b USING (gh)
+GROUP BY 1, 2
+HAVING count(*) >= 1
+ORDER BY corpus_id, bench_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_repetition_stats": text_repetition_stats,
+    "text_pii_scrub": text_pii_scrub,
+    "text_contamination": text_contamination,
     "text_vocab_topk": text_vocab_topk,
     "text_bm25_top_terms": text_bm25_top_terms,
     "text_bpe_token_stats": text_bpe_token_stats,
@@ -387,6 +556,9 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_repetition_stats": _REPETITION_SQL,
+    "text_pii_scrub": _PII_SQL,
+    "text_contamination": _CONTAMINATION_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_bm25_top_terms": _BM25_SQL,
     "text_bpe_token_stats": _BPE_STATS_SQL,

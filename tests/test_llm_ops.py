@@ -397,3 +397,63 @@ def test_ivf_kmeans_build_and_recall(emb_df):
         for r in ivf_topk(queries, corpus, cents, k=3, n_probe=2).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.5  # trained centroids: better lists
+
+
+def test_pii_counts_and_scrub(spark):
+    from etl_ml_pipeline_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jo.doe+x@sub.example.org or 10.0.0.1 ok"),
+            Row(doc_id=2, text="no pii here at all"),
+            Row(doc_id=3, text="two mails a@b.co c@d.io one ip 172.16.254.3"),
+        ]
+    )
+    got = df.select(
+        "doc_id",
+        pii_counts(F.col("text")).alias("p"),
+        scrub_pii(F.col("text")).alias("s"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert (by_id[1].p.n_emails, by_id[1].p.n_ipv4) == (1, 1)
+    assert (by_id[2].p.n_emails, by_id[2].p.n_ipv4) == (0, 0)
+    assert (by_id[3].p.n_emails, by_id[3].p.n_ipv4) == (2, 1)
+    assert by_id[1].s == "mail me at <EMAIL> or <IP> ok"
+    assert by_id[3].s == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_top_ngram_stats_repetition_signal(spark):
+    from etl_ml_pipeline_spark.operators.text import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            # "buy now" repeats 3x in 7 2-gram slots
+            Row(doc_id=1, text="buy now buy now buy now stop spam"),
+            Row(doc_id=2, text="each word appears only once here"),
+        ]
+    )
+    got = {r.id: r for r in top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    assert got[1].top_gram == "buy now" and got[1].top_count == 3
+    assert got[1].top_frac == pytest.approx(3 / 7)
+    assert got[2].top_count == 1  # all grams unique; tie -> lexicographic min
+    assert got[2].top_gram == min(
+        "each word,word appears,appears only,only once,once here".split(",")
+    )
+
+
+def test_contamination_pairs_detects_and_bounds(spark):
+    from etl_ml_pipeline_spark.operators.text import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the secret benchmark answer is forty two exactly")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains an exact 5-gram from the benchmark
+            Row(doc_id=1, text="leak: the secret benchmark answer is forty"),
+            Row(doc_id=2, text="completely unrelated prose with other words inside"),
+        ]
+    )
+    got = contamination_pairs(corpus, bench, n=5, min_shared=1).collect()
+    assert {(r.corpus_id, r.bench_id) for r in got} == {(1, 100)}
+    assert got[0].n_shared == 2  # two overlapping 5-gram windows
