@@ -154,3 +154,40 @@ class HashSampleTransform(BaseTransform):
             for value, r in sorted(dict(strata["rates"]).items()):
                 rate = F.when(col == value, F.lit(int(r))).otherwise(rate)
         return df.filter(bucket < rate)
+
+
+def cdc_latest_view(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Merge-on-read current view: base snapshot + change rows -> the
+    latest row per key, with tombstones dropped — the lakehouse CDC
+    pattern (Delta/Hudi/Iceberg snapshot reads do exactly this).
+
+    Scale: ONE shuffle on the key for the ranking window; no join of
+    base against updates (a join formulation shuffles both sides AND
+    re-shuffles the result). Changes win ties against the base at equal
+    versions (`__src` tiebreak) so re-applying the same change batch is
+    idempotent. ``delete_col`` (boolean) marks tombstones; rows whose
+    LATEST version is a delete disappear from the view.
+    """
+    from pyspark.sql import Window as W
+
+    b = base.withColumn("__src", F.lit(0))
+    u = updates.withColumn("__src", F.lit(1))
+    if delete_col is None:
+        delete_col = "__deleted"
+        b = b.withColumn(delete_col, F.lit(False))
+        u = u.withColumn(delete_col, F.lit(False))
+    merged = b.unionByName(u)
+    w = W.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col(delete_col)))
+        .drop("__rn", "__src", delete_col)
+    )

@@ -165,3 +165,40 @@ def test_validate_pydantic_model_compiles(spark):
     )
     out = Validate({"model": "tests.schemas_fixture.TodoItem"}).transform(df)
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_cdc_latest_view_merge_and_tombstones(spark):
+    """Latest version wins, change beats base on version ties
+    (idempotent re-apply), tombstoned keys disappear."""
+    from etl_ml_pipeline_spark.operators.relational import cdc_latest_view
+
+    base = spark.createDataFrame(
+        [
+            Row(k=1, v="a", version=1, deleted=False),
+            Row(k=2, v="b", version=1, deleted=False),
+            Row(k=3, v="c", version=1, deleted=False),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, v="a2", version=2, deleted=False),   # update wins
+            Row(k=2, v="dead", version=2, deleted=True),  # tombstone
+            Row(k=3, v="c-same", version=1, deleted=False),  # tie -> update wins
+            Row(k=4, v="new", version=1, deleted=False),  # insert
+        ]
+    )
+    got = {
+        r.k: r.v
+        for r in cdc_latest_view(base, updates, ["k"], "version", "deleted").collect()
+    }
+    assert got == {1: "a2", 3: "c-same", 4: "new"}
+    # re-applying the same change batch yields the same view (idempotent)
+    view1 = cdc_latest_view(base, updates, ["k"], "version", "deleted")
+    again = cdc_latest_view(
+        view1.withColumn("deleted", F.lit(False)),
+        updates,
+        ["k"],
+        "version",
+        "deleted",
+    )
+    assert {r.k: r.v for r in again.collect()} == got
