@@ -347,6 +347,140 @@ def sq8_reconstruction_mae(vec: Column, q: Column) -> Column:
     return total / F.size(v)
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into m
+    subvectors, store only the index of the nearest codebook centroid
+    per subspace -> m small ints replace dim floats (dim=64, m=8, k=16
+    is a 32x storage cut vs float32). The compression step that makes a
+    corpus-scale ANN index fit in memory; ADC scoring (pq_adc_topk)
+    searches the codes without decompressing.
+
+    ``codebooks``: [m][k][dsub] centroid table (from
+    pq_codebooks_from_rows or a k-means trainer). Pure map-side pandas
+    UDF; one numpy pass per Arrow batch.
+
+    Cross-engine determinism: distances are computed naively
+    ((x-c)^2 summed over the dsub axis) — for dsub <= 8 numpy's reduce
+    is sequential, matching the SQL oracle's left-fold exactly, so
+    argmin indices are bit-reproducible (same reasoning as the LSH
+    sign-margin argument).
+    """
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    cb_lists = [cb.tolist() for cb in cbs]
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]  # (batch, dsub)
+            cb = np.asarray(cb_lists[j])  # (k, dsub)
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1)  # first min wins ties
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_codebooks_from_rows(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    id_step: int = 37,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the k lowest-id vectors with
+    id % id_step == 0 donate their subvectors as centroids — the same
+    data-deterministic quantizer trick the IVF oracle uses, so DuckDB
+    can replay encoding exactly. Production: train per-subspace k-means
+    (same pattern as ivf_build_kmeans) and pass its centers instead."""
+    rows = (
+        corpus.filter(F.col(id_col) % id_step == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need {k} seed vectors, found {len(rows)}")
+    vecs = np.asarray([r[0] for r in rows], dtype=np.float64)  # (k, dim)
+    dim = vecs.shape[1]
+    dsub = dim // m
+    assert dsub * m == dim, "dim must divide evenly into m subspaces"
+    return [
+        vecs[:, j * dsub : (j + 1) * dsub].tolist() for j in range(m)
+    ]
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build an
+    (m x k) lookup table of squared distances from its subvectors to
+    every centroid, then score a corpus row as the SUM of m table
+    lookups — no corpus vector is ever touched.
+
+    Scale shape: the LUT rides the (small) broadcast query side; the
+    scoring expression is zip_with + element_at over the codes array —
+    pure JVM codegen, so the corpus-side cost is m integer lookups per
+    row, the whole point of PQ."""
+    from pyspark.sql import Window as W
+
+    cbs = [np.asarray(cb, dtype=np.float64).tolist() for cb in codebooks]
+    m = len(cbs)
+    kcent = len(cbs[0])
+    dsub = len(cbs[0][0])
+
+    @F.pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(mat), m * kcent), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cb = np.asarray(cbs[j])
+            out[:, j * kcent : (j + 1) * kcent] = (
+                (sub[:, None, :] - cb[None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(out))
+
+    qlut = queries.select(q_id, F.col(q_vec).alias("__qv")).withColumn(
+        "__lut", lut(F.col("__qv"))
+    ).drop("__qv")
+    scored = corpus_codes.crossJoin(F.broadcast(qlut)).withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(F.col("__lut"), j * kcent + c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = W.partitionBy(q_id).orderBy(F.asc("adc"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "adc")
+    )
+
+
 def ivf_build_kmeans(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -392,8 +392,106 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_pq_adc_topk — product-quantization ANN: deterministic codebooks
+# (subvectors of the k lowest vec_id % 37 == 0 vectors — replayable in
+# SQL), corpus encoded to m=8 4-bit codes, asymmetric-distance top-k via
+# per-query lookup tables. The full compress -> search path is
+# oracle-checked; a recall test additionally pins quality vs brute force.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_STEP = 8, 16, 31
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    codebooks = pq_codebooks_from_rows(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+    )
+    corpus = pq_encode(
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        codebooks,
+        "embedding",
+    ).select("c_id", "pq_codes")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_adc_topk(queries, corpus, codebooks, k=5)
+    return out.select(
+        "q_id", "rank", "c_id", (F.floor(F.col("adc") * 10000) / 10000).alias("adc")
+    ).orderBy("q_id", "rank")
+
+
+def _pq_oracle() -> str:
+    dsub = 64 // _PQ_M
+    sub_slices = ", ".join(
+        f"v[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(_PQ_M)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cent
+  FROM vecs WHERE vec_id % {_PQ_STEP} = 0 ORDER BY vec_id LIMIT {_PQ_K}
+),
+-- codebook: centroid `cent` of subspace j = seed vector slice j
+codebook AS (
+  SELECT cent, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS cv
+  FROM seeds, unnest(range({_PQ_M})) AS u(j)
+),
+subs AS (
+  SELECT vec_id, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS sv
+  FROM vecs, unnest(range({_PQ_M})) AS u(j)
+),
+-- encode: nearest centroid per (vector, subspace); naive sequential
+-- left-fold distance matches the numpy reduce exactly at dsub <= 8
+dists AS (
+  SELECT s.vec_id, s.j, c.cent,
+         list_sum(list_transform(list_zip(s.sv, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM subs s JOIN codebook c USING (j)
+),
+codes AS (
+  SELECT vec_id, j, cent AS code FROM (
+    SELECT vec_id, j, cent,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cent ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+-- ADC: per-query LUT is the same dists table restricted to queries
+lut AS (
+  SELECT vec_id AS q_id, j, cent, d FROM dists WHERE vec_id < 10
+),
+scored AS (
+  -- ordered list fold, NOT sum(): Spark's aggregate() adds the m
+  -- lookups in subspace order; an unordered SQL sum could differ in
+  -- the last ulp and flip near-equal ranks
+  SELECT l.q_id, c.vec_id AS c_id,
+         list_sum(list(l.d ORDER BY l.j)) AS adc
+  FROM codes c JOIN lut l ON l.j = c.j AND l.cent = c.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, c_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, floor(adc * 10000) / 10000 AS adc
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "embedding_quantize_sq8": embedding_quantize_sq8,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
@@ -404,6 +502,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "ann_pq_adc_topk": _pq_oracle(),
     "embedding_quantize_sq8": _SQ8_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,

@@ -457,3 +457,45 @@ def test_contamination_pairs_detects_and_bounds(spark):
     got = contamination_pairs(corpus, bench, n=5, min_shared=1).collect()
     assert {(r.corpus_id, r.bench_id) for r in got} == {(1, 100)}
     assert got[0].n_shared == 2  # two overlapping 5-gram windows
+
+
+def test_pq_encode_and_adc_recall(emb_df):
+    """PQ codes are valid centroid indices; ADC top-k of an exact-dup
+    query ranks the duplicate itself first (distance 0 through its own
+    codes), and recall vs brute force stays above a floor on random
+    data."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    # 16-dim vectors, m=4 subspaces (dsub=4 <= 8 keeps numpy reduce
+    # sequential), k=8 centroids seeded from every 6th vector
+    cbs = pq_codebooks_from_rows(emb_df, "embedding", "vec_id", m=4, k=8, id_step=6)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    coded = pq_encode(
+        emb_df.select(F.col("vec_id").alias("c_id"), "embedding"),
+        cbs,
+        "embedding",
+    )
+    rows = coded.collect()
+    assert all(len(r.pq_codes) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.pq_codes)
+
+    queries = emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_adc_topk(queries, coded.select("c_id", "pq_codes"), cbs, k=5).collect()
+    # a seed vector (vec_id 0) quantizes losslessly -> its own ADC is the
+    # minimum (0.0); rank-1 self-match for it
+    rank1 = {r.q_id: r.c_id for r in out if r.rank == 1}
+    assert rank1[0] == 0
+    brute = brute_force_topk(
+        queries,
+        emb_df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        k=5,
+    ).collect()
+    exact_set = {(r.q_id, r.c_id) for r in brute}
+    approx_set = {(r.q_id, r.c_id) for r in out}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.2  # coarse 8-cent PQ
