@@ -82,3 +82,61 @@ def test_banded_interval_join_matches_quadratic(spark, lefts, rights, tol):
         if abs(ls - rs) <= tol
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 3)), min_size=0, max_size=10
+    ),
+    changes=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 3), st.booleans()),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_cdc_latest_view_matches_reference(spark, base, changes):
+    """cdc_latest_view vs a dict-replay reference on arbitrary key/version
+    streams: for every key the surviving row must be the highest-version
+    row, changes beating base on ties, and absent if that row is a
+    tombstone. Duplicate (key, version) rows inside one side are excluded
+    (undefined order there, as in any real change batch)."""
+    from etl_ml_pipeline_spark.operators.relational import cdc_latest_view
+
+    def dedup_side(rows):
+        seen = {}
+        for r in rows:
+            seen[(r[0], r[1])] = r  # last wins locally; stable enough
+        return list(seen.values())
+
+    base = dedup_side(base)
+    changes = dedup_side(changes)
+
+    expected = {}
+    for k, v in base:
+        cur = expected.get(k)
+        if cur is None or v > cur[0] or (v == cur[0] and cur[1] == 0):
+            expected[k] = (v, 0, False)
+    for k, v, deleted in changes:
+        cur = expected.get(k)
+        if cur is None or v > cur[0] or (v == cur[0]):
+            expected[k] = (v, 1, deleted)
+    want = {k: v for k, (v, _src, deleted) in expected.items() if not deleted}
+
+    base_df = spark.createDataFrame(
+        [(k, v, False) for k, v in base] or [(None, None, None)],
+        "k int, version int, deleted boolean",
+    ).filter("k IS NOT NULL")
+    ch_df = spark.createDataFrame(
+        [(k, v, d) for k, v, d in changes] or [(None, None, None)],
+        "k int, version int, deleted boolean",
+    ).filter("k IS NOT NULL")
+    got = {
+        r.k: r.version
+        for r in cdc_latest_view(base_df, ch_df, ["k"], "version", "deleted").collect()
+    }
+    assert got == want

@@ -205,3 +205,24 @@ def test_ngram_jaccard_df_cap_in_plan(spark, sf_dir):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[shingle", plan
     ), "shingle candidate join is not an equi-join"
+
+
+def test_cdc_view_no_join_single_key_shuffle(spark, sf_dir):
+    """The merge-on-read view must be union + ranking window — a join
+    formulation would shuffle base AND updates AND the result."""
+    from etl_ml_pipeline_spark.queries.relational import cdc_current_orders
+
+    plan = _plan(cdc_current_orders(spark, sf_dir))
+    assert "Union" in plan
+    assert "Join" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The contamination check joins corpus n-gram hashes against the
+    (small) benchmark side via broadcast — corpus never re-shuffles for
+    the join."""
+    from etl_ml_pipeline_spark.queries.text_q import text_contamination
+
+    plan = _plan(text_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
