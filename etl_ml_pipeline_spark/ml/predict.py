@@ -57,7 +57,11 @@ def create_target(
     w = Window.orderBy(order_col)
     nxt = F.lead(price_col).over(w)
     return (
-        df.withColumn(target_col, (nxt - F.col(price_col)) / F.col(price_col) * 100.0)
+        # try_divide: zero-price rows yield a null target and drop with
+        # the final row (ANSI mode throws DIVIDE_BY_ZERO otherwise).
+        df.withColumn(
+            target_col, F.try_divide(nxt - F.col(price_col), F.col(price_col)) * 100.0
+        )
         .filter(F.col(target_col).isNotNull())
     )
 

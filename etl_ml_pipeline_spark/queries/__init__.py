@@ -27,6 +27,7 @@ _MODULES = (
     "timeseries",
     "text_q",
     "dedup_q",
+    "graph_q",
     "similarity_q",
     "sampling_q",
     "ml_q",

@@ -1,0 +1,84 @@
+"""Graph-analytics queries (oracle-matched).
+
+PageRank over the supplier->part supply graph derived from lineitem.
+The oracle unrolls the same fixed iteration count as chained CTEs —
+feasible because the operator deliberately runs a deterministic number
+of rounds instead of probing convergence.
+
+Float parity notes:
+- the base term is written ``(1.0 - 0.85) / N`` on BOTH sides: the
+  Python double ``1.0 - 0.85`` is 0.15000000000000002, which is NOT the
+  SQL literal 0.15 — spelling the subtraction out keeps the arithmetic
+  identical;
+- per-node inflow sums are unordered float additions in both engines,
+  so ranks are floor-truncated to 6 decimals before hashing (ulp-level
+  divergence sits ~1e-12 below that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.queries.tables import t
+
+_N_ITER = 5
+_DAMPING = 0.85
+_PART_CAP = 150
+_PART_OFFSET = 1_000_000  # part node ids live in a disjoint range
+
+
+def pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < _PART_CAP)
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=_N_ITER, damping=_DAMPING)
+    return ranks.select(
+        "node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank")
+    ).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, _N_ITER + 1):
+        iters.append(f"""
+c{k} AS (
+  SELECT e.dst AS node, sum(rp.rank / d.deg) AS inflow
+  FROM edges e
+  JOIN {prev} rp ON rp.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node,
+         ((1.0 - {_DAMPING}) / (SELECT nn FROM nc))
+         + {_DAMPING} * coalesce(c.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN c{k} c USING (node)
+)""")
+        prev = f"r{k}"
+    chain = ",".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + {_PART_OFFSET} AS dst
+  FROM lineitem WHERE l_partkey < {_PART_CAP}
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nc AS (SELECT count(*) AS nn FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT nn FROM nc) AS rank FROM nodes),
+{chain}
+SELECT node, floor(rank * 1e6) / 1e6 AS rank
+FROM {prev}
+ORDER BY node
+"""
+
+
+QUERIES = {"pagerank_supply": pagerank_supply}
+ORACLES = {"pagerank_supply": _pagerank_oracle()}

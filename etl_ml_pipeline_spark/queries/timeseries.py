@@ -188,7 +188,11 @@ def ml_target_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn(
             "target_pct",
-            F.round((nxt - F.col("value")) / F.col("value") * 100.0, 4),
+            # try_divide: a zero-price row has no defined return -> null
+            # target, filtered below (ANSI mode would otherwise throw
+            # DIVIDE_BY_ZERO the first time a zero value appears — it
+            # did at sf0.1).
+            F.round(F.try_divide(nxt - F.col("value"), F.col("value")) * 100.0, 4),
         )
         .filter(F.col("target_pct").isNotNull())
         .select("user_id", "event_id", F.round("value", 2).alias("value"), "target_pct")
@@ -201,7 +205,7 @@ SELECT user_id, event_id, round(value, 2) AS value, target_pct
 FROM (
   SELECT user_id, event_id, value,
          round((lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                - value) / value * 100.0, 4) AS target_pct
+                - value) / nullif(value, 0) * 100.0, 4) AS target_pct
   FROM events
 )
 WHERE target_pct IS NOT NULL

@@ -140,3 +140,24 @@ def test_cdc_latest_view_matches_reference(spark, base, changes):
         for r in cdc_latest_view(base_df, ch_df, ["k"], "version", "deleted").collect()
     }
     assert got == want
+
+
+def test_pagerank_cycle_uniform_and_star_center_wins(spark):
+    """On a directed cycle every node has identical rank (symmetry); on
+    a star (all leaves -> center) the center's rank dominates and leaves
+    keep exactly the base term."""
+    from etl_ml_pipeline_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(cycle, n_iter=10).collect()}
+    assert all(abs(v - 0.2) < 1e-9 for v in ranks.values()), ranks
+
+    star = spark.createDataFrame([(i, 99) for i in range(1, 6)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(star, n_iter=5).collect()}
+    n = 6
+    base = (1.0 - 0.85) / n
+    assert got[99] > 5 * got[1]
+    for leaf in range(1, 6):
+        assert got[leaf] == base  # no in-edges -> base term only
