@@ -76,6 +76,12 @@ def expanding_folds(
     sklearn ``TimeSeriesSplit``: test size ``n // (n_splits + 1)``; fold
     ``i`` (0-based) tests rows ``[n - (n_splits - i) * size, ...)`` and
     trains on everything before.
+
+    The global window mirrors the reference's single-series frame (one
+    stock's timeline — thousands of rows, not billions). For a corpus-
+    scale global ordering use
+    ``operators.relational.global_row_number`` (two-phase distributed
+    rank) — same output, no single-task sort.
     """
     w = Window.orderBy(order_col)
     return df.withColumn("_rn", F.row_number().over(w))

@@ -191,3 +191,49 @@ def cdc_latest_view(
         .filter((F.col("__rn") == 1) & (~F.col(delete_col)))
         .drop("__rn", "__src", delete_col)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row numbers WITHOUT the single-partition sort a bare
+    ``row_number() OVER (ORDER BY ...)`` forces (WindowExec moves ALL
+    rows to one task — the classic global-ordering scale-killer).
+
+    Two-phase distributed ranking:
+    1. ``repartitionByRange`` on the ordering key — partitions become
+       non-overlapping, ordered ranges (ties colocate);
+    2. local row_number within each partition (parallel windows keyed by
+       partition id);
+    3. partition row-counts (one tiny aggregate) -> cumulative offsets,
+       broadcast back; global rn = local rn + offset of all earlier
+       ranges.
+
+    The only unpartitioned window runs over ~#partitions rows of counts.
+    Output is identical to the naive global window for any ordering key
+    (ties within an identical full ordering tuple are arbitrary in both
+    formulations, as always with row_number).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("int"))
+        .drop("__pid", "__lrn", "__off")
+    )

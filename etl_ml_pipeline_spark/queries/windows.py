@@ -193,15 +193,28 @@ ORDER BY o_custkey, o_orderkey
 def window_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global price quartiles -> per-quartile stats.
 
-    Scale note: ntile over an unpartitioned window is a single-partition
-    sort — fine for the bounded orders table, but at 100 TB use
-    approx_percentile cutpoints + a bucketing join instead (documented
-    scalable path; same output contract).
+    Scale: global ordering via the two-phase distributed rank
+    (operators.relational.global_row_number — range repartition, local
+    windows, offset join), NOT a bare ntile() window, which moves every
+    row to a single task. ntile(k) is then pure arithmetic on the exact
+    rank: the first N%k tiles get floor(N/k)+1 rows — same output,
+    parallel plan.
     """
+    from etl_ml_pipeline_spark.operators.relational import global_row_number
+
     orders = t(spark, sf_dir, "orders")
-    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = global_row_number(orders, ["o_totalprice", "o_orderkey"], "rn")
+    n_total = ranked.groupBy().agg(F.count("*").alias("__n"))
+    k = 4
+    big = F.col("__n") % k  # tiles 1..big have size+1 rows (ntile semantics)
+    size = F.floor(F.col("__n") / k)
+    rn = F.col("rn")
+    quartile = F.when(
+        rn <= big * (size + 1), F.ceil(rn / (size + 1))
+    ).otherwise(big + F.ceil((rn - big * (size + 1)) / size))
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("quartile", quartile.cast("int"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),

@@ -226,3 +226,35 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(text_contamination(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_row_number_matches_naive_window(spark, sf_dir):
+    """Two-phase distributed rank == the single-partition global window,
+    and the plan range-partitions instead of collapsing to one task."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fast = global_row_number(orders, ["o_totalprice", "o_orderkey"], "rn")
+    naive = orders.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).cast("int"),
+    )
+    a = {(r.o_orderkey, r.rn) for r in fast.select("o_orderkey", "rn").collect()}
+    b = {(r.o_orderkey, r.rn) for r in naive.select("o_orderkey", "rn").collect()}
+    assert a == b
+    plan = _plan(fast)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_quartile_stats_no_global_window(spark, sf_dir):
+    """window_quartile_stats must not contain an unpartitioned ntile
+    window (single-task sort); exact ntile arithmetic rides the
+    distributed rank instead."""
+    from etl_ml_pipeline_spark.queries.windows import window_quartile_stats
+
+    plan = _plan(window_quartile_stats(spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()
