@@ -420,6 +420,43 @@ def pq_codebooks_from_rows(
     ]
 
 
+def _adc_lut_udf(codebooks: list[list[list[float]]]):
+    """Pandas UDF building the per-query ADC lookup table: a flat
+    (m * k_cent) array of squared subvector-to-centroid distances."""
+    cbs = [np.asarray(cb, dtype=np.float64).tolist() for cb in codebooks]
+    m = len(cbs)
+    kcent = len(cbs[0])
+    dsub = len(cbs[0][0])
+
+    @F.pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(mat), m * kcent), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cb = np.asarray(cbs[j])
+            out[:, j * kcent : (j + 1) * kcent] = (
+                (sub[:, None, :] - cb[None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(out))
+
+    return lut, m, kcent
+
+
+def _adc_score(codes_col: str, lut_col: str, m: int, kcent: int) -> Column:
+    """ADC distance = ordered sum of m LUT lookups (JVM codegen; the
+    corpus side never touches a float vector)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col(lut_col), j * kcent + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -441,43 +478,62 @@ def pq_adc_topk(
     row, the whole point of PQ."""
     from pyspark.sql import Window as W
 
-    cbs = [np.asarray(cb, dtype=np.float64).tolist() for cb in codebooks]
-    m = len(cbs)
-    kcent = len(cbs[0])
-    dsub = len(cbs[0][0])
-
-    @F.pandas_udf("array<double>")
-    def lut(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
-        out = np.empty((len(mat), m * kcent), dtype=np.float64)
-        for j in range(m):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
-            cb = np.asarray(cbs[j])
-            out[:, j * kcent : (j + 1) * kcent] = (
-                (sub[:, None, :] - cb[None, :, :]) ** 2
-            ).sum(axis=2)
-        return pd.Series(list(out))
-
+    lut, m, kcent = _adc_lut_udf(codebooks)
     qlut = queries.select(q_id, F.col(q_vec).alias("__qv")).withColumn(
         "__lut", lut(F.col("__qv"))
     ).drop("__qv")
     scored = corpus_codes.crossJoin(F.broadcast(qlut)).withColumn(
-        "adc",
-        F.aggregate(
-            F.zip_with(
-                F.col(codes_col),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, j: F.element_at(F.col("__lut"), j * kcent + c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+        "adc", _adc_score(codes_col, "__lut", m, kcent)
     )
     w = W.partitionBy(q_id).orderBy(F.asc("adc"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "adc")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN architecture (FAISS
+    IVFADC shape, sans residual encoding): the coarse quantizer prunes
+    the corpus to the probed inverted list(s), and PQ/ADC scores only
+    those candidates from compressed codes.
+
+    Composition of the two audited pieces: ``ivf_assign`` keys corpus
+    AND queries by nearest centroid (broadcast matmul, pure map), then
+    candidates come from a cent_id equi-join (sub-linear scan per
+    query), scored via the broadcast ADC lookup table. At 100 TB the
+    corpus exists only as (cent_id, id, m int8 codes) — the full-vector
+    table is needed just at index-build and rerank time.
+    """
+    from pyspark.sql import Window as W
+
+    coded = pq_encode(
+        ivf_assign(corpus, centroids, c_vec, c_id), codebooks, c_vec
+    ).select(c_id, "cent_id", "pq_codes")
+    qassigned = ivf_assign(queries, centroids, q_vec, q_id)
+    lut, m, kcent = _adc_lut_udf(codebooks)
+    qlut = qassigned.withColumn("__lut", lut(F.col(q_vec))).select(
+        q_id, "cent_id", "__lut"
+    )
+    scored = coded.join(F.broadcast(qlut), "cent_id").withColumn(
+        "adc", _adc_score("pq_codes", "__lut", m, kcent)
+    )
+    w = W.partitionBy(q_id).orderBy(F.asc("adc"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "adc", "cent_id")
     )
 
 

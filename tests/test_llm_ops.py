@@ -499,3 +499,37 @@ def test_pq_encode_and_adc_recall(emb_df):
     exact_set = {(r.q_id, r.c_id) for r in brute}
     approx_set = {(r.q_id, r.c_id) for r in out}
     assert len(exact_set & approx_set) / len(exact_set) >= 0.2  # coarse 8-cent PQ
+
+
+def test_ivfpq_candidates_stay_in_probed_list(emb_df):
+    """IVF-PQ results must come exclusively from the query's probed
+    inverted list (that's the pruning contract), and a lossless seed
+    vector still self-matches at rank 1 within its list."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_codebooks_from_rows,
+    )
+
+    centroids = emb_df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cbs = pq_codebooks_from_rows(emb_df, "embedding", "vec_id", m=4, k=8, id_step=6)
+    queries = emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = ivfpq_topk(queries, corpus, centroids, cbs, k=3).collect()
+    assigned = {
+        r.q_id: r.cent_id
+        for r in ivf_assign(
+            queries, centroids, "q_vec", "q_id"
+        ).select("q_id", "cent_id").collect()
+    }
+    for r in out:
+        assert r.cent_id == assigned[r.q_id]
+    # vec 0 is a PQ seed (0 % 6 == 0): codes reproduce it exactly -> ADC 0
+    zero_rows = [r for r in out if r.q_id == 0]
+    assert zero_rows and zero_rows[0].c_id == 0 and zero_rows[0].adc == 0.0
