@@ -218,3 +218,61 @@ def write_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_stream_cdc_view(
+    stream_df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    delete_col: str,
+    view_name: str,
+    checkpoint_dir: str,
+):
+    """Maintain a merge-on-read CURRENT VIEW from a CDC change stream:
+    every micro-batch folds into the accumulated snapshot via
+    cdc_latest_view (latest version per key wins, tombstones drop), and
+    the snapshot is re-registered as a temp view — the streaming
+    equivalent of a lakehouse table's snapshot read, with the same
+    batch operator doing the merge (one code path for both worlds).
+
+    The snapshot is eagerly localCheckpoint-ed per batch so its lineage
+    doesn't grow with stream length (at production scale: write the
+    snapshot to a transactional table — Delta MERGE — instead of
+    keeping it session-side; the fold logic is identical).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import cdc_latest_view
+
+    cols = list(stream_df.columns)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch runs under a CLONED session per micro-batch, so
+        # the snapshot lives in the GLOBAL temp catalog (shared across
+        # sessions of one SparkContext): each fold reads its base from
+        # there and the driver session reads the result from there too.
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(f"global_temp.{view_name}"):
+            base = spark.table(f"global_temp.{view_name}")
+        else:
+            base = spark.createDataFrame([], batch_df.schema)
+        view = cdc_latest_view(base, batch_df, keys, version_col, delete_col)
+        # the view drops the tombstone flag; restore schema/order so the
+        # snapshot can be the next batch's base (a surviving row is, by
+        # definition, not deleted)
+        snap = (
+            view.withColumn(delete_col, F.lit(False))
+            .select(*cols)
+            .localCheckpoint(eager=True)
+        )
+        snap.createOrReplaceGlobalTempView(view_name)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -189,3 +189,41 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(by_user) == [1, 2, 3]
     assert all(len(v) == 1 for v in by_user.values())
     assert by_user[2] == [2.0] and by_user[3] == [3.0]
+
+
+def test_stream_cdc_current_view(spark, tmp_path):
+    """CDC change stream -> maintained current view: later batches
+    update and tombstone earlier keys; the registered view always shows
+    latest-row-wins minus deletes."""
+    import json
+
+    from etl_ml_pipeline_spark.streaming.windows import (
+        read_json_stream,
+        write_stream_cdc_view,
+    )
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    b1 = [
+        {"k": 1, "version": 1, "deleted": False, "payload": "a"},
+        {"k": 2, "version": 1, "deleted": False, "payload": "b"},
+    ]
+    b2 = [
+        {"k": 1, "version": 2, "deleted": False, "payload": "a2"},
+        {"k": 2, "version": 2, "deleted": True, "payload": "dead"},
+        {"k": 3, "version": 1, "deleted": False, "payload": "c"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    schema = "k int, version int, deleted boolean, payload string"
+    stream = read_json_stream(spark, str(d), schema, max_files_per_trigger=1)
+    q = write_stream_cdc_view(
+        stream, ["k"], "version", "deleted", "cdc_view", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r.k: (r.version, r.payload)
+        for r in spark.table("global_temp.cdc_view").collect()
+    }
+    assert got == {1: (2, "a2"), 3: (1, "c")}
