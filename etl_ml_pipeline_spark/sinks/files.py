@@ -32,6 +32,18 @@ class _FileSink(BaseSink):
         sort_by = self.config.get("sort_by")
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
+        # zorder_by: multi-column clustering — every listed column's
+        # row-group stats become selective (see operators/layout.py).
+        # Unlike sort_by this repartitions (range on the z-key): layout
+        # rewrites pay one shuffle by definition.
+        zorder_by = self.config.get("zorder_by")
+        if zorder_by:
+            from etl_ml_pipeline_spark.operators.layout import zorder_layout
+
+            df = zorder_layout(
+                df, list(zorder_by),
+                num_partitions=self.config.get("zorder_files"),
+            )
         writer = df.write.mode(self.config.get("mode", "overwrite"))
         partition_by = self.config.get("partition_by")
         if partition_by:

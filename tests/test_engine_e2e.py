@@ -322,3 +322,75 @@ def test_parquet_sink_sort_by_layout(tmp_path, spark, sf_dir):
     for f in files:
         prices = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
         assert prices == sorted(prices)
+
+
+def test_parquet_sink_zorder_layout(tmp_path, spark):
+    """zorder_by clusters BOTH columns: every output file covers a small
+    rectangle of the (x, y) space, so min/max stats prune on either
+    column — where a plain sort_by x leaves y spanning the full range in
+    every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    n = 64
+    grid = spark.createDataFrame(
+        [Row(x=i, y=j, payload=i * n + j) for i in range(n) for j in range(n)]
+    ).repartition(8)
+    src = tmp_path / "grid_src"
+    grid.write.parquet(str(src))
+    out = tmp_path / "z_out"
+    cfg = {
+        "version": 1,
+        "pipeline": {
+            "name": "zorder_grid",
+            "extract": {"type": "parquet", "config": {"path": str(src)}},
+            "load": {
+                "type": "parquet",
+                "config": {"path": str(out), "zorder_by": ["x", "y"], "zorder_files": 16},
+            },
+        },
+    }
+    PipelineEngine(
+        _write_config(tmp_path, cfg), spark=spark, state_path=str(tmp_path / "s.json")
+    ).run()
+
+    files = sorted(out.glob("*.parquet"))
+    assert len(files) >= 4  # range repartition produced real clustering units
+    areas = []
+    for f in files:
+        tbl = pq.read_table(f, columns=["x", "y"])
+        xs, ys = tbl["x"].to_pylist(), tbl["y"].to_pylist()
+        if not xs:
+            continue
+        areas.append(
+            ((max(xs) - min(xs) + 1) / n) * ((max(ys) - min(ys) + 1) / n)
+        )
+    # each file's bounding rectangle must cover a small fraction of the
+    # full space; a single-column sort would leave the other dimension at
+    # ~1.0 width (area ~ 1/n_files only in x, ~1 overall per file pair)
+    assert sum(areas) / len(areas) < 0.35, areas
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    """The interleaved key equals a reference Morton encoding of each
+    column's normalized rank (values chosen so ranks == values)."""
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.operators.layout import with_zorder_key
+
+    bits = 4
+    n = (1 << bits) - 1  # ranks span 0..15 exactly when values do
+    rows = [Row(x=i, y=j) for i in range(0, n + 1, 5) for j in range(0, n + 1, 3)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.x, r.y): r.z
+        for r in with_zorder_key(df, ["x", "y"], "z", bits=bits).collect()
+    }
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for (x, y) in got}
