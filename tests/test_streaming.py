@@ -227,3 +227,63 @@ def test_stream_cdc_current_view(spark, tmp_path):
         for r in spark.table("global_temp.cdc_view").collect()
     }
     assert got == {1: (2, "a2"), 3: (1, "c")}
+
+
+def test_stream_dedup_against_persistent_index(spark, tmp_path):
+    """New documents dedup against the EXISTING corpus via its signature
+    index (no corpus recompute): batch-1 near-dup of an indexed doc is
+    flagged; batch-1's unique doc joins the index and catches its own
+    exact dup arriving in batch 2."""
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        build_minhash_index,
+        stream_dedup_against_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    other = "completely different words about spark catalyst optimizer plans and shuffles"
+    novel = "fresh unique sentence with plenty of surprising tokens inside it today"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=other)]
+    )
+    index_path = str(tmp_path / "sig_index")
+    build_minhash_index(corpus, index_path)
+
+    import json
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": base + " today"},  # near-dup of 1
+                {"doc_id": 11, "text": novel},            # unique
+            ]
+        )
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"doc_id": 12, "text": novel})  # exact dup of 11 (batch 1)
+    )
+
+    from etl_ml_pipeline_spark.streaming.windows import read_json_stream
+
+    stream = read_json_stream(
+        spark, str(d), "doc_id long, text string", max_files_per_trigger=1
+    )
+    q = stream_dedup_against_index(
+        stream, index_path, str(tmp_path / "ckpt"), "idx_verdicts"
+    )
+    q.awaitTermination()
+
+    verdicts = {
+        r.doc_id: r.dup_of
+        for r in spark.table("global_temp.idx_verdicts").collect()
+    }
+    assert verdicts == {10: 1, 12: 11}
+    # index grew by exactly the unique survivor
+    idx_ids = sorted(
+        r.id for r in spark.read.parquet(index_path).select("id").collect()
+    )
+    assert idx_ids == [1, 2, 11]
