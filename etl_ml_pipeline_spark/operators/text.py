@@ -211,6 +211,53 @@ def contamination_pairs(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear classifier inference at corpus scale:
+    score(doc) = sigmoid(bias + sum over tokens of W[hash(token) %
+    n_buckets] / n_tokens) — the architecture of the standard
+    model-based quality filters (fastText/CCNet-style), with the weight
+    table as data instead of a binary model file.
+
+    Scale shape: explode tokens (map-side), hash to bucket (the same
+    deterministic 60-bit md5 hash the rest of the engine uses), join the
+    (bucket, weight) table with a BROADCAST (it's n_buckets rows — tiny
+    by construction; that bound is the whole point of the hashing
+    trick), then ONE groupBy(doc) sum. No Python, no model runtime; a
+    real trained fastText weight matrix drops in as the weights table.
+
+    ``weights``: DataFrame(bucket int/long, weight double). Missing
+    buckets contribute 0 (left join + coalesce).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("bucket", token_hash60(F.col("tok")) % n_buckets)
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    scored = (
+        toks.join(F.broadcast(w), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("wsum"),
+        )
+    )
+    logit = F.lit(bias) + F.col("wsum") / F.col("n_tok")
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_tok"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+    )
+
+
 @register_transform("pii_scrub")
 class PiiScrub(BaseTransform):
     """Adds pii counts and replaces the text column with its scrubbed

@@ -540,8 +540,66 @@ ORDER BY corpus_id, bench_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_model_quality_score — fastText-style hashed linear classifier
+# inference (the architecture of model-based quality filters), with a
+# deterministic pseudo-weight table so DuckDB replays inference exactly.
+# Weights are INTEGER-valued doubles (bucket % 97 - 48): every partial
+# sum is exact in either engine regardless of aggregation order, so the
+# only float op is the final sigmoid on identical inputs.
+# ---------------------------------------------------------------------------
+
+_QM_BUCKETS = 512
+
+
+def text_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import hashed_linear_score
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    weights = spark.range(_QM_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 97 - 48).cast("double").alias("weight"),
+    )
+    scored = hashed_linear_score(docs, weights, n_buckets=_QM_BUCKETS)
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        (F.floor(F.col("score") * 1e6) / 1e6).alias("score"),
+    ).orderBy("doc_id")
+
+
+_QM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS tok
+  FROM documents WHERE doc_id < 300
+),
+bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_QM_BUCKETS} AS bucket
+  FROM toks
+),
+weights AS (
+  SELECT range AS bucket, CAST(range % 97 - 48 AS DOUBLE) AS weight
+  FROM range({_QM_BUCKETS})
+),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_tok,
+         sum(coalesce(w.weight, 0.0)) AS wsum
+  FROM bucketed b LEFT JOIN weights w USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id,
+       n_tok,
+       floor(1.0 / (1.0 + exp(-(wsum / n_tok))) * 1e6) / 1e6 AS score
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_model_quality_score": text_model_quality_score,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_scrub": text_pii_scrub,
     "text_contamination": text_contamination,
@@ -556,6 +614,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_model_quality_score": _QM_SQL,
     "text_repetition_stats": _REPETITION_SQL,
     "text_pii_scrub": _PII_SQL,
     "text_contamination": _CONTAMINATION_SQL,

@@ -533,3 +533,32 @@ def test_ivfpq_candidates_stay_in_probed_list(emb_df):
     # vec 0 is a PQ seed (0 % 6 == 0): codes reproduce it exactly -> ADC 0
     zero_rows = [r for r in out if r.q_id == 0]
     assert zero_rows and zero_rows[0].c_id == 0 and zero_rows[0].adc == 0.0
+
+
+def test_hashed_linear_score_properties(spark):
+    """Classifier inference sanity: all-positive weights push every
+    score above 1/2, all-negative below, empty weight table gives
+    exactly sigmoid(bias); scores live in (0, 1)."""
+    from etl_ml_pipeline_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"), Row(doc_id=2, text="x y")]
+    )
+    pos = spark.range(64).selectExpr("id AS bucket", "2.0 AS weight")
+    neg = spark.range(64).selectExpr("id AS bucket", "-2.0 AS weight")
+    empty = spark.createDataFrame([], "bucket long, weight double")
+
+    s_pos = {r.doc_id: r.score for r in hashed_linear_score(docs, pos, n_buckets=64).collect()}
+    s_neg = {r.doc_id: r.score for r in hashed_linear_score(docs, neg, n_buckets=64).collect()}
+    s_nil = {r.doc_id: r.score for r in hashed_linear_score(docs, empty, n_buckets=64).collect()}
+    for d in (1, 2):
+        assert 0.0 < s_neg[d] < 0.5 < s_pos[d] < 1.0
+        assert s_nil[d] == 0.5  # sigmoid(0)
+    # bias shifts the logit
+    s_bias = {
+        r.doc_id: r.score
+        for r in hashed_linear_score(docs, empty, n_buckets=64, bias=1.0).collect()
+    }
+    import math
+
+    assert s_bias[1] == pytest.approx(1 / (1 + math.exp(-1.0)))
