@@ -237,3 +237,47 @@ def global_row_number(
         .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("int"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running (prefix) sum in total ``order_cols`` order,
+    without the single-task sort — the cumulative twin of
+    ``global_row_number`` and the primitive behind sequence packing,
+    quota assignment, and cumulative-share analyses.
+
+    Same two-phase shape: range repartition -> parallel local cumsum
+    windows -> per-partition totals become broadcast offsets. Exact for
+    integer/decimal values; for doubles the result equals the naive
+    window's value only up to float re-association (sums are grouped by
+    partition) — use longs for money/token counts, as the callers here do.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__lsum", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
+        .drop("__pid", "__lsum", "__off")
+    )

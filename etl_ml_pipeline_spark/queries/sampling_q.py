@@ -86,12 +86,73 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# pack_documents_budget — sequence packing: assign documents, in stable
+# doc_id order, to fixed token-budget packs (pack = the bin where the
+# document's starting token offset lands). The LLM-training prep step
+# that turns a corpus into near-constant-length training sequences.
+# Scale: the cumulative token offset uses the two-phase distributed
+# prefix sum (operators.relational.global_running_sum) — exact long
+# arithmetic, no single-task window.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def pack_documents_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    cum = global_running_sum(docs, "n_tok", ["doc_id"], "cum_tok")
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET).cast("long"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM toks
+)
+SELECT CAST(floor((cum_tok - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+ORDER BY pack_id
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_stratified_lang": sample_stratified_lang,
+    "pack_documents_budget": pack_documents_budget,
 }
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
+    "pack_documents_budget": _PACK_SQL,
 }

@@ -258,3 +258,27 @@ def test_quartile_stats_no_global_window(spark, sf_dir):
     plan = _plan(window_quartile_stats(spark, sf_dir))
     assert "ntile" not in plan.lower()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_global_running_sum_matches_naive_window(spark, sf_dir):
+    """Two-phase prefix sum == the single-partition cumulative window
+    (exact: long values), and the plan range-partitions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", (F.col("o_custkey") % 1000).cast("long").alias("v")
+    )
+    fast = global_running_sum(orders, "v", ["o_orderkey"], "cs")
+    naive = orders.withColumn(
+        "cs",
+        F.sum("v").over(
+            W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    a = {(r.o_orderkey, r.cs) for r in fast.collect()}
+    b = {(r.o_orderkey, r.cs) for r in naive.collect()}
+    assert a == b
+    assert "rangepartitioning" in _plan(fast).lower()
