@@ -87,6 +87,84 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# sample_mixture_lang — data mixing: hit TARGET corpus proportions per
+# language from skewed source counts. Per-language keep-thresholds are
+# derived from the share table and the actual counts (integer
+# arithmetic -> deterministic), then applied as the usual hash-mod
+# filter. The standard "mix web/books/code at fixed ratios" step of
+# training-set assembly, as one aggregate + one broadcast join.
+# ---------------------------------------------------------------------------
+
+_MIX_SHARES = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
+_MIX_FRACTION = 0.6  # output corpus target size as a fraction of input
+
+
+def sample_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    total = docs.agg(F.count("*").alias("__N"))
+    share = F.lit(None).cast("double")
+    for lang, s in sorted(_MIX_SHARES.items()):
+        share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
+    # threshold in basis points of the hash space; min(10000, ...) caps
+    # languages whose share asks for more rows than exist
+    thr = F.least(
+        F.lit(10000).cast("long"),
+        F.floor(
+            share * F.floor(F.col("__N") * _MIX_FRACTION) * 10000 / F.col("n_total")
+        ),
+    )
+    plan = counts.crossJoin(F.broadcast(total)).select(
+        "lang", "n_total", thr.alias("threshold")
+    )
+    sampled = (
+        docs.join(F.broadcast(plan), "lang")
+        .filter(token_hash60(F.col("doc_id").cast("string")) % 10000 < F.col("threshold"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        plan.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "threshold",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mixture_oracle() -> str:
+    share_case = " ".join(
+        f"WHEN '{lang}' THEN {s}" for lang, s in sorted(_MIX_SHARES.items())
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+),
+total AS (SELECT count(*) AS n FROM documents),
+plan AS (
+  SELECT lang, n_total,
+         least(10000, CAST(floor(
+           (CASE lang {share_case} END)
+           * floor(n * {_MIX_FRACTION}) * 10000 / n_total) AS BIGINT)) AS threshold
+  FROM counts CROSS JOIN total
+),
+sampled AS (
+  SELECT d.lang, count(*) AS n_sampled
+  FROM documents d JOIN plan p USING (lang)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        < p.threshold
+  GROUP BY d.lang
+)
+SELECT p.lang, p.n_total, p.threshold, coalesce(s.n_sampled, 0) AS n_sampled
+FROM plan p LEFT JOIN sampled s USING (lang)
+ORDER BY p.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # pack_documents_budget — sequence packing: assign documents, in stable
 # doc_id order, to fixed token-budget packs (pack = the bin where the
 # document's starting token offset lands). The LLM-training prep step
@@ -149,10 +227,12 @@ QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
+    "sample_mixture_lang": sample_mixture_lang,
 }
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
+    "sample_mixture_lang": _mixture_oracle(),
 }
