@@ -37,13 +37,25 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance: float | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``right.on <= left.on`` per key.
+    """Left as-of join, pandas ``merge_asof`` semantics.
+
+    ``direction="backward"`` (default): latest right row with
+    ``right.on <= left.on`` per key; ``"forward"``: earliest right row
+    with ``right.on >= left.on`` (same union+window plan over the
+    reversed ordering — still ONE shuffle on the by-key).
+    ``allow_exact_matches=False`` makes both comparisons strict by
+    flipping the equal-timestamp tiebreak so simultaneous right rows
+    sort after the left row and are invisible to it.
 
     ``on``: ordering column (timestamp or numeric), same name both sides.
     ``by``: equality key(s). ``value_cols``: right-side payload columns to
     carry (defaults to all non-key, non-ordering columns).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by_cols, on)]
@@ -72,12 +84,14 @@ def asof_join(
         ).alias("__l"),
     )
 
-    # Right rows sort BEFORE left rows at equal ts (__is_left asc), so an
-    # exactly-simultaneous right row IS visible to the left row — the
-    # standard as-of (<=) convention.
+    # Tiebreak at equal ts: right rows sort BEFORE left rows
+    # (__is_left asc) when exact matches count — the standard <=
+    # convention — and AFTER them (desc) when they must not.
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    tie = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
     w = (
         W.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(on_order, tie)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = left_tagged.unionByName(right_tagged).select(
@@ -91,13 +105,12 @@ def asof_join(
 
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        in_window = (
-            F.col("__m_on").isNotNull()
-            & (
-                F.col(on).cast("double") - F.col("__m_on").cast("double")
-                <= F.lit(float(tolerance))
-            )
+        gap = (
+            F.col(on).cast("double") - F.col("__m_on").cast("double")
+            if direction == "backward"
+            else F.col("__m_on").cast("double") - F.col(on).cast("double")
         )
+        in_window = F.col("__m_on").isNotNull() & (gap <= F.lit(float(tolerance)))
         matched = [
             F.when(in_window, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
             for c in value_cols

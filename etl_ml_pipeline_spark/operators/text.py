@@ -258,6 +258,48 @@ def hashed_linear_score(
     )
 
 
+@register_transform("quality_model_score")
+class QualityModelScore(BaseTransform):
+    """YAML-engine surface for hashed_linear_score: adds a ``score``
+    column (and optionally filters on it).
+
+    config:
+      text_col / id_col: columns (default text / doc_id)
+      n_buckets, bias: model shape
+      weights: [[bucket, weight], ...]   # inline, or
+      weights_parquet: path              # a trained table
+      min_score: 0.5                     # optional gate
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        if not self.config.get("weights") and not self.config.get("weights_parquet"):
+            raise ValueError("quality_model_score requires weights or weights_parquet")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        cfg = self.config
+        if cfg.get("weights_parquet"):
+            w = spark.read.parquet(cfg["weights_parquet"])
+        else:
+            w = spark.createDataFrame(
+                [(int(b), float(x)) for b, x in cfg["weights"]],
+                "bucket long, weight double",
+            )
+        id_col = cfg.get("id_col", "doc_id")
+        scored = hashed_linear_score(
+            df,
+            w,
+            text_col=cfg.get("text_col", "text"),
+            id_col=id_col,
+            n_buckets=int(cfg.get("n_buckets", 4096)),
+            bias=float(cfg.get("bias", 0.0)),
+        ).select(id_col, "score")
+        out = df.join(scored, id_col)
+        if "min_score" in cfg:
+            out = out.filter(F.col("score") >= float(cfg["min_score"]))
+        return out
+
+
 @register_transform("pii_scrub")
 class PiiScrub(BaseTransform):
     """Adds pii counts and replaces the text column with its scrubbed

@@ -97,3 +97,60 @@ def test_banded_interval_join_matches_naive(spark):
     # sanity: boundary pairs present, just-outside pairs absent
     assert (0, 0) in got and (0, 3) in got      # exactly ±600s
     assert (0, 1) not in got                    # 601s away
+
+
+def test_asof_forward_direction(spark):
+    """direction='forward': earliest right row at/after each left ts —
+    pandas merge_asof(direction='forward') semantics, verified against a
+    pandas reference on the shared fixture."""
+    import pandas as pd
+
+    left, right = _frames(spark)
+    out = {
+        r["lv"]: r["rv_right"]
+        for r in asof_join(left, right, on="ts", by="k", direction="forward").collect()
+    }
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    want = {
+        row.lv: (None if pd.isna(row.rv) else row.rv) for row in ref.itertuples()
+    }
+    assert out == want
+    assert out["l0"] == 100.0   # 10:00 -> next right at 10:10
+    assert out["l2"] is None    # nothing after 10:30
+
+
+def test_asof_disallow_exact_matches(spark):
+    """allow_exact_matches=False: a simultaneous right row is invisible;
+    the match falls back to the strictly-earlier row (pandas parity)."""
+    import pandas as pd
+
+    left, right = _frames(spark)
+    out = {
+        r["lv"]: r["rv_right"]
+        for r in asof_join(
+            left, right, on="ts", by="k", allow_exact_matches=False
+        ).collect()
+    }
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", allow_exact_matches=False)
+    want = {
+        row.lv: (None if pd.isna(row.rv) else row.rv) for row in ref.itertuples()
+    }
+    assert out == want
+    assert out["l1"] is None  # the 10:10 right row no longer matches l1
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lv"]: r["rv_right"]
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="forward", tolerance=360.0
+        ).collect()
+    }
+    assert out["l3"] == 300.0       # 10:05 -> 10:06, 60s gap within 360s
+    assert out["l1"] == 100.0       # exact match, gap 0
+    assert out["l0"] is None        # 10:00 -> 10:10 is 600s, beyond 360s

@@ -562,3 +562,22 @@ def test_hashed_linear_score_properties(spark):
     import math
 
     assert s_bias[1] == pytest.approx(1 / (1 + math.exp(-1.0)))
+
+
+def test_quality_model_score_transform_gates(spark):
+    from etl_ml_pipeline_spark.operators.text import QualityModelScore
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="x y z")]
+    )
+    weights = [[b, 3.0] for b in range(64)]
+    out = QualityModelScore(
+        {"weights": weights, "n_buckets": 64, "min_score": 0.9}
+    )(df)
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {1, 2}  # all-positive weights pass
+    assert all(r.score > 0.9 for r in rows)
+    assert set(out.columns) == {"doc_id", "text", "score"}
+    # no weights -> loud config error
+    with pytest.raises(ValueError, match="weights"):
+        QualityModelScore({})(df)
