@@ -106,6 +106,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
     for name, out in (
         ("clean_customers", tmp_path / "out1"),
         ("dedup_documents", tmp_path / "out2"),
+        ("training_data_prep_v2", tmp_path / "out3"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),
