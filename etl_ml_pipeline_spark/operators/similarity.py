@@ -171,27 +171,31 @@ def lsh_near_dup_pairs(
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         return pd.Series(list(bits @ weights))  # (batch, T)
 
+    # The bucket self-join carries ONLY (id, table, bucket) — never the
+    # vectors, which would otherwise ride the shuffle once per hash
+    # table (n_tables x the embedding payload; at corpus scale the
+    # vectors ARE the data volume). Vectors re-join afterwards for the
+    # candidate pairs only — a set that bucketing has already made tiny
+    # relative to the corpus.
     keyed = df.select(
         F.col(id_col).alias("__nid"),
-        F.col(vec_col).alias("__nvec"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
-    cand = (
+    pair_ids = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["__tbl", "__bucket"])
         .filter(F.col("a.__nid") < F.col("b.__nid"))
-        .select(
-            F.col("a.__nid").alias("id_a"),
-            F.col("b.__nid").alias("id_b"),
-            cosine(
-                as_double(F.col("a.__nvec")), as_double(F.col("b.__nvec"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.__nid").alias("id_a"), F.col("b.__nid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # same pair can surface from several tables; cos is deterministic so
-    # dropDuplicates on the pair key alone is safe
-    return cand.dropDuplicates(["id_a", "id_b"])
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    return (
+        pair_ids.join(vecs.withColumnsRenamed({"__vid": "id_a", "__v": "__va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"__vid": "id_b", "__v": "__vb"}), "id_b")
+        .withColumn("cos", cosine(as_double(F.col("__va")), as_double(F.col("__vb"))))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 @register_transform("similarity_topk")
