@@ -62,6 +62,11 @@ class ParquetSink(_FileSink):
     format = "parquet"
 
 
+@register_sink("orc")
+class OrcSink(_FileSink):
+    format = "orc"
+
+
 @register_sink("csv")
 class CsvSink(_FileSink):
     format = "csv"

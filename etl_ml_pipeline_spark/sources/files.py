@@ -78,6 +78,15 @@ class JsonSource(_FileSource):
         return self._post(reader.load(path))
 
 
+@register_source("orc")
+class OrcSource(_FileSource):
+    """ORC columnar source — same pushdown/pruning story as parquet
+    (predicate pushdown into ORC stripe stats), for corpora stored by
+    Hive-lineage systems."""
+
+    format = "orc"
+
+
 @register_source("table")
 class TableSource(BaseSource):
     """Read a registered catalog/temp-view table by name."""

@@ -394,3 +394,23 @@ def test_zorder_key_matches_morton_reference(spark):
         return z
 
     assert got == {(x, y): morton(x, y) for (x, y) in got}
+
+
+def test_orc_roundtrip_with_pushdown(tmp_path, spark, sf_dir):
+    """parquet -> ORC sink -> ORC source roundtrip; the ORC scan gets
+    the same pushdown treatment as parquet."""
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import SINKS, SOURCES
+
+    out = tmp_path / "orders_orc"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with SINKS.get("orc")(spark, {"path": str(out), "sort_by": ["o_orderkey"]}) as s:
+        s.load(orders)
+    with SOURCES.get("orc")(spark, {"path": str(out)}) as src:
+        back = src.extract()
+        assert back.count() == orders.count()
+        filtered = back.filter("o_orderkey > 1000")
+        plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+            filtered._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters" in plan and "o_orderkey" in plan
