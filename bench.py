@@ -47,6 +47,13 @@ HEADLINE = [
     "ann_ivf_topk",
     "asof_click_purchase",
     "text_winnow_sketch",
+    # round-2 operator families (pagerank stays catalog-only: its
+    # iterative rounds add ~2s of driver-synchronous latency that would
+    # eat the headline's round-over-round comparison margin)
+    "cdc_current_orders",
+    "ann_ivfpq_topk",
+    "text_pii_scrub",
+    "pack_documents_budget",
 ]
 
 
