@@ -45,6 +45,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: empty result, not a ZeroDivisionError in the
+        # driver-side 1/N seed below
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     out_deg = e.groupBy("e_src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes

@@ -161,3 +161,36 @@ def test_pagerank_cycle_uniform_and_star_center_wins(spark):
     assert got[99] > 5 * got[1]
     for leaf in range(1, 6):
         assert got[leaf] == base  # no in-edges -> base term only
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty frames flow through the core operators without errors —
+    the shape every incremental/streaming caller eventually feeds them."""
+    from etl_ml_pipeline_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from etl_ml_pipeline_spark.operators.graph import pagerank
+    from etl_ml_pipeline_spark.operators.relational import (
+        cdc_latest_view,
+        global_row_number,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(empty_docs, "text", "doc_id").count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+    assert pagerank(empty_pairs, src="id_a", dst="id_b").count() == 0
+
+    base = spark.createDataFrame(
+        [(1, 1, False)], "k int, version int, deleted boolean"
+    )
+    no_changes = spark.createDataFrame([], "k int, version int, deleted boolean")
+    got = cdc_latest_view(base, no_changes, ["k"], "version", "deleted").collect()
+    assert [(r.k, r.version) for r in got] == [(1, 1)]
+
+    empty_rows = spark.createDataFrame([], "a long")
+    assert global_row_number(empty_rows, ["a"]).count() == 0
