@@ -414,3 +414,26 @@ def test_orc_roundtrip_with_pushdown(tmp_path, spark, sf_dir):
             filtered._jdf.queryExecution(), "formatted"
         )
         assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_parquet_schema_evolution_merge(tmp_path, spark):
+    """Schema evolution: files written with an evolved schema (extra
+    column) read back unified via options.mergeSchema — older rows get
+    nulls; no rewrite of existing data needed."""
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import SOURCES
+
+    path = tmp_path / "evolving"
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(str(path))
+    spark.createDataFrame([Row(id=2, a="y", b=3.5)]).write.mode("append").parquet(
+        str(path)
+    )
+    with SOURCES.get("parquet")(
+        spark, {"path": str(path), "options": {"mergeSchema": True}}
+    ) as src:
+        df = src.extract()
+        assert set(df.columns) == {"id", "a", "b"}
+        rows = {r.id: r.b for r in df.collect()}
+        assert rows[1] is None and rows[2] == 3.5
