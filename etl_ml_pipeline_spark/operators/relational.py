@@ -281,3 +281,50 @@ def global_running_sum(
         .withColumn(out_col, F.col("__lsum") + F.col("__off"))
         .drop("__pid", "__lsum", "__off")
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation between two snapshots: which keys were
+    ``added`` (right only), ``removed`` (left only), or ``changed``
+    (both sides, payload differs) — the data-validation pass after any
+    migration/backfill/CDC apply.
+
+    Scale: each side reduces to (key, payload-hash) BEFORE the join, so
+    the full-outer join ships 128-bit hashes, not payloads — comparing
+    two 100 TB snapshots moves ~32 bytes per row. The hash is md5 over
+    \\x1f-joined, null-sentineled column values (the same
+    delimiter discipline as the oracle harness: no concatenation
+    collisions).
+    """
+    compare = compare_cols or [
+        c for c in left.columns if c not in keys and c in right.columns
+    ]
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in compare
+                ],
+            )
+        )
+        return df.select(*keys, payload.alias(out))
+
+    joined = hashed(left, "__lh").join(hashed(right, "__rh"), keys, "full_outer")
+    status = (
+        F.when(F.col("__lh").isNull(), F.lit("added"))
+        .when(F.col("__rh").isNull(), F.lit("removed"))
+        .when(F.col("__lh") != F.col("__rh"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -774,9 +774,95 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# diff_order_snapshots — snapshot reconciliation: orders vs a
+# deterministically mutated copy (every 13th re-priced -> changed, every
+# 17th dropped -> removed, offset-key copies added). Hash-only full-outer
+# join; per-status counts + key ranges keep the output compact.
+# ---------------------------------------------------------------------------
+
+
+def diff_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import table_diff
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    mutated = (
+        o.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.floor(F.col("o_totalprice") * 1.1 * 100) / 100,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = table_diff(o, mutated, ["o_orderkey"])
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+mutated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN floor(o_totalprice * 1.1 * 100) / 100
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 17 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 19 = 0
+),
+lh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+             coalesce(CAST(o_totalprice AS VARCHAR), chr(0) || 'null'))) AS h
+  FROM base
+),
+rh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+             coalesce(CAST(o_totalprice AS VARCHAR), chr(0) || 'null'))) AS h
+  FROM mutated
+),
+diff AS (
+  SELECT coalesce(lh.o_orderkey, rh.o_orderkey) AS o_orderkey,
+         CASE WHEN lh.h IS NULL THEN 'added'
+              WHEN rh.h IS NULL THEN 'removed'
+              WHEN lh.h != rh.h THEN 'changed' END AS status
+  FROM lh FULL OUTER JOIN rh USING (o_orderkey)
+)
+SELECT status, count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM diff
+WHERE status IS NOT NULL
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
+    "diff_order_snapshots": diff_order_snapshots,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
     "agg_approx_distinct_parts": agg_approx_distinct_parts,
@@ -799,6 +885,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "cdc_current_orders": _CDC_SQL,
+    "diff_order_snapshots": _DIFF_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,
     "q6_forecast_revenue": _Q6_SQL,

@@ -202,3 +202,21 @@ def test_cdc_latest_view_merge_and_tombstones(spark):
         "deleted",
     )
     assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_table_diff_statuses(spark):
+    """added/removed/changed classification, including a null-payload
+    change (the delimiter+sentinel hashing must distinguish null from
+    the string 'null')."""
+    from etl_ml_pipeline_spark.operators.relational import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k int, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "null", 4.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r.k: r.status for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
