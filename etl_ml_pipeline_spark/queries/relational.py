@@ -859,10 +859,57 @@ ORDER BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# hist_order_prices — equi-width histogram via width_bucket: one
+# map-side bucket assignment + one tiny shuffle on the bucket id; the
+# standard distribution-profiling scan. Bounds fixed (not data-derived)
+# so the bucketing is a pure projection — at 100 TB a data-derived range
+# adds one cheap min/max pre-pass, same shape as the z-order stats.
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600_000.0, 12
+
+
+def hist_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_BINS)
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# DuckDB has no width_bucket; replicate Spark's exact arithmetic:
+# 0 below range, bins+1 at/above the upper bound, else
+# floor((x - lo) / ((hi - lo)/bins)) + 1 — identical double expression.
+_HIST_SQL = f"""
+SELECT CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+            WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_BINS + 1}
+            ELSE CAST(floor((o_totalprice - {_HIST_LO})
+                            / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
     "diff_order_snapshots": diff_order_snapshots,
+    "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
     "agg_approx_distinct_parts": agg_approx_distinct_parts,
@@ -886,6 +933,7 @@ ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "cdc_current_orders": _CDC_SQL,
     "diff_order_snapshots": _DIFF_SQL,
+    "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,
     "q6_forecast_revenue": _Q6_SQL,

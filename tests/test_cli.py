@@ -126,8 +126,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 94, sorted(qs)
-    assert len(oracles) == 93, sorted(oracles)
+    assert len(qs) == 95, sorted(qs)
+    assert len(oracles) == 94, sorted(oracles)
     # the single rows-only query (HLL sketch: no exact cross-engine oracle)
     assert set(qs) - set(oracles) == {"agg_approx_distinct_parts"}
 
