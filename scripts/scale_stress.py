@@ -1,0 +1,116 @@
+"""Scale-stress experiment: run the hot operators on synthetic corpora
+10-40x the sf0.1 test data (generated from spark.range — no disk), and
+measure whether wall time scales linearly, which is the property the
+100 TB posture actually depends on. Results recorded in ROADMAP.md.
+
+Also measures the salted vs unsalted aggregate on a 90%-one-key skew —
+the case AQE alone does not fix for aggregations.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_ml_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n_rows: int, dup_every: int = 7):
+    """Synthetic documents: ~12 pseudo-random words from a 1k-word
+    vocabulary, deterministic per id; every ``dup_every``-th row is an
+    exact duplicate of the previous row."""
+    base = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (F.xxhash64(F.col("id") * 12 + j) % 1000).cast("string"),
+                )
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    # duplicate injection: dup rows copy the text of doc_id-1
+    return base.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % dup_every == 0) & (F.col("doc_id") > 0),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        (F.xxhash64((F.col("doc_id") - 1) * 12 + j) % 1000).cast(
+                            "string"
+                        ),
+                    )
+                    for j in range(12)
+                ],
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def timed(label, df):
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = time.perf_counter() - t0
+    print(f"{label:45s} {dt:7.1f}s  ({n:,} rows out)", flush=True)
+    return dt
+
+
+def main():
+    from etl_ml_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+    from etl_ml_pipeline_spark.operators.skew import salted_agg
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+
+    for n in (500_000, 2_000_000, 8_000_000):
+        docs = synth_docs(spark, n)
+        timed(f"exact_dedup n={n:,}", exact_dedup(docs, "text", "doc_id"))
+
+    for n in (250_000, 1_000_000):
+        docs = synth_docs(spark, n)
+        sigs = minhash_signatures(shingle_df(docs, "text", "doc_id"))
+        timed(f"minhash+lsh n={n:,}", lsh_candidate_pairs(sigs))
+
+    # skew: 90% of rows share one key
+    for n in (5_000_000,):
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        t0 = time.perf_counter()
+        plain = skewed.groupBy("k").agg(F.sum("v").alias("s"))
+        plain.count()
+        t_plain = time.perf_counter() - t0
+        skewed_id = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.col("id").alias("rid"),
+        )
+        t0 = time.perf_counter()
+        salted = salted_agg(skewed_id, ["k"], {"v": "sum"}, unique_col="rid", n_salt=32)
+        salted.count()
+        t_salt = time.perf_counter() - t0
+        print(f"skew n={n:,}: plain={t_plain:.1f}s salted={t_salt:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
