@@ -112,5 +112,38 @@ def main():
         print(f"skew n={n:,}: plain={t_plain:.1f}s salted={t_salt:.1f}s", flush=True)
 
 
+
+
+def ann_stress():
+    """IVF-PQ at 1M synthetic 64-d vectors: index assignment + encoding
+    + probed ADC search; the ANN-at-scale data point."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks_from_rows,
+    )
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    n = 1_000_000
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.xxhash64(F.col("id") * 64 + j) % 1000).cast("double") / 500.0
+        - 1.0,
+    )
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    centroids = emb.filter(F.col("vec_id") % 5000 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cbs = pq_codebooks_from_rows(emb, "embedding", "vec_id", m=8, k=16, id_step=31)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    timed(f"ivfpq_topk n={n:,} (200 lists, probe 1)",
+          ivfpq_topk(queries, corpus, centroids, cbs, k=5))
+
+
 if __name__ == "__main__":
-    main()
+    if "--ann" in sys.argv:
+        ann_stress()
+    else:
+        main()
