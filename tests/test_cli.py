@@ -132,6 +132,22 @@ def test_query_catalog_counts():
     assert set(qs) - set(oracles) == {"agg_approx_distinct_parts"}
 
 
+def test_never_recorded_queries_emitted_first():
+    """The driver records only a ~50-entry wall-clock prefix of queries()
+    in emission order (r1: 50/83, r2: 50/95). Entries with no green row in
+    any past CORRECTNESS_r*.json must therefore be emitted before the
+    already-recorded ones, so the union of driver runs covers the catalog."""
+    from etl_ml_pipeline_spark.queries import _DRIVER_RECORDED, all_queries
+
+    keys = list(all_queries())
+    n_front = sum(1 for k in keys if k not in _DRIVER_RECORDED)
+    assert n_front > 0
+    assert all(k not in _DRIVER_RECORDED for k in keys[:n_front])
+    assert all(k in _DRIVER_RECORDED for k in keys[n_front:])
+    # every recorded name must still exist in the catalog (no stale entries)
+    assert _DRIVER_RECORDED <= set(keys)
+
+
 def test_list_modules_surfaces_unavailable(monkeypatch):
     """Optional-module import failures must be visible in the registry
     dump, not silently absent. (In this container every optional module
