@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -38,11 +40,16 @@ _REBALANCE_MIN_BYTES_PER_CORE = 512 * 1024
 # exchange costs more than the parallelism recovers.
 _HEAVY_MIN_BYTES_PER_CORE = 16 * 1024
 
-# Sessions (by id) that already received the one-time catalog conf
-# tuning, and the per-session scan cache. Keyed by id() — sessions are
-# few and long-lived in every harness that calls this.
-_TUNED_SESSIONS: set[int] = set()
-_SCAN_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+# Per-session scan cache, keyed by the live session object itself
+# (WeakKeyDictionary): a garbage-collected session drops its entry, so a
+# recycled id() can never serve another session's cached plans. Tuning
+# state lives on the session itself as a marker conf (see _tune_session)
+# for the same reason.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, bool], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+_TUNED_MARKER = "spark.etl_ml_pipeline_spark.catalog.tuned"
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -62,9 +69,9 @@ def _tune_session(spark: SparkSession) -> None:
     a session whose conf wasn't set before its first DataFrame op is
     stuck with it; we set both the conf and the cache.
     """
-    if id(spark) in _TUNED_SESSIONS:
+    if spark.conf.get(_TUNED_MARKER, None) == "true":
         return
-    _TUNED_SESSIONS.add(id(spark))
+    spark.conf.set(_TUNED_MARKER, "true")
     try:
         import pyspark.errors.utils as _peu
 
@@ -72,9 +79,15 @@ def _tune_session(spark: SparkSession) -> None:
         _peu._enable_debugging_cache = False
     except Exception:  # noqa: BLE001 — internals moved; conf alone still helps
         pass
-    # events stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-    # read nanos as long and truncate in the projection (see t()).
+    # Harmless belt-and-braces: if an events parquet stores TIMESTAMP(NANOS)
+    # (which Spark's reader rejects outright), read nanos as int64 instead;
+    # t() then dispatches on the *actual* scanned type and only applies the
+    # nanos->micros projection when it sees a LongType ts column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session to UTC so the NTZ->timestamp re-tag in
+    # _normalize_events_ts is a pure relabeling (wall-clock preserved)
+    # and event-time windows align identically on any host/cluster tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -137,22 +150,33 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
     so even small scans fan out across all cores. At real scale the scan
     is already wide and both paths are no-ops.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long (legacy conf, set once per session
-    in _tune_session) and truncate to microseconds with integer division
-    (matches DuckDB's ns->us cast; double division would lose precision
-    on ~1.7e18 nanosecond epochs).
+    The ``events.ts`` column is normalized to a proper timestamp by
+    dispatching on the type the scan actually produced — never on an
+    assumption about physical storage (datasets get regenerated with
+    different writers; a 100 TB lake mixes encodings across partitions):
+
+    * ``TimestampType`` — already an instant: pass through untouched.
+    * ``TimestampNTZType`` (parquet ``timestamp[us/ms]`` with
+      isAdjustedToUTC=false) — re-tag as a UTC-session timestamp,
+      preserving wall-clock values (session tz is pinned to UTC in
+      _tune_session).
+    * ``LongType`` — legacy TIMESTAMP(NANOS) storage surfaced as int64 by
+      the ``nanosAsLong`` conf: truncate to microseconds with *integer*
+      division (matches DuckDB's ns->us cast; double division would lose
+      precision on ~1.7e18 nanosecond epochs) and re-type.
 
     Scans are cached per (session, sf_dir, table, heavy): a DataFrame is
     an immutable logical plan, so reuse is safe, and it saves re-reading
-    parquet footers + re-analysis on every one of the catalog's ~83
-    queries.
+    parquet footers + re-analysis on every one of the catalog's ~95
+    queries. The cache is a WeakKeyDictionary keyed by the session object,
+    so entries die with their session.
     """
     import os
 
     _tune_session(spark)
-    key = (id(spark), sf_dir, name, heavy)
-    cached = _SCAN_CACHE.get(key)
+    session_cache = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, heavy)
+    cached = session_cache.get(key)
     if cached is not None:
         return cached
 
@@ -162,15 +186,33 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
     except OSError:  # non-local path (hdfs/s3): assume big enough
         input_bytes = 1 << 40
     min_bpc = _HEAVY_MIN_BYTES_PER_CORE if heavy else _REBALANCE_MIN_BYTES_PER_CORE
+    df = spark.read.parquet(path)
     if name == "events":
-        from pyspark.sql import functions as F
-
-        df = _rebalance(
-            spark, spark.read.parquet(path), input_bytes, min_bpc
-        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(path)
-        if name in COMPUTE_HEAVY:
-            df = _rebalance(spark, df, input_bytes, min_bpc)
-    _SCAN_CACHE[key] = df
+        df = _normalize_events_ts(df)
+    if name in COMPUTE_HEAVY:
+        df = _rebalance(spark, df, input_bytes, min_bpc)
+    session_cache[key] = df
     return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a timestamp, dispatching on
+    the type the parquet scan actually produced (see t() docstring)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampType):
+        return df
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Re-tag NTZ as a session-tz timestamp. With the session pinned to
+        # UTC (see _tune_session) this preserves wall-clock values exactly
+        # while giving downstream operators the instant-typed column they
+        # expect (NTZ rejects casts to double, unix_* helpers, etc.).
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raise TypeError(
+        f"events.ts has unsupported physical type {ts_type}; expected a "
+        "parquet timestamp or legacy nanos-as-int64 storage"
+    )
