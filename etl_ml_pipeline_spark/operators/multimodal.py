@@ -3,25 +3,36 @@
 LLM-data-pipeline extension (BASELINE.json north star): media travel as
 opaque ``binary`` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``. The container has no image/audio codecs, so the
-actual decode is STUBBED — ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic md5-derived fake decode runs instead. Everything around
-the stub — schema, batch iteration, partitioning, UDF signatures — is
-real and tested; swapping in Pillow/ffmpeg later only changes the body
-of ``_decode_bytes``.
+over ``mapInPandas``.
+
+Image decode is REAL for PNG and PPM/PGM using only the stdlib + numpy:
+``_decode_png`` parses IHDR/PLTE/IDAT chunks, zlib-inflates the pixel
+stream, and inverts all five PNG scanline filters (None/Sub/Up/Average/
+Paeth) for 8-bit gray / gray+alpha / RGB / RGBA / palette images;
+``_decode_ppm`` handles binary P5/P6. Formats needing a codec library
+(JPEG/WebP/video) are not decodable here — ``_decode_bytes`` raises
+``ValueError`` on an unrecognized magic, and ``fake=True`` selects the
+deterministic md5-derived stub used by plumbing-only oracles. A tiny
+``encode_png`` (same filter set, for synthesizing valid test images)
+rounds out the pure-Python path.
 
 Scale posture: media blobs stay in executor memory one Arrow batch at a
 time (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
 bytes); no collect, no driver round-trips; derived features are small
-columns so downstream stages shed the blob via column pruning.
+columns so downstream stages shed the blob via column pruning. The
+pure-Python filter inversion is per-pixel for Sub/Average/Paeth rows —
+fine for thumbnails/metadata extraction; a production cluster would mount
+a codec library and swap only the body of ``_decode_bytes``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -48,22 +59,233 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Bytes-per-pixel channel count by PNG color type (8-bit depth).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# ITU-R BT.601 luma weights — the standard "perceived brightness" mix.
+_LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering: ``raw`` is the zlib-inflated stream
+    of ``height`` rows, each 1 filter-type byte + ``stride`` data bytes.
+    Returns the reconstructed (height, stride) uint8 array.
+
+    Up/None rows are vectorized; Sub/Average/Paeth recurse on the prior
+    pixel in the same row, so those run the per-pixel defining recurrence
+    (spec: https://www.w3.org/TR/png-3/#9Filters).
+    """
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes; expected {height * (1 + stride)}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            recon = line
+            for x in range(bpp, stride):
+                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        out[y] = recon.astype(np.uint8)
+    return out
+
+
+def _decode_png(data: bytes) -> tuple[int, int, float]:
+    """Stdlib PNG decode -> (width, height, mean_luma in [0, 1]).
+
+    Supports non-interlaced 8-bit gray (0), RGB (2), palette (3),
+    gray+alpha (4), RGBA (6). Alpha is ignored for luma (features, not
+    compositing)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, bitdepth, colortype = 8, None, None, None, None
+    idat: list[bytes] = []
+    palette: np.ndarray | None = None
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            if bitdepth != 8:
+                raise ValueError(f"only 8-bit PNG supported, got bit depth {bitdepth}")
+            if colortype not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {colortype}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    bpp = _PNG_CHANNELS[colortype]
+    px = _png_unfilter(zlib.decompress(b"".join(idat)), height, width * bpp, bpp)
+    px = px.reshape(height, width, bpp)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = palette[px[:, :, 0]].astype(np.float64)
+        luma = _LUMA_R * rgb[:, :, 0] + _LUMA_G * rgb[:, :, 1] + _LUMA_B * rgb[:, :, 2]
+    elif colortype in (2, 6):
+        f = px.astype(np.float64)
+        luma = _LUMA_R * f[:, :, 0] + _LUMA_G * f[:, :, 1] + _LUMA_B * f[:, :, 2]
+    else:  # gray / gray+alpha: channel 0 IS luma
+        luma = px[:, :, 0].astype(np.float64)
+    return int(width), int(height), float(luma.mean() / 255.0)
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, float]:
+    """Binary netpbm decode (P5 = PGM gray, P6 = PPM RGB) ->
+    (width, height, mean_luma in [0, 1])."""
+    # Header: magic, width, height, maxval as whitespace/comment-separated
+    # tokens, then a single whitespace byte before the raster.
+    tokens: list[bytes] = []
+    pos = 2  # past the P5/P6 magic
+    while len(tokens) < 3 and pos < len(data):
+        ch = data[pos : pos + 1]
+        if ch == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(data[start:pos])
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if data[:2] == b"P6" else 1
+    raster = np.frombuffer(data, np.uint8, width * height * channels, pos)
+    px = raster.reshape(height, width, channels).astype(np.float64)
+    if channels == 3:
+        luma = _LUMA_R * px[:, :, 0] + _LUMA_G * px[:, :, 1] + _LUMA_B * px[:, :, 2]
+    else:
+        luma = px[:, :, 0]
+    return width, height, float(luma.mean() / maxval)
+
+
 def _decode_bytes(data: bytes, fake: bool) -> tuple[int, int, float]:
     """Decode an image blob -> (width, height, mean_luma).
 
-    Real decode requires an image codec (Pillow / libvips) which is not
-    in this container. The fake path derives deterministic pseudo-
-    dimensions from the content hash so tests and oracles can pin it:
-    width = 1 + (h mod 64), height = 1 + (h mod 48), luma = (h mod 256)/255
-    where h = first 15 md5 hex chars as an integer.
+    Real path: dispatch on magic bytes — PNG and binary netpbm (P5/P6)
+    decode with the stdlib; anything else (JPEG/WebP/...) needs a codec
+    library this container lacks and raises ``ValueError``.
+
+    Fake path (``fake=True``): deterministic md5-derived pseudo-decode
+    used by plumbing-only oracles: width = 1 + (h mod 64), height =
+    1 + (h mod 48), luma = (h mod 256)/255, h = first 15 md5 hex chars.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decode needs a codec library (Pillow/libvips) not present "
-            "in this environment; pass fake=True for the deterministic stub"
+        if data[:8] == _PNG_MAGIC:
+            return _decode_png(data)
+        if data[:2] in (b"P5", b"P6"):
+            return _decode_ppm(data)
+        raise ValueError(
+            f"unsupported image format (magic {data[:4]!r}); this environment "
+            "decodes PNG and binary netpbm only"
         )
     h = int(hashlib.md5(data).hexdigest()[:15], 16)
     return 1 + h % 64, 1 + h % 48, (h % 256) / 255.0
+
+
+def encode_png(pixels: np.ndarray, color_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced) for synthesizing valid
+    test/catalog images without a codec library. ``pixels`` is uint8 with
+    shape (h, w) for gray or (h, w, channels) matching ``color_type``.
+
+    Rows cycle through all five filter types (y mod 5) so a round-trip
+    exercises every de-filter branch — deliberately, not for compression.
+    """
+    if color_type == 3:
+        raise ValueError("encoder does not emit PLTE chunks; use gray (0) or RGB (2)")
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    if channels != _PNG_CHANNELS[color_type]:
+        raise ValueError(
+            f"color type {color_type} needs {_PNG_CHANNELS[color_type]} "
+            f"channels, got {channels}"
+        )
+    flat = arr.reshape(height, width * channels).astype(np.int32)
+    bpp = channels
+    stream = bytearray()
+    for y in range(height):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(row)
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        stream.append(ftype)
+        stream.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def attach_media_meta(

@@ -677,10 +677,13 @@ ORDER BY o_orderstatus
 # scale move for count-distinct at 100 TB: the exact two-phase distinct
 # expands rows (see agg_distinct_parts); the sketch is a fixed-size,
 # mergeable state flowing through a normal partial aggregation — no
-# expand, no second shuffle. No oracle entry: DuckDB's approx_distinct
-# uses a different sketch, so cross-engine hashes can't match (driver
-# records the weaker rows-only check); the relative-error contract is
-# pinned by tests/test_oracle_parity.py::test_approx_distinct_error_bound.
+# expand, no second shuffle. DuckDB's approx_distinct uses a different
+# sketch, so the raw estimate can't hash-match cross-engine; instead the
+# compared output carries the error-bound CONTRACT as data: within_5pct =
+# |approx - exact| <= 5% * exact, which the oracle asserts as literal
+# TRUE (Spark's HLL++ is deterministic for fixed input, so the boolean is
+# stable). The absolute estimate is additionally pinned by
+# tests/test_oracle_parity.py::test_approx_distinct_error_bound.
 # ---------------------------------------------------------------------------
 
 
@@ -701,7 +704,28 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("exact_parts"))
     )
-    return approx.join(exact, "l_suppkey").orderBy("l_suppkey")
+    return (
+        approx.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT l_suppkey,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -942,6 +966,7 @@ ORACLES = {
     "join_semi_active_customers": _SEMI_SQL,
     "join_anti_inactive_customers": _ANTI_SQL,
     "agg_distinct_parts": _DISTINCT_SQL,
+    "agg_approx_distinct_parts": _APPROX_DISTINCT_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "set_repeat_customers": _INTERSECT_SQL,
     "set_lapsed_customers": _EXCEPT_SQL,

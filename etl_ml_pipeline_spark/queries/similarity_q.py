@@ -267,6 +267,63 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_png_decode — REAL image decode, end to end and distributed:
+# each doc gets a deterministic gradient PNG synthesized executor-side
+# (stdlib encoder, rows cycling all five PNG filters), then decoded back
+# through the fake=False mapInPandas path (zlib inflate + de-filtering).
+# Geometry uses odd dimensions (w = 1+2*(id%8), h = 1+2*(id%6)) and pixel
+# value base + x + y (< 256, no wrap), so mean luma * 255 is the exact
+# integer base + (id%8) + (id%6) — both engines compute int/255.0 and the
+# doubles match bit-for-bit, no rounding fudge needed.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        decode_image_features,
+        encode_png,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    def gen_png(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 1 + 2 * (d % 8), 1 + 2 * (d % 6)
+                px = (np.add.outer(np.arange(h), np.arange(w)) + d % 100).astype(
+                    np.uint8
+                )
+                media.append(encode_png(px, color_type=0))
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    with_media = docs.mapInPandas(gen_png, schema="doc_id: long, media: binary")
+    decoded = decode_image_features(with_media, "media", fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        F.col("img.mean_luma").alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+_PNG_DECODE_SQL = """
+SELECT doc_id,
+       CAST(1 + 2 * (doc_id % 8) AS INT) AS width,
+       CAST(1 + 2 * (doc_id % 6) AS INT) AS height,
+       ((doc_id % 100) + (doc_id % 8) + (doc_id % 6)) / 255.0 AS mean_luma
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_ivf_topk — IVF ANN: deterministic coarse centroids (every 50th
 # vector), broadcast argmin assignment, probe-1 candidate lists, exact
 # rerank. Fully oracle-checked: the quantizer is data-deterministic, so
@@ -606,6 +663,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_png_decode": multimodal_png_decode,
 }
 
 ORACLES = {
@@ -618,4 +676,5 @@ ORACLES = {
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": _IVF_SQL,
     "multimodal_image_features": _MULTIMODAL_SQL,
+    "multimodal_png_decode": _PNG_DECODE_SQL,
 }

@@ -126,26 +126,36 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 95, sorted(qs)
-    assert len(oracles) == 94, sorted(oracles)
-    # the single rows-only query (HLL sketch: no exact cross-engine oracle)
-    assert set(qs) - set(oracles) == {"agg_approx_distinct_parts"}
+    assert len(qs) == 96, sorted(qs)
+    assert len(oracles) == 96, sorted(oracles)
+    # every catalog entry is oracle-checkable (the HLL sketch query carries
+    # its error-bound contract as a boolean the oracle asserts literally)
+    assert set(qs) - set(oracles) == set()
 
 
-def test_never_recorded_queries_emitted_first():
+def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order (r1: 50/83, r2: 50/95). Entries with no green row in
-    any past CORRECTNESS_r*.json must therefore be emitted before the
-    already-recorded ones, so the union of driver runs covers the catalog."""
-    from etl_ml_pipeline_spark.queries import _DRIVER_RECORDED, all_queries
+    in emission order, so emission is triaged: never-green entries first,
+    then entries whose latest recorded run failed, then proven ones."""
+    from etl_ml_pipeline_spark.queries import (
+        _DRIVER_GREEN,
+        _LATEST_FAILED,
+        all_queries,
+    )
 
     keys = list(all_queries())
-    n_front = sum(1 for k in keys if k not in _DRIVER_RECORDED)
-    assert n_front > 0
-    assert all(k not in _DRIVER_RECORDED for k in keys[:n_front])
-    assert all(k in _DRIVER_RECORDED for k in keys[n_front:])
-    # every recorded name must still exist in the catalog (no stale entries)
-    assert _DRIVER_RECORDED <= set(keys)
+
+    def group(k):
+        if k not in _DRIVER_GREEN:
+            return 0
+        return 1 if k in _LATEST_FAILED else 2
+
+    groups = [group(k) for k in keys]
+    assert groups == sorted(groups)
+    assert groups[0] == 0  # at least one never-green entry leads
+    # every triage name must still exist in the catalog (no stale entries)
+    assert _DRIVER_GREEN <= set(keys)
+    assert _LATEST_FAILED <= set(keys)
 
 
 def test_list_modules_surfaces_unavailable(monkeypatch):

@@ -1,0 +1,145 @@
+"""Real (stdlib) PNG / netpbm decode tests for the multimodal operators.
+
+The encoder deliberately cycles all five PNG scanline filters per row, so
+an encode->decode round trip exercises every de-filter branch
+(None/Sub/Up/Average/Paeth) — the part of a pure-Python PNG reader that
+actually goes wrong.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_ml_pipeline_spark.operators.multimodal import (
+    _decode_bytes,
+    _decode_png,
+    _decode_ppm,
+    decode_image_features,
+    encode_png,
+)
+
+rng = np.random.default_rng(42)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_png_gray_roundtrip_all_filters():
+    # 7 rows -> filter types 0,1,2,3,4,0,1 all hit.
+    px = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    w, h, luma = _decode_png(encode_png(px, color_type=0))
+    assert (w, h) == (11, 7)
+    assert luma == pytest.approx(px.mean() / 255.0, abs=1e-12)
+
+
+def test_png_rgb_roundtrip_luma_weights():
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    w, h, luma = _decode_png(encode_png(px, color_type=2))
+    f = px.astype(np.float64)
+    expect = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]).mean() / 255
+    assert (w, h) == (5, 6)
+    assert luma == pytest.approx(expect, abs=1e-12)
+
+
+def test_png_rgba_alpha_ignored():
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    _, _, luma_rgba = _decode_png(encode_png(np.dstack([rgb, alpha]), color_type=6))
+    _, _, luma_rgb = _decode_png(encode_png(rgb, color_type=2))
+    assert luma_rgba == pytest.approx(luma_rgb, abs=1e-12)
+
+
+def test_png_gray_alpha():
+    gray = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    alpha = np.full((4, 3, 1), 7, dtype=np.uint8)
+    _, _, luma = _decode_png(encode_png(np.dstack([gray, alpha]), color_type=4))
+    assert luma == pytest.approx(gray.mean() / 255.0, abs=1e-12)
+
+
+def test_png_palette():
+    # Handcrafted 2x2 palette image: indices into a 3-color PLTE.
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    stream = b"".join(b"\x00" + row.tobytes() for row in idx)  # filter 0 rows
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, luma = _decode_png(data)
+    rgb = palette[idx].astype(np.float64)
+    expect = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]).mean() / 255
+    assert (w, h, luma) == (2, 2, pytest.approx(expect, abs=1e-12))
+
+
+def test_ppm_p6_and_pgm_p5():
+    rgb = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    p6 = b"P6\n# a comment\n4 3\n255\n" + rgb.tobytes()
+    w, h, luma = _decode_ppm(p6)
+    f = rgb.astype(np.float64)
+    expect = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]).mean() / 255
+    assert (w, h) == (4, 3)
+    assert luma == pytest.approx(expect, abs=1e-12)
+
+    gray = rng.integers(0, 256, size=(2, 5), dtype=np.uint8)
+    p5 = b"P5 5 2 255 " + gray.tobytes()
+    assert _decode_ppm(p5) == (5, 2, pytest.approx(gray.mean() / 255.0, abs=1e-12))
+
+
+def test_decode_bytes_dispatch_and_errors():
+    px = np.zeros((2, 2), dtype=np.uint8)
+    assert _decode_bytes(encode_png(px), fake=False)[:2] == (2, 2)
+    assert _decode_bytes(b"P5 2 2 255 \x00\x00\x00\x00", fake=False)[:2] == (2, 2)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        _decode_bytes(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
+    with pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+
+def test_png_truncated_stream_rejected():
+    good = encode_png(np.zeros((3, 3), dtype=np.uint8))
+    # Corrupt the IDAT payload length by rebuilding with a short stream.
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))  # 1 row missing 2
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(good)[:2] == (3, 3)
+    with pytest.raises(ValueError, match="pixel stream"):
+        _decode_png(bad)
+
+
+def test_decode_image_features_spark_real(spark):
+    """Distributed real decode: encode gradient PNGs driver-side, decode
+    through the mapInPandas path with fake=False."""
+    rows = []
+    for i in range(20):
+        w, h = 1 + i % 6, 1 + i % 4
+        base = i % 100
+        px = np.add.outer(np.arange(h), np.arange(w)) + base  # < 256, no wrap
+        rows.append((i, bytearray(encode_png(px.astype(np.uint8)))))
+    df = spark.createDataFrame(rows, "doc_id: long, media: binary")
+    out = decode_image_features(df, "media", fake=False).select(
+        "doc_id", "img.width", "img.height", "img.mean_luma"
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i in range(20):
+        w, h = 1 + i % 6, 1 + i % 4
+        expect = (i % 100 + (w - 1) / 2 + (h - 1) / 2) / 255.0
+        assert got[i]["width"] == w and got[i]["height"] == h
+        assert got[i]["mean_luma"] == pytest.approx(expect, abs=1e-12)

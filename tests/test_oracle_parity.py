@@ -34,11 +34,31 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 
 def test_approx_distinct_error_bound(spark, sf_dir):
     """HLL++ sketch (rsd=0.02) stays within 3x the configured relative
-    error of the exact count on every group (no DuckDB oracle possible —
-    different sketch algorithms)."""
-    rows = _QUERIES["agg_approx_distinct_parts"](spark, sf_dir).collect()
-    assert rows
-    for r in rows:
+    error of the exact count on every group. The catalog query's compared
+    output carries the 5% contract as a boolean (the raw estimate can't
+    hash-match DuckDB's different sketch); here we also pin the raw
+    estimate against the exact count, independently of that projection."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    out = _QUERIES["agg_approx_distinct_parts"](spark, sf_dir).collect()
+    assert out and all(r["within_5pct"] for r in out)
+
+    li = t(spark, sf_dir, "lineitem")
+    raw = (
+        li.groupBy("l_suppkey")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .join(
+            li.select("l_suppkey", "l_partkey")
+            .distinct()
+            .groupBy("l_suppkey")
+            .agg(F.count("*").alias("exact_parts")),
+            "l_suppkey",
+        )
+        .collect()
+    )
+    for r in raw:
         exact, approx = r["exact_parts"], r["approx_parts"]
         assert abs(approx - exact) <= max(3, 0.06 * exact), (
             f"suppkey {r['l_suppkey']}: approx {approx} vs exact {exact}"
