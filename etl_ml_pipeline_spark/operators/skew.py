@@ -46,48 +46,51 @@ def _salt(unique_col: str, n_salt: int) -> Column:
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, str],
+    aggs: dict[str, str | list[str]],
     unique_col: str,
     n_salt: int = 16,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
-    ``aggs`` maps column -> fn ("sum" | "count" | "min" | "max" |
-    "avg"); output columns are ``{fn}_{col}``. ``unique_col`` seeds the
-    deterministic salt (any roughly-uniform column works; a row id is
-    ideal).
+    ``aggs`` maps column -> fn or list of fns ("sum" | "count" | "min" |
+    "max" | "avg"); output columns are ``{fn}_{col}``. ``unique_col``
+    seeds the deterministic salt (any roughly-uniform column works; a
+    row id is ideal).
     """
-    fns = dict(aggs)
-    needs_avg = [c for c, fn in fns.items() if fn == "avg"]
-    for c in needs_avg:
-        fns.pop(c)
-        fns[c] = "sum"
-        # avg = combined sum / combined count; track both
-    stage1_aggs = []
-    for c, fn in fns.items():
-        if fn not in _ALGEBRAIC:
-            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
-        stage1_aggs.append(getattr(F, fn)(c).alias(f"__p_{fn}_{c}"))
-    for c in needs_avg:
-        stage1_aggs.append(F.count(c).alias(f"__p_cnt_{c}"))
+    pairs: list[tuple[str, str]] = []
+    for c, fn in aggs.items():
+        for f in [fn] if isinstance(fn, str) else fn:
+            if f != "avg" and f not in _ALGEBRAIC:
+                raise ValueError(f"non-algebraic aggregate {f!r} cannot be salted")
+            pairs.append((c, f))
+
+    # Partial states needed per (col, algebraic fn); avg decomposes into
+    # sum + count partials combined as sum/count at the end.
+    need: dict[tuple[str, str], None] = {}
+    for c, fn in pairs:
+        if fn == "avg":
+            need[(c, "sum")] = None
+            need[(c, "count")] = None
+        else:
+            need[(c, fn)] = None
 
     stage1 = (
         df.withColumn("__salt", _salt(unique_col, n_salt))
         .groupBy(*keys, "__salt")
-        .agg(*stage1_aggs)
+        .agg(*[getattr(F, fn)(c).alias(f"__p_{fn}_{c}") for (c, fn) in need])
     )
-
-    stage2_aggs = [
-        _COMBINE[fn](f"__p_{fn}_{c}").alias(f"{aggs[c]}_{c}" if aggs[c] != "avg" else f"sum_{c}")
-        for c, fn in fns.items()
-    ]
-    stage2_aggs += [F.sum(f"__p_cnt_{c}").alias(f"__cnt_{c}") for c in needs_avg]
-    out = stage1.groupBy(*keys).agg(*stage2_aggs)
-    for c in needs_avg:
-        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col(f"__cnt_{c}")).drop(
-            f"__cnt_{c}", f"sum_{c}"
-        )
-    return out
+    combined = stage1.groupBy(*keys).agg(
+        *[_COMBINE[fn](f"__p_{fn}_{c}").alias(f"__c_{fn}_{c}") for (c, fn) in need]
+    )
+    out_cols = [F.col(k) for k in keys]
+    for c, fn in pairs:
+        if fn == "avg":
+            out_cols.append(
+                (F.col(f"__c_sum_{c}") / F.col(f"__c_count_{c}")).alias(f"avg_{c}")
+            )
+        else:
+            out_cols.append(F.col(f"__c_{fn}_{c}").alias(f"{fn}_{c}"))
+    return combined.select(*out_cols)
 
 
 def salted_join(

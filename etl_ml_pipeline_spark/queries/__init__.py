@@ -32,6 +32,7 @@ _MODULES = (
     "sampling_q",
     "ml_q",
     "asof_q",
+    "skew_q",
 )
 
 # Queries with a GREEN row in some past driver correctness run

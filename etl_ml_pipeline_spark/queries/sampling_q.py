@@ -169,6 +169,10 @@ ORDER BY p.lang
 # doc_id order, to fixed token-budget packs (pack = the bin where the
 # document's starting token offset lands). The LLM-training prep step
 # that turns a corpus into near-constant-length training sequences.
+# NOTE: this variant bin-LABELS whole documents — a doc with
+# n_tok > _PACK_BUDGET overflows the pack it starts in (by design: docs
+# stay whole). For strict capacity semantics use
+# pack_documents_capacity below, which splits at pack boundaries.
 # Scale: the cumulative token offset uses the two-phase distributed
 # prefix sum (operators.relational.global_running_sum) — exact long
 # arithmetic, no single-task window.
@@ -223,10 +227,99 @@ ORDER BY pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# pack_documents_capacity — capacity-RESPECTING sequence packing: the
+# token stream is cut at exact pack boundaries, so every pack holds
+# exactly _PACK_BUDGET tokens (except the final partial) and a document
+# longer than the budget spans multiple packs (the standard concat-and-
+# chunk LLM pretraining layout). Contrast pack_documents_budget, which
+# bin-LABELS whole docs by starting offset and lets a long doc overflow
+# its pack.
+#
+# Scale: same two-phase distributed prefix sum for the global offset,
+# then each doc explodes into only the packs its token span touches
+# (ceil(n_tok/budget)+1 at most) — no per-pack sequential state, no
+# driver loop; DuckDB replays it with generate_series.
+# ---------------------------------------------------------------------------
+
+
+def pack_documents_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    B = _PACK_BUDGET
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    cum = global_running_sum(docs, "n_tok", ["doc_id"], "cum_tok")
+    spans = cum.select(
+        "doc_id",
+        "n_tok",
+        (F.col("cum_tok") - F.col("n_tok")).alias("s"),  # [s, e) token span
+        F.col("cum_tok").alias("e"),
+    )
+    exploded = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr(f"s div {B}"), F.expr(f"(e - 1) div {B}"))
+        ).alias("pack_id"),
+    )
+    tok_in_pack = F.least(F.col("e"), (F.col("pack_id") + 1) * B) - F.greatest(
+        F.col("s"), F.col("pack_id") * B
+    )
+    return (
+        exploded.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tok_in_pack).alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_PACK_CAPACITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tok
+  FROM toks WHERE n_tok > 0
+),
+spans AS (
+  SELECT doc_id, cum_tok - n_tok AS s, cum_tok AS e FROM cum
+),
+exploded AS (
+  SELECT doc_id, s, e, gs.p AS pack_id
+  FROM spans, LATERAL unnest(generate_series(s // {_PACK_BUDGET},
+                                             (e - 1) // {_PACK_BUDGET})) gs(p)
+)
+SELECT pack_id,
+       count(*) AS n_docs,
+       CAST(sum(least(e, (pack_id + 1) * {_PACK_BUDGET})
+                - greatest(s, pack_id * {_PACK_BUDGET})) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM exploded
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
+    "pack_documents_capacity": pack_documents_capacity,
     "sample_mixture_lang": sample_mixture_lang,
 }
 
@@ -234,5 +327,6 @@ ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
+    "pack_documents_capacity": _PACK_CAPACITY_SQL,
     "sample_mixture_lang": _mixture_oracle(),
 }

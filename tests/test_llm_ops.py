@@ -581,3 +581,37 @@ def test_quality_model_score_transform_gates(spark):
     # no weights -> loud config error
     with pytest.raises(ValueError, match="weights"):
         QualityModelScore({})(df)
+
+
+def test_pack_capacity_splits_overflowing_docs(spark, tmp_path):
+    """pack_documents_capacity: a document longer than the budget is cut
+    at pack boundaries — every pack carries exactly _PACK_BUDGET tokens
+    except the final partial (the silent-overflow failure mode of the
+    bin-labeling variant cannot occur)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ml_pipeline_spark.queries.sampling_q import (
+        _PACK_BUDGET,
+        pack_documents_capacity,
+    )
+
+    n_toks = [100, 1200, 300]  # doc 2 overflows a 512-token pack 2.3x
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, 4), type=pa.int64()),
+            "text": pa.array(["w " * n for n in n_toks]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    rows = {r["pack_id"]: r for r in pack_documents_capacity(spark, str(tmp_path)).collect()}
+    total = sum(n_toks)
+    assert sorted(rows) == [0, 1, 2, 3]
+    for p, r in rows.items():
+        expect = _PACK_BUDGET if p < 3 else total - 3 * _PACK_BUDGET
+        assert r["pack_tokens"] == expect, (p, r)
+    # the 1200-token doc spans packs 0..2; doc 3 spans 2..3
+    assert rows[0]["n_docs"] == 2 and rows[1]["n_docs"] == 1
+    assert rows[2]["n_docs"] == 2 and rows[3]["n_docs"] == 1
+    assert rows[1]["first_doc"] == rows[1]["last_doc"] == 2

