@@ -11,10 +11,12 @@ indicator families, drops rolling-warmup rows). Re-expressed Spark-first:
   partial-frame mean; Pandas returns NaN — SURVEY.md §4.2).
 - RSI (Wilder smoothing) and MACD (span EWMAs) are *recursive* — state
   carried row to row — which no SQL window frame expresses. They run as
-  Arrow-batched ``applyInPandas`` per series key: each key's rows are
-  sorted within its group and the standard public formulas (Wilder 1978
-  RSI; Appel MACD 12/26/9, ``adjust=False`` EWMA recurrence
-  y[t] = (1-a)*y[t-1] + a*x[t]) are computed vectorized in pandas.
+  repartition-by-key + Arrow-batched ``mapInPandas`` over whole
+  partitions, with pandas ``GroupBy.ewm`` applying the standard public
+  formulas (Wilder 1978 RSI; Appel MACD 12/26/9, ``adjust=False`` EWMA
+  recurrence y[t] = (1-a)*y[t-1] + a*x[t]) across every series in the
+  partition in one Cython pass (see add_rsi_macd for why not
+  per-group applyInPandas).
 
 Scale: everything is keyed by ``series_col`` (symbol/user) — each series
 must fit one executor's memory (time-series length, not dataset width);
@@ -78,34 +80,62 @@ def add_rsi_macd(
     macd_slow: int = 26,
     macd_signal: int = 9,
 ) -> DataFrame:
-    """RSI + MACD via per-series applyInPandas (the one stateful scalar op)."""
+    """RSI + MACD — the one stateful scalar op (recursive EWMAs).
+
+    Executed as repartition-by-series + ``mapInPandas`` over whole
+    partitions, NOT per-group ``applyInPandas``: applyInPandas makes one
+    Python call per GROUP, and with many short series (150k users at our
+    sf1 sweep) the ~0.2 ms/call interpreter overhead dominates — measured
+    34s -> a few seconds switching to one call per partition with
+    pandas ``GroupBy.ewm`` (Cython across all groups, bit-identical
+    recurrence to per-group ``Series.ewm``).
+
+    Memory contract: one shuffle PARTITION (not one group) must fit in
+    executor memory — size it via spark.sql.shuffle.partitions; each
+    group still lands wholly in one partition via the hash repartition.
+    """
     out_cols = [f"rsi_{rsi_n}", "macd", "macd_signal", "macd_histogram"]
     schema = _ewm_kernel_schema(df.schema, out_cols)
+    col_names = [f.name for f in df.schema.fields] + out_cols
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    def kernel(batches) -> "pd.DataFrame":
+        parts = list(batches)  # whole partition: groups must not split
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values([series_col, order_col]).reset_index(drop=True)
         close = pd.to_numeric(pdf[value_col], errors="coerce")
+        keys = pdf[series_col]
+
+        def gewm(s: pd.Series, **kw) -> pd.Series:
+            return (
+                s.groupby(keys, sort=False)
+                .ewm(adjust=False, **kw)
+                .mean()
+                .reset_index(level=0, drop=True)
+                .sort_index()
+            )
 
         # Wilder RSI: smoothed gains/losses with alpha=1/n, warmup n
-        delta = close.diff()
+        delta = close.groupby(keys, sort=False).diff()
         gain = delta.clip(lower=0.0)
         loss = -delta.clip(upper=0.0)
-        avg_gain = gain.ewm(alpha=1.0 / rsi_n, min_periods=rsi_n, adjust=False).mean()
-        avg_loss = loss.ewm(alpha=1.0 / rsi_n, min_periods=rsi_n, adjust=False).mean()
+        avg_gain = gewm(gain, alpha=1.0 / rsi_n, min_periods=rsi_n)
+        avg_loss = gewm(loss, alpha=1.0 / rsi_n, min_periods=rsi_n)
         rs = avg_gain / avg_loss
         pdf[f"rsi_{rsi_n}"] = 100.0 - 100.0 / (1.0 + rs)
 
         # MACD: span EWMAs defined from row 0 (no warmup)
-        ema_fast = close.ewm(span=macd_fast, adjust=False).mean()
-        ema_slow = close.ewm(span=macd_slow, adjust=False).mean()
+        ema_fast = gewm(close, span=macd_fast)
+        ema_slow = gewm(close, span=macd_slow)
         macd = ema_fast - ema_slow
-        signal = macd.ewm(span=macd_signal, adjust=False).mean()
+        signal = gewm(macd, span=macd_signal)
         pdf["macd"] = macd
         pdf["macd_signal"] = signal
         pdf["macd_histogram"] = macd - signal
-        return pdf
+        yield pdf[col_names]
 
-    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
+    return df.repartition(series_col).mapInPandas(kernel, schema=schema)
 
 
 @register_transform("technical_indicators")

@@ -214,8 +214,9 @@ ORDER BY user_id, event_id
 
 
 # ---------------------------------------------------------------------------
-# rsi_macd_events — recursive EWMAs via applyInPandas; oracle below
-# replays the recursion in a DuckDB RECURSIVE CTE.
+# rsi_macd_events — recursive EWMAs via partition-batched mapInPandas
+# (GroupBy.ewm); oracle below replays the recursion in a DuckDB
+# RECURSIVE CTE.
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,98 @@
+"""Synthesize an sf1-scale test directory (10x sf0.1) by key-shifted
+replication, for the scale sweep the driver's testdata doesn't ship.
+
+Each replica i shifts every key family by i * (max_key + 1), applied
+consistently across fact and dimension tables so join hit rates and
+group cardinalities scale the way real data would (10x customers, 10x
+orders per the same nation/region dims). Document text gets a
+replica-specific suffix token so dedup statistics stay sf0.1-like
+instead of collapsing into 10-way exact-duplicate clusters; embeddings
+replicate as-is (ANN list sizes scale linearly either way).
+
+Usage: python scripts/make_sf1.py [out_dir]   (default /root/repo/.sf1)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from etl_ml_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+N_REPLICAS = 10
+
+# table -> {column: key_family}; every column in a family shifts by the
+# same stride so cross-table references stay aligned.
+_SHIFTS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "cust"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+_COPY_ONLY = ("region", "nation")  # dims stay single-copy
+
+
+def _strides(spark) -> dict[str, int]:
+    probe = {
+        "cust": ("customer", "c_custkey"),
+        "order": ("orders", "o_orderkey"),
+        "part": ("part", "p_partkey"),
+        "supp": ("supplier", "s_suppkey"),
+        "event": ("events", "event_id"),
+        "doc": ("documents", "doc_id"),
+        "vec": ("embeddings", "vec_id"),
+    }
+    out = {}
+    for fam, (tbl, col) in probe.items():
+        out[fam] = (
+            spark.read.parquet(f"{SRC}/{tbl}.parquet")
+            .agg(F.max(col).cast("long"))
+            .first()[0]
+            + 1
+        )
+    return out
+
+
+def _replicate(df: DataFrame, shifts: dict[str, str], strides: dict[str, int]) -> DataFrame:
+    rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(N_REPLICAS - 1))))
+    for col, fam in shifts.items():
+        rep = rep.withColumn(col, F.col(col) + F.col("__r") * F.lit(strides[fam]))
+    if "text" in df.columns:
+        rep = rep.withColumn(
+            "text",
+            F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("__r").cast("string"))
+            ),
+        )
+    return rep.drop("__r")
+
+
+def main(out_dir: str) -> None:
+    spark = get_spark(app_name="make_sf1")
+    strides = _strides(spark)
+    print("strides:", strides)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for tbl in _COPY_ONLY:
+        spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode("overwrite").parquet(
+            str(out / f"{tbl}.parquet")
+        )
+    for tbl, shifts in _SHIFTS.items():
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        _replicate(df, shifts, strides).repartition(8).write.mode("overwrite").parquet(
+            str(out / f"{tbl}.parquet")
+        )
+        print(tbl, "written")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1")
