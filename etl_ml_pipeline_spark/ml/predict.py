@@ -224,33 +224,72 @@ def run_prediction(
     return {"metrics": metrics, "importances": importances}
 
 
+def _importance_svg(importances: list[tuple[str, float]]) -> str:
+    """Dependency-free horizontal-bar chart as an SVG document string."""
+    from xml.sax.saxutils import escape
+
+    width, bar_h, gap, label_w, pad = 640, 26, 10, 170, 16
+    chart_w = width - label_w - 2 * pad - 70  # leave room for value labels
+    height = 2 * pad + len(importances) * (bar_h + gap) - gap + 24
+    max_w = max((w for _, w in importances), default=0.0) or 1.0
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="sans-serif" font-size="13">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+    ]
+    for i, (name, w) in enumerate(importances):
+        y = pad + i * (bar_h + gap)
+        bw = max(1.0, chart_w * (w / max_w))
+        parts += [
+            f'<text x="{label_w - 6}" y="{y + bar_h / 2 + 4}" '
+            f'text-anchor="end">{escape(str(name))}</text>',
+            f'<rect x="{label_w}" y="{y}" width="{bw:.1f}" height="{bar_h}" '
+            f'fill="#4878a8"/>',
+            f'<text x="{label_w + bw + 6:.1f}" y="{y + bar_h / 2 + 4}">'
+            f"{w:.4f}</text>",
+        ]
+    parts.append(
+        f'<text x="{label_w + chart_w / 2}" y="{height - 6}" '
+        f'text-anchor="middle" fill="#555">importance</text>'
+    )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def plot_importance(
     importances: list[tuple[str, float]],
-    out_path: str = "feature_importance.png",
+    out_path: str = "feature_importance.svg",
 ) -> str:
     """Horizontal-bar importance plot (M6, reference predict.py:75-93).
 
-    matplotlib is an optional dependency (not in this container); the
-    ranked list from ``feature_importances`` is the data product and the
-    plot is presentation-only, so this raises NotImplementedError with a
-    clear message when matplotlib is absent instead of failing at import.
+    The native renderer emits SVG with no dependencies (this container
+    has no matplotlib), so the presentation artifact always materializes.
+    When ``out_path`` requests a raster format (.png/.jpg/...),
+    matplotlib is used if importable; otherwise the chart falls back to
+    SVG alongside the requested path (extension swapped) rather than
+    failing — the ranked list is the data product, the plot must not
+    block a pipeline.
     """
-    try:
-        import matplotlib
-    except ImportError as exc:
-        raise NotImplementedError(
-            "matplotlib is not installed; install it to render the "
-            "importance plot, or consume the (feature, weight) list directly"
-        ) from exc
-    matplotlib.use("Agg")  # pragma: no cover - needs matplotlib
-    import matplotlib.pyplot as plt  # pragma: no cover
+    if not importances:
+        raise ValueError("importances is empty; nothing to plot")
+    if not out_path.endswith(".svg"):
+        try:
+            import matplotlib
 
-    names = [n for n, _ in reversed(importances)]  # pragma: no cover
-    weights = [w for _, w in reversed(importances)]  # pragma: no cover
-    fig, ax = plt.subplots(figsize=(8, 4))  # pragma: no cover
-    ax.barh(names, weights)  # pragma: no cover
-    ax.set_xlabel("importance")  # pragma: no cover
-    fig.tight_layout()  # pragma: no cover
-    fig.savefig(out_path)  # pragma: no cover
-    plt.close(fig)  # pragma: no cover
-    return out_path  # pragma: no cover
+            matplotlib.use("Agg")  # pragma: no cover - needs matplotlib
+            import matplotlib.pyplot as plt  # pragma: no cover
+
+            names = [n for n, _ in reversed(importances)]  # pragma: no cover
+            weights = [w for _, w in reversed(importances)]  # pragma: no cover
+            fig, ax = plt.subplots(figsize=(8, 4))  # pragma: no cover
+            ax.barh(names, weights)  # pragma: no cover
+            ax.set_xlabel("importance")  # pragma: no cover
+            fig.tight_layout()  # pragma: no cover
+            fig.savefig(out_path)  # pragma: no cover
+            plt.close(fig)  # pragma: no cover
+            return out_path  # pragma: no cover
+        except ImportError:
+            out_path = out_path.rsplit(".", 1)[0] + ".svg"
+    with open(out_path, "w", encoding="utf-8") as fh:
+        fh.write(_importance_svg(importances))
+    return out_path

@@ -86,11 +86,33 @@ def test_run_prediction_end_to_end(features_df):
     assert out["metrics"]["ridge"]["mean_rmse"] > 0
 
 
-def test_plot_importance_gated_without_matplotlib():
+def test_plot_importance_renders_svg(tmp_path):
+    """The native SVG renderer materializes the presentation artifact
+    with no plotting dependency: one bar + label per feature, widths
+    proportional to weight."""
     from etl_ml_pipeline_spark.ml.predict import plot_importance
 
-    with pytest.raises(NotImplementedError, match="matplotlib"):
-        plot_importance([("close", 0.5), ("volume", 0.3)])
+    ranked = [("close", 0.5), ("volume", 0.25), ("open", 0.0)]
+    out = plot_importance(ranked, str(tmp_path / "imp.svg"))
+    svg = open(out, encoding="utf-8").read()
+    assert svg.startswith("<svg") or svg.startswith("<?xml") or "<svg" in svg
+    assert svg.count("<rect") == 1 + len(ranked)  # background + one per bar
+    for name, w in ranked:
+        assert f">{name}</text>" in svg
+        assert f"{w:.4f}" in svg
+
+
+def test_plot_importance_png_falls_back_to_svg(tmp_path):
+    """Raster output needs matplotlib (absent here); the plot falls back
+    to SVG at the swapped-extension path instead of failing."""
+    from etl_ml_pipeline_spark.ml.predict import plot_importance
+
+    out = plot_importance([("close", 0.5)], str(tmp_path / "imp.png"))
+    assert out.endswith(".svg")
+    assert "<svg" in open(out, encoding="utf-8").read()
+
+    with pytest.raises(ValueError, match="empty"):
+        plot_importance([], str(tmp_path / "x.svg"))
 
 
 def test_boosted_regressor_selects_gbt_without_xgboost():
