@@ -325,17 +325,34 @@ def sq8_quantize(vec: Column) -> Column:
 
     Returns struct(codes: array<int>, vmin: double, vmax: double);
     dequantization is ``vmin + code * (vmax - vmin)/255``.
+
+    vmin/vmax are let-bound (operators/hof.py) before the per-element
+    transform references them — inlined, each element would re-run the
+    O(d) array_min/array_max, turning the quantize O(d^2) per vector.
     """
-    v = F.transform(vec, lambda x: x.cast("double"))
-    vmin, vmax = F.array_min(v), F.array_max(v)
-    scale = (vmax - vmin) / 255.0
-    codes = F.when(
-        vmax > vmin,
-        F.transform(v, lambda x: F.floor((x - vmin) / scale + 0.5).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return F.struct(
-        codes.alias("codes"), vmin.alias("vmin"), vmax.alias("vmax")
-    )
+    from etl_ml_pipeline_spark.operators.hof import let_bind
+
+    def build(v: Column) -> Column:
+        bounds = F.struct(
+            F.array_min(v).alias("lo"), F.array_max(v).alias("hi")
+        )
+
+        def with_bounds(b: Column) -> Column:
+            vmin, vmax = b["lo"], b["hi"]
+            scale = (vmax - vmin) / 255.0
+            codes = F.when(
+                vmax > vmin,
+                F.transform(
+                    v, lambda x: F.floor((x - vmin) / scale + 0.5).cast("int")
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0)))
+            return F.struct(
+                codes.alias("codes"), vmin.alias("vmin"), vmax.alias("vmax")
+            )
+
+        return let_bind(bounds, with_bounds)
+
+    return let_bind(F.transform(vec, lambda x: x.cast("double")), build)
 
 
 def sq8_reconstruction_mae(vec: Column, q: Column) -> Column:
@@ -561,14 +578,17 @@ def ivf_build_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
+    from etl_ml_pipeline_spark.operators.hof import let_bind
+
+    # let-bind v and its norm: referencing the norm fold inside the
+    # normalizing transform would re-run the O(d) fold per element.
+    unit = let_bind(
+        F.transform(vec_col, lambda x: x.cast("double")),
+        lambda v: let_bind(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+            lambda nv: F.transform(v, lambda x: x / nv),
+        ),
     )
-    unit = F.transform(vec_col, lambda x: x.cast("double") / norm)
     train = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession

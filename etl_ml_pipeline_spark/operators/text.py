@@ -108,26 +108,23 @@ def word_ngrams(col: Column, n: int) -> Column:
     """Word n-gram array (space-joined) — the shingle primitive shared by
     repetition stats, dedup, and contamination checks.
 
-    The tokenized array is LET-BOUND as the lambda variable of a
-    one-element outer ``transform`` before the per-position inner
-    ``transform`` references it. A closure that references the ``split``
-    *expression* directly gets it re-evaluated for every produced
-    element (higher-order functions don't share subexpressions across
-    lambda invocations) — measured 7.8s -> 0.96s building 2.5M 5-grams
-    on local[32]; ``element_at`` per word beats ``slice`` + copy by a
-    further ~40%."""
-    toks_expr = tokens(col)
-    return F.get(
-        F.transform(
-            F.array(toks_expr),
-            lambda toks: F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-                ),
+    The tokenized array is let-bound (operators/hof.py) before the
+    per-position transform references it. A closure that references the
+    ``split`` *expression* directly gets it re-evaluated for every
+    produced element (higher-order functions don't share subexpressions
+    across lambda invocations) — measured 7.8s -> 0.96s building 2.5M
+    5-grams on local[32]; ``element_at`` per word beats ``slice`` + copy
+    by a further ~40%."""
+    from etl_ml_pipeline_spark.operators.hof import let_bind
+
+    return let_bind(
+        tokens(col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
             ),
         ),
-        0,
     )
 
 
