@@ -171,6 +171,68 @@ PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_PATTERN = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
 
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window token chunking — the prep step that turns documents
+    into overlapping fixed-size windows for embedding/indexing pipelines
+    (RAG-style chunkers; window > stride gives the standard overlap so no
+    boundary context is lost).
+
+    Chunk i of a doc with n tokens starts at token i*stride and carries
+    min(window, n - i*stride) tokens; a doc emits
+    1 + ceil((n - window)/stride) chunks (one if n <= window). Pure
+    map-side: tokenize (let-bound, see hof.py), explode the chunk index
+    range, slice — no shuffle, no UDF; the chunk text rides along for
+    downstream embedding.
+
+    Output: (id, chunk_id, start_tok, n_chunk_tok, chunk_text).
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
+    from etl_ml_pipeline_spark.operators.hof import let_bind
+
+    chunks = let_bind(
+        tokens(F.col(text_col)),
+        lambda toks: let_bind(
+            F.size(toks),
+            lambda n: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.when(n <= window, F.lit(0)).otherwise(
+                        F.ceil((n - window) / F.lit(float(stride))).cast("long")
+                    ),
+                ),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_id"),
+                    (i * stride).cast("long").alias("start_tok"),
+                    F.least(F.lit(window), n - i * stride)
+                    .cast("long")
+                    .alias("n_chunk_tok"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            toks, i * stride + 1, F.least(F.lit(window), n - i * stride)
+                        ),
+                    ).alias("chunk_text"),
+                ),
+            ),
+        ),
+    )
+    return (
+        # token_count > 0 drops NULL texts (null-propagating compare);
+        # empty strings tokenize to [""] — one token — per the engine-wide
+        # whitespace-split convention both oracles share.
+        df.filter(token_count(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_id", "c.start_tok", "c.n_chunk_tok", "c.chunk_text")
+    )
+
+
 def pii_counts(col: Column) -> Column:
     """struct(n_emails, n_ipv4) found in the text — detection side."""
     return F.struct(

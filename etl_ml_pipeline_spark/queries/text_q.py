@@ -597,8 +597,183 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# chunk_documents_sliding — sliding-window token chunking (the RAG/
+# embedding-prep op): overlapping fixed-size windows, chunk text carried
+# for downstream encoding, compared by md5 to keep the oracle payload
+# narrow. Pure map-side explode — no shuffle.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window/stride sized to the synthetic docs
+
+
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import chunk_sliding
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_sliding(docs, window=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "start_tok",
+        "n_chunk_tok",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+),
+stats AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+chunks AS (
+  SELECT doc_id, tk, n, gs.i AS chunk_id
+  FROM stats, LATERAL unnest(generate_series(0,
+    CASE WHEN n <= {_CHUNK_W} THEN 0
+         ELSE CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) END)) gs(i)
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_S} AS start_tok,
+       least({_CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS n_chunk_tok,
+       md5(array_to_string(
+         tk[chunk_id * {_CHUNK_S} + 1 :
+            chunk_id * {_CHUNK_S} + least({_CHUNK_W}, n - chunk_id * {_CHUNK_S})],
+         ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean_funnel — the end-to-end pre-training data-cleaning
+# pipeline as ONE oracle-checked query: language-ID filter -> heuristic
+# quality filter -> exact dedup (first-wins) -> benchmark
+# decontamination, reporting the per-stage survivor counts (the funnel
+# every published pipeline reports). Runs over the deterministically
+# dup'd corpus so the dedup stage provably removes rows; benchmark docs
+# (doc_id % 97 == 0) are held out, and their injected +1M copies that
+# survive the filters are caught by the decontamination stage.
+# Scale: stages are lazy filters over one scan; dedup is one shuffle on
+# the fingerprint; decontamination is a distinct-gram anti-join.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_EN, _FUNNEL_Q = 0.05, 0.8
+
+
+def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.queries.dedup_q import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir, heavy=True).filter(
+        F.col("doc_id") % 97 != 0
+    )
+    c = F.col("text")
+    s1 = corpus.filter(X.en_score(c) >= _FUNNEL_EN)
+    s2 = s1.filter(X.quality_score(c) >= _FUNNEL_Q)
+
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(X.fingerprint(c)).orderBy("doc_id")
+    )
+    s3 = s2.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+    bench_grams = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(F.array_distinct(X.word_ngrams(c, 5))).alias("g")
+        )
+        .select(X.token_hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    s3_grams = s3.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.word_ngrams(c, 5))).alias("g"),
+    ).select("doc_id", X.token_hash60(F.col("g")).alias("gh"))
+    contaminated = s3_grams.join(F.broadcast(bench_grams), "gh").select(
+        "doc_id"
+    ).distinct()
+    s4 = s3.join(contaminated, "doc_id", "left_anti")
+
+    stages = [
+        ("0_corpus", corpus),
+        ("1_langid", s1),
+        ("2_quality", s2),
+        ("3_dedup", s3),
+        ("4_decontaminated", s4),
+    ]
+    counts = None
+    for name, frame in stages:
+        cnt = frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        counts = cnt if counts is None else counts.unionByName(cnt)
+    return counts.orderBy("stage")
+
+
+def _funnel_oracle() -> str:
+    from etl_ml_pipeline_spark.queries.dedup_q import _DUP_CORPUS_SQL
+
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 97 != 0
+),
+scored AS (
+  SELECT doc_id, text, {_TOKS_DUCK} AS tk FROM corpus
+),
+s1 AS (
+  SELECT doc_id, text, tk FROM scored
+  WHERE len(list_filter(tk, x -> x IN ({_STOP_SQL_LIST}))) * 1.0 / len(tk)
+        >= {_FUNNEL_EN}
+),
+s2 AS (
+  SELECT doc_id, text, tk FROM s1
+  WHERE (CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+        + least(len(list_distinct(tk)) * 1.0 / len(tk), 0.5) * 0.6
+        + (CASE WHEN len(list_filter(tk, x -> x IN ({_STOP_SQL_LIST})))
+                     * 1.0 / len(tk) BETWEEN 0.01 AND 0.5
+           THEN 0.2 ELSE 0.0 END) >= {_FUNNEL_Q}
+),
+s3 AS (
+  SELECT doc_id, text, tk FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+bench_grams AS (
+  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+    SELECT unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+           || ' ' || tk[i+4]))) AS gram
+    FROM (SELECT {_TOKS_DUCK} AS tk FROM documents WHERE doc_id % 97 = 0))
+),
+s4 AS (
+  SELECT s3.doc_id FROM s3
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT unnest(list_distinct(list_transform(range(1, len(s3.tk) - 3),
+        i -> s3.tk[i] || ' ' || s3.tk[i+1] || ' ' || s3.tk[i+2] || ' '
+             || s3.tk[i+3] || ' ' || s3.tk[i+4]))) AS gram) g
+    JOIN bench_grams b
+      ON ('0x' || substr(md5(g.gram), 1, 15))::BIGINT = b.gh)
+)
+SELECT stage, n_docs FROM (
+  SELECT '0_corpus' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+  UNION ALL SELECT '1_langid', CAST(count(*) AS BIGINT) FROM s1
+  UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM s4
+) ORDER BY stage
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "chunk_documents_sliding": chunk_documents_sliding,
+    "corpus_clean_funnel": corpus_clean_funnel,
     "text_model_quality_score": text_model_quality_score,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_scrub": text_pii_scrub,
@@ -614,6 +789,8 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "chunk_documents_sliding": _CHUNK_SQL,
+    "corpus_clean_funnel": _funnel_oracle(),
     "text_model_quality_score": _QM_SQL,
     "text_repetition_stats": _REPETITION_SQL,
     "text_pii_scrub": _PII_SQL,

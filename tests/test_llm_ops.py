@@ -615,3 +615,36 @@ def test_pack_capacity_splits_overflowing_docs(spark, tmp_path):
     assert rows[0]["n_docs"] == 2 and rows[1]["n_docs"] == 1
     assert rows[2]["n_docs"] == 2 and rows[3]["n_docs"] == 1
     assert rows[1]["first_doc"] == rows[1]["last_doc"] == 2
+
+
+def test_chunk_sliding_overlap_and_tail(spark):
+    """Sliding chunker: overlapping windows cover every token, tail chunk
+    is short, single-window docs emit one chunk, empty docs none."""
+    import pytest as _pytest
+
+    from etl_ml_pipeline_spark.operators.text import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 tok, W=4,S=3 -> 3 chunks
+            (2, "a b c"),                                  # n <= W -> 1 chunk
+            (3, ""),    # whitespace-split of "" is [""]: 1 token, 1 chunk
+            (4, None),                                     # null text -> dropped
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = chunk_sliding(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert sorted(by_doc) == [1, 2, 3]
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tok"] == 1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_chunk_tok"]) for r in c1] == [
+        (0, 4), (3, 4), (6, 4),  # ceil((10-4)/3)=2 -> chunks 0..2, last covers 6..9
+    ]
+    assert c1[1]["chunk_text"] == "t3 t4 t5 t6"  # overlap of 1 with chunk 0
+    assert by_doc[2][0]["chunk_text"] == "a b c" and by_doc[2][0]["n_chunk_tok"] == 3
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_sliding(docs, window=4, stride=5)
