@@ -320,3 +320,27 @@ def test_salted_join_query_bounded_fanout(spark, sf_dir):
     salted = salted_join(ev, dim, key="user_id", unique_col="event_id", n_salt=n_salt)
     plain = ev.join(dim, "user_id")
     assert salted.count() == plain.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Hive-partitioned parquet (the 100 TB layout: partition column in
+    the directory path) + a partition-column filter must show the filter
+    under PartitionFilters — whole directories skipped, not scanned —
+    and read only the matching partition's rows."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.sinks.files import ParquetSink
+
+    out = str(tmp_path_factory.mktemp("part") / "docs_by_lang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sink = ParquetSink(spark, {"path": out, "partition_by": ["lang"]})
+    sink.load(docs)
+
+    scan = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _formatted(scan)
+    assert "PartitionFilters" in plan
+    # the lang predicate must be a partition filter, not a data filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "lang" in pf_line
+    expect = docs.filter(F.col("lang") == "en").count()
+    assert scan.count() == expect
