@@ -33,11 +33,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # Product sums run in decimal(18,6): the summands' true values
+            # terminate at 4/6 decimals, so decimal summation is exact and
+            # order-independent, where double sums of ~3e9 over 1.7M rows
+            # carry order-dependent ulp noise bigger than a 6th decimal and
+            # land on half-cent round ties (same pattern as q9_product_profit).
+            F.round(F.sum(disc_price.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            # Averages derive from the exact-grid rounded sums divided by
+            # the count — identical doubles on both engines with no final
+            # rounding, so no round-half tie is possible (see skew_q).
+            (F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 2) / F.count("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -48,11 +62,13 @@ _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)            AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)            AS sum_charge,
+       round(sum(l_quantity), 2) / count(l_quantity)                    AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(l_extendedprice)          AS avg_price,
+       round(sum(l_discount), 2) / count(l_discount)                    AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
@@ -78,7 +94,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
                 "revenue"
             ),
             F.count("*").alias("n_rows"),
@@ -87,7 +103,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
        count(*)                                    AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -120,7 +136,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .select(
@@ -138,7 +154,7 @@ _Q3_SQL = """
 SELECT l_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -181,7 +197,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -191,7 +207,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

@@ -126,7 +126,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count("*").alias("line_count"),
         )
@@ -134,7 +134,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*) AS line_count
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
@@ -164,9 +164,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2)
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4)
             .alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
         )
     )
     share = F.col("promo_revenue") / F.col("total_revenue") * 100.0
@@ -182,8 +182,8 @@ SELECT promo_revenue, total_revenue,
        floor(promo_revenue / total_revenue * 100.0 * 100) / 100 AS promo_share_pct
 FROM (SELECT round(sum(CASE WHEN p_type = 'PROMO'
                             THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END), 2) AS promo_revenue,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                            ELSE 0.0 END), 4) AS promo_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-07-01') a
@@ -212,14 +212,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
             F.count("*").alias("small_lines"),
         )
     )
 
 
 _Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
        count(*) AS small_lines
 FROM lineitem l
 JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty

@@ -49,7 +49,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("supply_value"))
+        .agg(F.round(F.sum(_rev()), 4).alias("supply_value"))
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -68,7 +68,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q2_SQL = """
 WITH per_ps AS (
   SELECT l_partkey, l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS supply_value
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS supply_value
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_size < 10
   GROUP BY l_partkey, l_suppkey
@@ -121,14 +121,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 _Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       round(sum(volume), 4) AS revenue
 FROM (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -190,9 +190,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)), 2
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)), 4
             ).alias("nation_revenue"),
-            F.round(F.sum(vol), 2).alias("total_revenue"),
+            F.round(F.sum(vol), 4).alias("total_revenue"),
         )
     )
     share = F.col("nation_revenue") / F.col("total_revenue") * 100.0
@@ -211,8 +211,8 @@ FROM (
   SELECT year(o_orderdate) AS o_year,
          round(sum(CASE WHEN ns.n_name = 'NATION_3'
                         THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END), 2) AS nation_revenue,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                        ELSE 0.0 END), 4) AS nation_revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
   FROM lineitem
   JOIN part     ON l_partkey = p_partkey
   JOIN orders   ON l_orderkey = o_orderkey
@@ -307,7 +307,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         li.join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
     )
     return (
         per_cust.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
@@ -327,7 +327,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10_SQL = """
 SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS acctbal, n_name
 FROM (
-  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
     AND o_orderdate >= TIMESTAMP '1996-07-01'
@@ -455,7 +455,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = t(spark, sf_dir, "supplier")
@@ -470,7 +470,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_SQL = """
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
