@@ -643,12 +643,14 @@ ORDER BY o_orderstatus
 
 # ---------------------------------------------------------------------------
 # agg_stats_battery — statistical aggregate battery (corr, covar pop/samp,
-# stddev_pop, var_samp, min_by/max_by argmin/argmax). One pass over
+# stddev_pop, var_samp, struct-min/max argmin/argmax). One pass over
 # orders; every function is a distributive/algebraic aggregate (partial
 # moments merge associatively), so map-side combine applies and the
-# exchange carries O(groups) moment tuples. min_by/max_by key on a
-# continuous column (ties measure-zero); mode() is deliberately excluded
-# — its tie-breaking is engine-defined, a semantic (not precision) gap.
+# exchange carries O(groups) moment tuples. Argmin/argmax use
+# lexicographic (measure, key) struct extremes for a deterministic
+# tie-break (bare min_by is engine-defined under ties); mode() is
+# deliberately excluded — its tie-breaking is engine-defined, a
+# semantic (not precision) gap.
 # ---------------------------------------------------------------------------
 
 
@@ -666,8 +668,19 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.floor(F.stddev_pop("o_totalprice") * 10000) / 10000).alias("sd_pop"),
             (F.floor(F.var_samp("o_totalprice") * 100) / 100).alias("var_s"),
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            # Argmin/argmax with an EXPLICIT tie-break: min/max over a
+            # (measure, key) struct is lexicographic in both engines, so
+            # equal measures resolve to the smallest (min) / largest (max)
+            # key instead of whichever row the engine's combiner saw first.
+            # Bare min_by/max_by is nondeterministic under ties — real data
+            # duplicates measures constantly (caught at sf1, where the
+            # replicated orders table has 10-way min/max-price ties).
+            F.min(
+                F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+            )["k"].alias("cheapest_order"),
+            F.max(
+                F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+            )["k"].alias("priciest_order"),
         )
         .orderBy("o_orderstatus")
     )
@@ -680,8 +693,8 @@ SELECT o_orderstatus,
        floor(covar_samp(o_totalprice, o_custkey) * 100) / 100 AS covar_s,
        floor(stddev_pop(o_totalprice) * 10000) / 10000 AS sd_pop,
        floor(var_samp(o_totalprice) * 100) / 100 AS var_s,
-       min_by(o_orderkey, o_totalprice) AS cheapest_order,
-       max_by(o_orderkey, o_totalprice) AS priciest_order
+       (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS cheapest_order,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS priciest_order
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

@@ -76,6 +76,20 @@ def _replicate(df: DataFrame, shifts: dict[str, str], strides: dict[str, int]) -
     return rep.drop("__r")
 
 
+def _compact(tmp_dir: Path, dest: Path) -> None:
+    """Rewrite a Spark parquet directory as ONE file (the layout the
+    DuckDB oracle harness and the driver's testdata use), then drop the
+    directory."""
+    import shutil
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    table = ds.dataset(str(tmp_dir), format="parquet").to_table()
+    pq.write_table(table, str(dest))
+    shutil.rmtree(tmp_dir)
+
+
 def main(out_dir: str) -> None:
     spark = get_spark(app_name="make_sf1")
     strides = _strides(spark)
@@ -83,14 +97,18 @@ def main(out_dir: str) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     for tbl in _COPY_ONLY:
+        tmp = out / f"__tmp_{tbl}"
         spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode("overwrite").parquet(
-            str(out / f"{tbl}.parquet")
+            str(tmp)
         )
+        _compact(tmp, out / f"{tbl}.parquet")
     for tbl, shifts in _SHIFTS.items():
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        tmp = out / f"__tmp_{tbl}"
         _replicate(df, shifts, strides).repartition(8).write.mode("overwrite").parquet(
-            str(out / f"{tbl}.parquet")
+            str(tmp)
         )
+        _compact(tmp, out / f"{tbl}.parquet")
         print(tbl, "written")
 
 
