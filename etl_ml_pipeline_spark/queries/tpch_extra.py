@@ -525,11 +525,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = t(spark, sf_dir, "supplier")
+    # Reduce on the join key FIRST (order-count rows collapse to one row
+    # per supplier before anything is joined), then re-aggregate by
+    # s_name after the broadcast join: TPC-H Q21's group key is the
+    # supplier NAME, which is not necessarily unique per suppkey, and
+    # the second aggregate runs over supplier-cardinality rows — free.
     return (
         sole.groupBy("late_suppkey")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.count("*").alias("per_supp_wait"))
         .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("per_supp_wait").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 
