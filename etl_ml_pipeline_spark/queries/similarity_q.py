@@ -388,6 +388,96 @@ ORDER BY q_id, rank
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_sqrtn_topk — IVF with sqrt(N)-sized coarse quantizer and
+# multi-probe. ann_ivf_topk's fixed every-50th stride grows the centroid
+# count LINEARLY with the corpus, so assignment cost is O(N^2/50) — fine
+# for a demo, quadratic at 100 TB. The classic IVF balance is k_coarse ~
+# sqrt(N) (per-list size == list count), which this query derives inside
+# the plan: one count(*) aggregate feeds a broadcast stride, so index
+# sizing adapts to the data with no hand-tuned constant. n_probe=2
+# exercises the multi-probe path (recall recovery at region boundaries)
+# under the oracle differential; probes are top-2 centroids by
+# (cosine desc, cent_id asc) — the deterministic tie order both the
+# numpy argsort(kind="stable") and the SQL row_number share.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    stride = emb.agg(
+        F.greatest(F.lit(50).cast("long"), F.floor(F.sqrt(F.count("*"))).cast("long")).alias(
+            "stride"
+        )
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = ivf_topk(queries, corpus, centroids, k=5, n_probe=2)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_SQRTN_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+stride AS (
+  SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT)) AS s FROM vecs
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs
+  WHERE vec_id % (SELECT s FROM stride) = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+    WHERE a.vec_id < 10
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, a.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qprobe q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_quantize_sq8 — per-vector int8 scalar quantization + quality
 # probe. Map-side only (no shuffle, no UDF): min/max/codes/MAE are all
 # array expressions inside whole-stage codegen. At 100 TB this is the 4x
@@ -662,6 +752,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_sqrtn_topk": ann_ivf_sqrtn_topk,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_png_decode": multimodal_png_decode,
 }
@@ -675,6 +766,7 @@ ORACLES = {
     "embedding_label_centroids": _CENTROID_SQL,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": _IVF_SQL,
+    "ann_ivf_sqrtn_topk": _IVF_SQRTN_SQL,
     "multimodal_image_features": _MULTIMODAL_SQL,
     "multimodal_png_decode": _PNG_DECODE_SQL,
 }
