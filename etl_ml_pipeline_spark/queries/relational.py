@@ -758,6 +758,60 @@ ORDER BY l_suppkey
 
 
 # ---------------------------------------------------------------------------
+# agg_approx_percentile_prices — Greenwald-Khanna quantile sketch, the
+# scale move for percentiles: the exact form (agg_percentile_prices)
+# sorts every group's values, O(n log n) per group and memory-bound at
+# 100 TB; percentile_approx keeps a fixed-size mergeable summary with a
+# rank-error guarantee of 1/accuracy, flowing through normal partial
+# aggregation. Cross-engine, the sketch values can't hash-match (GK
+# picks actual elements; engines' summaries differ), so — same pattern
+# as the HLL query — the compared output carries the rank-error
+# CONTRACT as data: each approx quantile must lie within the exact
+# [phi - 2eps, phi + 2eps] interpolated quantile envelope (2x the
+# guarantee, absorbing interpolation-vs-element boundary slack), which
+# the oracle asserts as literal TRUE. Spark's GK sketch is
+# deterministic for fixed input, so the booleans are stable.
+# ---------------------------------------------------------------------------
+
+
+def agg_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = 1000
+    eps = 2.0 / acc
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(acc)
+        ).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, "
+            f"array({0.5 - eps}, {0.5 + eps}, {0.95 - eps}, {0.95 + eps}))"
+        ).alias("ex"),
+        F.count("*").alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        ((F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[1])).alias(
+            "p50_in_bounds"
+        ),
+        ((F.col("ap")[1] >= F.col("ex")[2]) & (F.col("ap")[1] <= F.col("ex")[3])).alias(
+            "p95_in_bounds"
+        ),
+    ).orderBy("l_returnflag")
+
+
+_APPROX_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       TRUE AS p50_in_bounds,
+       TRUE AS p95_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # cdc_current_orders — merge-on-read current view (lakehouse CDC): the
 # orders snapshot plus a deterministic change batch (every 13th order
 # re-priced at a later version, every 17th tombstoned); latest row per
@@ -965,6 +1019,7 @@ QUERIES = {
     "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
+    "agg_approx_percentile_prices": agg_approx_percentile_prices,
     "agg_approx_distinct_parts": agg_approx_distinct_parts,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_top_orders": q3_top_orders,
@@ -989,6 +1044,7 @@ ORACLES = {
     "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,
+    "agg_approx_percentile_prices": _APPROX_PERCENTILE_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q3_top_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
