@@ -193,6 +193,36 @@ def cdc_latest_view(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: turn a pile of
+    versioned change rows into validity intervals — each row gains
+    ``valid_from`` (its own version), ``valid_to`` (the NEXT version of
+    the same key, null while current) and ``is_current``. The warehouse
+    companion to :func:`cdc_latest_view`: that keeps only the latest row,
+    this keeps every row with the interval during which it was truth,
+    which is what point-in-time joins and as-of training-data snapshots
+    consume.
+
+    Scale: ONE shuffle on the key for the lead() window — no self-join
+    of changes against changes (the naive interval build joins each row
+    to its successor, shuffling twice and exploding on hot keys). Rows
+    per key are typically few (version chains), so per-partition window
+    state stays tiny regardless of total table size.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    return (
+        changes.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],

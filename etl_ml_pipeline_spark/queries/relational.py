@@ -882,6 +882,78 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# scd2_order_history — SCD Type-2 history build: versioned change rows ->
+# validity intervals (valid_from / valid_to / is_current) via one
+# lead() window per key — the warehouse companion to cdc_current_orders
+# (latest-row view) and the substrate for point-in-time joins. The
+# deterministic change stream has three versions (v1 snapshot, v2 every
+# 13th order re-priced, v3 every 39th re-priced again) so interval
+# chaining v1->v2->v3 is exercised, not just single-update pairs.
+# Output is the compact per-(version, is_current) census; price sums run
+# in DECIMAL(18,2) (values live on the cent grid after the floor-based
+# re-pricing, so decimal summation is exact — q1/q9 pattern).
+# ---------------------------------------------------------------------------
+
+
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import scd2_history
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.withColumn("version", F.lit(1))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
+        .withColumn("version", F.lit(2))
+    )
+    v3 = (
+        o.filter(F.col("o_orderkey") % 39 == 0)
+        .withColumn("o_totalprice", F.floor(F.col("o_totalprice") * 1.2 * 100) / 100)
+        .withColumn("version", F.lit(3))
+    )
+    hist = scd2_history(v1.unionByName(v2).unionByName(v3), ["o_orderkey"], "version")
+    return (
+        hist.groupBy("version", "is_current")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.sum(F.coalesce(F.col("valid_to") - F.col("valid_from"), F.lit(0)))
+            .cast("long")
+            .alias("total_span"),
+        )
+        .orderBy("version", "is_current")
+    )
+
+
+_SCD2_SQL = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, floor(o_totalprice * 1.1 * 100) / 100, 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, floor(o_totalprice * 1.2 * 100) / 100, 3
+  FROM orders WHERE o_orderkey % 39 = 0
+),
+hist AS (
+  SELECT o_orderkey, o_totalprice, version,
+         version AS valid_from,
+         lead(version) OVER (PARTITION BY o_orderkey ORDER BY version ASC) AS valid_to
+  FROM changes
+)
+SELECT version,
+       valid_to IS NULL AS is_current,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(sum(COALESCE(valid_to - valid_from, 0)) AS BIGINT) AS total_span
+FROM hist
+GROUP BY version, valid_to IS NULL
+ORDER BY version, is_current
+"""
+
+
+# ---------------------------------------------------------------------------
 # diff_order_snapshots — snapshot reconciliation: orders vs a
 # deterministically mutated copy (every 13th re-priced -> changed, every
 # 17th dropped -> removed, offset-key copies added). Hash-only full-outer
@@ -1015,6 +1087,7 @@ ORDER BY bucket
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
+    "scd2_order_history": scd2_order_history,
     "diff_order_snapshots": diff_order_snapshots,
     "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
@@ -1040,6 +1113,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "cdc_current_orders": _CDC_SQL,
+    "scd2_order_history": _SCD2_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,

@@ -220,3 +220,31 @@ def test_table_diff_statuses(spark):
     )
     got = {r.k: r.status for r in table_diff(left, right, ["k"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_scd2_history_interval_chaining(spark):
+    """Three-version chains produce back-to-back validity intervals with
+    exactly one current row per key; single-version keys are current
+    with an open interval."""
+    from etl_ml_pipeline_spark.operators.relational import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="a", version=1),
+            Row(k=1, v="a2", version=2),
+            Row(k=1, v="a3", version=5),  # gap in version numbers is fine
+            Row(k=2, v="b", version=1),
+        ]
+    )
+    rows = {
+        (r.k, r.version): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(changes, ["k"], "version").collect()
+    }
+    assert rows == {
+        (1, 1): (1, 2, False),
+        (1, 2): (2, 5, False),
+        (1, 5): (5, None, True),
+        (2, 1): (1, None, True),
+    }
+    # exactly one current row per key
+    assert sum(1 for v in rows.values() if v[2]) == 2
