@@ -954,6 +954,86 @@ ORDER BY version, is_current
 
 
 # ---------------------------------------------------------------------------
+# scd2_point_in_time_join — consume the SCD2 history: fact rows carrying
+# an as-of version join to the dimension row that was truth AT that
+# version (key equality + interval containment). The plan is an
+# equi-join on the key with the interval predicate as a post-join
+# filter — correct AND scale-right here because version chains are
+# short (<= 3 rows/key), so the equi-join fan-out is bounded; a general
+# long-interval case would use the banded range join
+# (operators/asof.py) instead. Lineitem rows get a deterministic
+# pseudo as-of version (1 + l_linenumber % 3); output is the per-
+# (as_of, matched-version) census with decimal-exact price sums.
+# ---------------------------------------------------------------------------
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import scd2_history
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.withColumn("version", F.lit(1))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
+        .withColumn("version", F.lit(2))
+    )
+    v3 = (
+        o.filter(F.col("o_orderkey") % 39 == 0)
+        .withColumn("o_totalprice", F.floor(F.col("o_totalprice") * 1.2 * 100) / 100)
+        .withColumn("version", F.lit(3))
+    )
+    hist = scd2_history(v1.unionByName(v2).unionByName(v3), ["o_orderkey"], "version")
+    facts = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (1 + F.col("l_linenumber") % 3).alias("as_of")
+    )
+    joined = facts.join(hist, facts.l_orderkey == hist.o_orderkey).filter(
+        (F.col("valid_from") <= F.col("as_of"))
+        & (F.col("as_of") < F.coalesce(F.col("valid_to"), F.lit(1 << 30)))
+    )
+    return (
+        joined.groupBy("as_of", "version")
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_dim_price"),
+        )
+        .orderBy("as_of", "version")
+    )
+
+
+_SCD2_PIT_SQL = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, floor(o_totalprice * 1.1 * 100) / 100, 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, floor(o_totalprice * 1.2 * 100) / 100, 3
+  FROM orders WHERE o_orderkey % 39 = 0
+),
+hist AS (
+  SELECT o_orderkey, o_totalprice, version,
+         version AS valid_from,
+         lead(version) OVER (PARTITION BY o_orderkey ORDER BY version ASC) AS valid_to
+  FROM changes
+),
+facts AS (
+  SELECT l_orderkey, 1 + l_linenumber % 3 AS as_of FROM lineitem
+)
+SELECT f.as_of, h.version,
+       count(*) AS n_facts,
+       CAST(round(sum(CAST(h.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_dim_price
+FROM facts f
+JOIN hist h ON f.l_orderkey = h.o_orderkey
+WHERE h.valid_from <= f.as_of AND f.as_of < COALESCE(h.valid_to, 1 << 30)
+GROUP BY f.as_of, h.version
+ORDER BY f.as_of, h.version
+"""
+
+
+# ---------------------------------------------------------------------------
 # diff_order_snapshots — snapshot reconciliation: orders vs a
 # deterministically mutated copy (every 13th re-priced -> changed, every
 # 17th dropped -> removed, offset-key copies added). Hash-only full-outer
@@ -1088,6 +1168,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
     "scd2_order_history": scd2_order_history,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
     "diff_order_snapshots": diff_order_snapshots,
     "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
@@ -1114,6 +1195,7 @@ ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "cdc_current_orders": _CDC_SQL,
     "scd2_order_history": _SCD2_SQL,
+    "scd2_point_in_time_join": _SCD2_PIT_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
