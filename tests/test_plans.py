@@ -344,3 +344,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     assert "lang" in pf_line
     expect = docs.filter(F.col("lang") == "en").count()
     assert scan.count() == expect
+
+
+def test_scd2_history_no_successor_join(spark, sf_dir):
+    """The SCD2 interval build must be union + ONE lead() window — the
+    naive formulation joins each change row to its successor, shuffling
+    twice and exploding on hot keys."""
+    from etl_ml_pipeline_spark.queries.relational import scd2_order_history
+
+    plan = _plan(scd2_order_history(spark, sf_dir))
+    assert "Union" in plan
+    assert "Join" not in plan
+
+
+def test_scd2_pit_join_no_cartesian(spark, sf_dir):
+    """The point-in-time join must be an EQUI-join on the key with the
+    interval predicate as a filter/join condition — never a cartesian
+    (interval-only) product against the fact table."""
+    from etl_ml_pipeline_spark.queries.relational import scd2_point_in_time_join
+
+    plan = _plan(scd2_point_in_time_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
