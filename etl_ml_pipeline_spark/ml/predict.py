@@ -47,13 +47,55 @@ DEFAULT_FEATURES = [
 ]  # the reference's 12-feature list (predict.py:24-28)
 
 
+# Above this row count, create_target / expanding_folds route their
+# global ordering through operators.relational.global_row_number (the
+# two-phase distributed rank) instead of a bare ``Window.orderBy`` —
+# which WindowExec executes as a SINGLE task holding every row. The
+# single-partition path stays for the reference's degenerate case (one
+# stock's 51-row timeline), where the two extra exchanges cost more
+# than they save. Counting the input to decide is one column-pruned
+# scan — noise next to the model fits these feeders exist for.
+GLOBAL_WINDOW_ROW_THRESHOLD = 1_000_000
+
+
+def _route_distributed(df: DataFrame, row_threshold: int | None) -> bool:
+    return row_threshold is not None and df.count() > row_threshold
+
+
 def create_target(
     df: DataFrame,
     price_col: str = "close",
     order_col: str = "date",
     target_col: str = "target_return",
+    row_threshold: int | None = GLOBAL_WINDOW_ROW_THRESHOLD,
 ) -> DataFrame:
-    """Next-day % return; final row (no next day) dropped (predict.py:39-44)."""
+    """Next-day % return; final row (no next day) dropped (predict.py:39-44).
+
+    Above ``row_threshold`` rows the global ``lead`` is computed without
+    a single-task sort: distributed global row numbers, then a self-join
+    on ``rn + 1`` (an equi-shuffle on a dense unique integer — balanced
+    at any scale). Pass ``row_threshold=None`` to force the naive window.
+    """
+    if _route_distributed(df, row_threshold):
+        from etl_ml_pipeline_spark.operators.relational import global_row_number
+
+        rn_df = global_row_number(df, [order_col], out_col="__tgt_rn")
+        nxt = rn_df.select(
+            (F.col("__tgt_rn") - 1).alias("__tgt_rn"),
+            F.col(price_col).alias("__nxt_price"),
+        )
+        return (
+            rn_df.join(nxt, "__tgt_rn", "left")
+            .withColumn(
+                target_col,
+                F.try_divide(
+                    F.col("__nxt_price") - F.col(price_col), F.col(price_col)
+                )
+                * 100.0,
+            )
+            .filter(F.col(target_col).isNotNull())
+            .drop("__tgt_rn", "__nxt_price")
+        )
     w = Window.orderBy(order_col)
     nxt = F.lead(price_col).over(w)
     return (
@@ -70,6 +112,7 @@ def expanding_folds(
     df: DataFrame,
     n_splits: int = 5,
     order_col: str = "date",
+    row_threshold: int | None = GLOBAL_WINDOW_ROW_THRESHOLD,
 ) -> DataFrame:
     """Tag rows with ``_rn`` (1-based time order) for TimeSeriesSplit folds.
 
@@ -77,12 +120,17 @@ def expanding_folds(
     ``i`` (0-based) tests rows ``[n - (n_splits - i) * size, ...)`` and
     trains on everything before.
 
-    The global window mirrors the reference's single-series frame (one
-    stock's timeline — thousands of rows, not billions). For a corpus-
-    scale global ordering use
+    Above ``row_threshold`` rows the tagging routes through
     ``operators.relational.global_row_number`` (two-phase distributed
-    rank) — same output, no single-task sort.
+    rank — same output, no single-task sort); below it, the naive global
+    window mirrors the reference's single-series frame (one stock's
+    timeline — thousands of rows). Pass ``row_threshold=None`` to force
+    the naive window.
     """
+    if _route_distributed(df, row_threshold):
+        from etl_ml_pipeline_spark.operators.relational import global_row_number
+
+        return global_row_number(df, [order_col], out_col="_rn")
     w = Window.orderBy(order_col)
     return df.withColumn("_rn", F.row_number().over(w))
 

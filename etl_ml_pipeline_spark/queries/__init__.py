@@ -35,64 +35,68 @@ _MODULES = (
     "skew_q",
 )
 
-# Queries with a GREEN row in some past driver correctness run
-# (CORRECTNESS_r01 ∪ r02 ∪ r03). The driver records only a ~50-entry
-# wall-clock prefix of ``queries()`` in emission order, so ordering is
-# triage: (1) never-green entries first (new queries are automatically
-# here — absent from this set), (2) entries whose LATEST run failed and
-# need a fresh green row, (3) everything already proven.
-_DRIVER_GREEN = frozenset(
-    {
-        "agg_distinct_parts", "agg_percentile_prices", "agg_stats_battery",
-        "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-        "ann_lsh_topk", "ann_pq_adc_topk", "case_bucket_orders",
-        "cdc_current_orders", "clean_dedup_keep_first",
-        "clean_pipeline_customer", "clean_standardize_cast",
-        "cube_status_priority", "dedup_cluster_canonical",
-        "dedup_exact_documents", "dedup_minhash_documents",
-        "dedup_ngram_jaccard", "dedup_simhash_documents",
-        "diff_order_snapshots", "embedding_label_centroids",
-        "embedding_near_dup_pairs", "embedding_quantize_sq8",
-        "full_outer_nation_presence", "grouping_sets_order_revenue",
-        "hist_order_prices", "join_anti_inactive_customers",
-        "join_semi_active_customers", "json_extract_events",
-        "multimodal_image_features", "pack_documents_budget",
-        "pagerank_supply", "pivot_status_by_priority",
-        "q10_returned_revenue", "q11_important_value", "q13_order_histogram",
-        "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
-        "q17_small_qty_revenue", "q18_large_orders",
-        "q19_disjunctive_revenue", "q1_pricing_summary",
-        "q20_dominant_supplier", "q21_waiting_supplier",
-        "q22_idle_big_balance", "q2_min_cost_supplier", "q3_top_orders",
-        "q4_priority_exists", "q5_region_revenue", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share", "q9_product_profit",
-        "rollup_order_stats", "sample_hash_documents", "sample_mixture_lang",
-        "sample_stratified_lang", "scalar_function_battery",
-        "set_lapsed_customers", "set_repeat_customers", "set_union_high_low",
-        "sma_events", "text_bm25_top_terms", "text_bpe_token_stats",
-        "text_contamination", "text_fingerprint_hist",
-        "text_langid_confusion", "text_model_quality_score", "text_pii_scrub",
-        "text_quality_docs", "text_repetition_stats", "text_token_stats",
-        "text_vocab_topk", "text_winnow_sketch", "validate_drop_customers",
-        "validate_flag_summary", "window_dist_functions", "window_first_last",
-        "window_lag_lead_orders", "window_quartile_stats",
-        "window_rank_suppliers", "window_running_total",
-        "window_topk_orders_per_customer",
-    }
-)
-
-# Entries whose LATEST recorded run (CORRECTNESS_r03) was an error — all
-# ten events consumers broken by the r3 testdata-regeneration loader bug,
-# fixed in queries/tables.py. They have old green rows but need a fresh
-# one, so they ride right behind the never-green group.
-_LATEST_FAILED = frozenset(
-    {
-        "asof_click_purchase", "asof_tolerance_counts", "bollinger_events",
-        "ml_feature_stats", "ml_fold_assignment", "ml_target_events",
-        "range_join_purchase_context", "rsi_macd_events",
-        "sessionize_events", "tumble_hourly_events",
-    }
-)
+# Latest round in which the driver recorded a correctness row for each
+# query (static snapshot of CORRECTNESS_r01..r04; every latest record is
+# green as of r04). The driver records only a ~50-entry wall-clock
+# prefix of ``queries()`` in emission order, so emission is triage:
+# LEAST-recently-recorded first. Never-recorded queries (new this round
+# — absent from this map) sort as round 0, i.e. first of all; then the
+# r01 rows, r02, r03, and finally the freshly-verified r04 group. This
+# rotates stale driver records forward: entries last recorded before a
+# shared-code change get a fresh row on current code.
+_LAST_RECORDED = {
+    # --- round 1 ---
+    "sma_events": 1, "validate_drop_customers": 1, "validate_flag_summary": 1,
+    # --- round 2 ---
+    "clean_dedup_keep_first": 2, "clean_pipeline_customer": 2,
+    "clean_standardize_cast": 2, "q10_returned_revenue": 2,
+    "q11_important_value": 2, "q13_order_histogram": 2, "q15_top_supplier": 2,
+    "q16_supplier_cnt": 2, "q20_dominant_supplier": 2,
+    "q21_waiting_supplier": 2, "q7_nation_volume": 2, "q8_market_share": 2,
+    "q9_product_profit": 2, "window_dist_functions": 2,
+    "window_first_last": 2, "window_lag_lead_orders": 2,
+    "window_quartile_stats": 2, "window_rank_suppliers": 2,
+    "window_running_total": 2, "window_topk_orders_per_customer": 2,
+    # --- round 3 ---
+    "ann_bruteforce_topk": 3, "ann_ivf_topk": 3, "ann_ivfpq_topk": 3,
+    "ann_lsh_topk": 3, "ann_pq_adc_topk": 3, "cube_status_priority": 3,
+    "dedup_cluster_canonical": 3, "dedup_exact_documents": 3,
+    "dedup_minhash_documents": 3, "dedup_ngram_jaccard": 3,
+    "dedup_simhash_documents": 3, "embedding_label_centroids": 3,
+    "embedding_near_dup_pairs": 3, "embedding_quantize_sq8": 3,
+    "multimodal_image_features": 3, "pack_documents_budget": 3,
+    "pagerank_supply": 3, "sample_hash_documents": 3,
+    "sample_mixture_lang": 3, "sample_stratified_lang": 3,
+    "text_bm25_top_terms": 3, "text_bpe_token_stats": 3,
+    "text_contamination": 3, "text_fingerprint_hist": 3,
+    "text_langid_confusion": 3, "text_model_quality_score": 3,
+    "text_pii_scrub": 3, "text_quality_docs": 3, "text_repetition_stats": 3,
+    "text_token_stats": 3, "text_vocab_topk": 3, "text_winnow_sketch": 3,
+    # --- round 4 ---
+    "agg_approx_distinct_parts": 4, "agg_approx_percentile_prices": 4,
+    "agg_distinct_parts": 4, "agg_percentile_prices": 4,
+    "agg_stats_battery": 4, "ann_ivf_sqrtn_topk": 4,
+    "asof_click_purchase": 4, "asof_tolerance_counts": 4,
+    "bollinger_events": 4, "case_bucket_orders": 4, "cdc_current_orders": 4,
+    "chunk_documents_sliding": 4, "corpus_clean_funnel": 4,
+    "diff_order_snapshots": 4, "full_outer_nation_presence": 4,
+    "grouping_sets_order_revenue": 4, "hist_order_prices": 4,
+    "join_anti_inactive_customers": 4, "join_semi_active_customers": 4,
+    "json_extract_events": 4, "ml_feature_stats": 4, "ml_fold_assignment": 4,
+    "ml_target_events": 4, "multimodal_png_decode": 4,
+    "pack_documents_capacity": 4, "pivot_status_by_priority": 4,
+    "q14_promo_share": 4, "q17_small_qty_revenue": 4, "q18_large_orders": 4,
+    "q19_disjunctive_revenue": 4, "q1_pricing_summary": 4,
+    "q22_idle_big_balance": 4, "q2_min_cost_supplier": 4, "q3_top_orders": 4,
+    "q4_priority_exists": 4, "q5_region_revenue": 4, "q6_forecast_revenue": 4,
+    "range_join_purchase_context": 4, "rollup_order_stats": 4,
+    "rsi_macd_events": 4, "scalar_function_battery": 4,
+    "scd2_order_history": 4, "scd2_point_in_time_join": 4,
+    "sessionize_events": 4, "set_lapsed_customers": 4,
+    "set_repeat_customers": 4, "set_union_high_low": 4,
+    "skew_salted_agg_events": 4, "skew_salted_join_events": 4,
+    "tumble_hourly_events": 4,
+}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -103,18 +107,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in out:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
-    # Triaged emission (stable within each group) so a prefix-truncated
-    # correctness run records the entries that most need a row.
-    never_green = {k: v for k, v in out.items() if k not in _DRIVER_GREEN}
-    retry = {
-        k: v for k, v in out.items() if k in _LATEST_FAILED and k in _DRIVER_GREEN
-    }
-    proven = {
-        k: v
-        for k, v in out.items()
-        if k in _DRIVER_GREEN and k not in _LATEST_FAILED
-    }
-    return {**never_green, **retry, **proven}
+    # Least-recently-recorded first (stable within each round group) so a
+    # prefix-truncated correctness run refreshes the stalest entries.
+    names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 0))
+    return {k: out[k] for k in names}
 
 
 def all_oracles() -> dict[str, str]:

@@ -23,6 +23,28 @@ from etl_ml_pipeline_spark.queries.tables import t
 # ---------------------------------------------------------------------------
 
 
+def _exact_micro_sum(expr):
+    """Order-independent exact sum of a money expression whose true value
+    terminates at <= 6 decimals (price 2dp x discount 2dp x tax 2dp).
+    Scale to the 1e-6 integer grid per row and recover the exact integer
+    with floor(x*1e6 + 0.5): the double error of the 3-mult product is
+    ~1e-4 ULP-accumulated, far under 0.5, so this is exact for any sign
+    while avoiding per-row BigDecimal F.round (~2x faster). Sum as
+    decimal(18,0) so the merged total is decimal(28,0) — no long overflow
+    at any realistic scale (~1e17 rows). Double sums here would carry
+    order-dependent noise bigger than a 6th decimal and land on half-cent
+    round ties (same pattern as q9_product_profit)."""
+    return F.sum(F.floor(expr * 1e6 + F.lit(0.5)).cast("decimal(18,0)"))
+
+
+def _micro() -> F.Column:
+    """Exact-decimal unscale divisor: decimal(28,0)/decimal(7,0) -> decimal
+    scale 8 per Spark's division rule, which represents the 6-decimal true
+    quotient exactly (no double round-trip). Built lazily — F.lit needs an
+    active SparkContext, which module import must not assume."""
+    return F.lit(1000000).cast("decimal(7,0)")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -33,20 +55,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # Product sums run in decimal(18,6): the summands' true values
-            # terminate at 4/6 decimals, so decimal summation is exact and
-            # order-independent, where double sums of ~3e9 over 1.7M rows
-            # carry order-dependent ulp noise bigger than a 6th decimal and
-            # land on half-cent round ties (same pattern as q9_product_profit).
-            F.round(F.sum(disc_price.cast("decimal(18,6)")), 2)
+            # Unscale + final round stay in decimal (6-row agg output, cost
+            # nil): /1e6 as a double would lose exactness past 2^53 micro
+            # units and could flip a half-cent tie at sf >= 1.
+            F.round(_exact_micro_sum(disc_price) / _micro(), 2)
             .cast("double")
             .alias("sum_disc_price"),
-            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            F.round(_exact_micro_sum(charge) / _micro(), 2)
             .cast("double")
             .alias("sum_charge"),
             # Averages derive from the exact-grid rounded sums divided by
             # the count — identical doubles on both engines with no final
             # rounding, so no round-half tie is possible (see skew_q).
+            # NOTE: this deviates from the TPC-H answer format, which
+            # rounds avg_qty/avg_price to 4dp and avg_disc to 6dp; for
+            # answer-set conformance use round(round(sum,2)/count, 4|6)
+            # on both engines instead of dropping the final rounding.
             (F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice")).alias(
                 "avg_price"
@@ -708,10 +732,14 @@ ORDER BY o_orderstatus
 # mergeable state flowing through a normal partial aggregation — no
 # expand, no second shuffle. DuckDB's approx_distinct uses a different
 # sketch, so the raw estimate can't hash-match cross-engine; instead the
-# compared output carries the error-bound CONTRACT as data: within_5pct =
-# |approx - exact| <= 5% * exact, which the oracle asserts as literal
-# TRUE (Spark's HLL++ is deterministic for fixed input, so the boolean is
-# stable). The absolute estimate is additionally pinned by
+# compared output carries the error-bound CONTRACT as data: within_bound
+# = |approx - exact| <= max(3, 3*rsd*exact) — the same 3-sigma-plus-
+# small-count slack test_approx_distinct_error_bound uses — which the
+# oracle asserts as literal TRUE. (A hard 5% bound on an rsd=0.02 sketch
+# is only a ~2.5-sigma property: deterministic for a fixed dataset but
+# legitimately violable by one group on regenerated or larger data —
+# ADVICE r04.) Spark's HLL++ is deterministic for fixed input, so the
+# boolean is stable; the absolute estimate is additionally pinned by
 # tests/test_oracle_parity.py::test_approx_distinct_error_bound.
 # ---------------------------------------------------------------------------
 
@@ -740,8 +768,8 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_parts",
             (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("within_5pct"),
+                <= F.greatest(F.lit(3.0), 3 * 0.02 * F.col("exact_parts"))
+            ).alias("within_bound"),
         )
         .orderBy("l_suppkey")
     )
@@ -750,7 +778,7 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_DISTINCT_SQL = """
 SELECT l_suppkey,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-       TRUE AS within_5pct
+       TRUE AS within_bound
 FROM lineitem
 GROUP BY l_suppkey
 ORDER BY l_suppkey

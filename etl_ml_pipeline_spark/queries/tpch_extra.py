@@ -671,8 +671,65 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q12_shipmode_priority — TPC-H Q12 analog (conditional priority counts
+# over the orders⋈lineitem join). The driver schema has no
+# l_shipmode/commitdate/receiptdate, so the adaptation keeps the Q12
+# shape with what exists: "ship mode" -> l_returnflag, and the Q12
+# "received late" predicate -> shipped >30 days after o_orderdate (a
+# join-dependent filter that can only run post-join, exactly like the
+# original's receipt/commit comparison). Scale: the shipdate-year filter
+# pushes to the lineitem scan; one orderkey shuffle join (orders is not
+# broadcastable at 100 TB); the CASE sums fold into map-side partial
+# aggregation on a 3-key group — the exchange after the join carries
+# (returnflag, partial counts) only.
+# ---------------------------------------------------------------------------
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END)                                   AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END)                                   AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q16_supplier_cnt": q16_supplier_cnt,
     "q20_dominant_supplier": q20_dominant_supplier,
     "q7_nation_volume": q7_nation_volume,
@@ -687,6 +744,7 @@ QUERIES = {
 
 ORACLES = {
     "q2_min_cost_supplier": _Q2_SQL,
+    "q12_shipmode_priority": _Q12_SQL,
     "q16_supplier_cnt": _Q16_SQL,
     "q20_dominant_supplier": _Q20_SQL,
     "q7_nation_volume": _Q7_SQL,

@@ -126,8 +126,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 105, sorted(qs)
-    assert len(oracles) == 105, sorted(oracles)
+    assert len(qs) == 107, sorted(qs)
+    assert len(oracles) == 107, sorted(oracles)
     # every catalog entry is oracle-checkable (the HLL sketch query carries
     # its error-bound contract as a boolean the oracle asserts literally)
     assert set(qs) - set(oracles) == set()
@@ -135,27 +135,18 @@ def test_query_catalog_counts():
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order, so emission is triaged: never-green entries first,
-    then entries whose latest recorded run failed, then proven ones."""
-    from etl_ml_pipeline_spark.queries import (
-        _DRIVER_GREEN,
-        _LATEST_FAILED,
-        all_queries,
-    )
+    in emission order, so emission is triaged least-recently-recorded
+    first: never-recorded queries (round 0) lead, then the r01 rows, r02,
+    r03, and finally the freshly-verified r04 group."""
+    from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
-
-    def group(k):
-        if k not in _DRIVER_GREEN:
-            return 0
-        return 1 if k in _LATEST_FAILED else 2
-
-    groups = [group(k) for k in keys]
-    assert groups == sorted(groups)
-    assert groups[0] == 0  # at least one never-green entry leads
+    rounds = [_LAST_RECORDED.get(k, 0) for k in keys]
+    assert rounds == sorted(rounds)
+    # the stalest driver rows lead the prefix
+    assert _LAST_RECORDED.get(keys[-1]) == 4
     # every triage name must still exist in the catalog (no stale entries)
-    assert _DRIVER_GREEN <= set(keys)
-    assert _LATEST_FAILED <= set(keys)
+    assert set(_LAST_RECORDED) <= set(keys)
 
 
 def test_list_modules_surfaces_unavailable(monkeypatch):

@@ -422,6 +422,29 @@ def test_pii_counts_and_scrub(spark):
     assert by_id[3].s == "two mails <EMAIL> <EMAIL> one ip <IP>"
 
 
+def test_word_ngrams_short_and_blank_docs_yield_empty(spark):
+    """Docs with fewer than n tokens must produce [] — unguarded,
+    F.sequence(0, size-n) descends and element_at(toks, 0) throws
+    INVALID_INDEX_OF_ZERO at runtime (ADVICE r04: corpus_clean_funnel
+    applies word_ngrams(5) to unfiltered raw documents)."""
+    from etl_ml_pipeline_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="   "),
+            Row(doc_id=3, text="one two three four"),  # 4 toks < n=5
+            Row(doc_id=4, text="one two three four five six"),
+        ]
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 5).alias("g")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three four five", "two three four five six"]
+
+
 def test_top_ngram_stats_repetition_signal(spark):
     from etl_ml_pipeline_spark.operators.text import top_ngram_stats
 

@@ -57,6 +57,34 @@ def test_fold_bounds_match_sklearn_semantics():
         fold_bounds(3, 5)
 
 
+def test_global_window_autoroute_above_threshold(spark, features_df):
+    """Above row_threshold, create_target/expanding_folds must route to
+    the two-phase distributed rank: identical output to the naive global
+    window, and the plan range-partitions instead of collapsing every
+    row into one WindowExec task (VERDICT r04 #4)."""
+    from etl_ml_pipeline_spark.ml.predict import expanding_folds
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString().lower()
+
+    routed_t = create_target(features_df, row_threshold=10)
+    naive_t = create_target(features_df, row_threshold=None)
+    key = lambda rows: sorted((r.date, round(r.target_return, 9)) for r in rows)
+    assert key(routed_t.collect()) == key(naive_t.collect())
+    assert "rangepartitioning" in plan(routed_t)
+
+    routed_f = expanding_folds(features_df, order_col="date", row_threshold=10)
+    naive_f = expanding_folds(features_df, order_col="date", row_threshold=None)
+    fkey = lambda rows: sorted((r.date, r._rn) for r in rows)
+    assert fkey(routed_f.select("date", "_rn").collect()) == fkey(
+        naive_f.select("date", "_rn").collect()
+    )
+    assert "rangepartitioning" in plan(routed_f)
+    # below the threshold the single-series path is kept (no re-range)
+    small = expanding_folds(features_df, order_col="date", row_threshold=10**6)
+    assert "rangepartitioning" not in plan(small)
+
+
 def test_train_evaluate_both_models(features_df):
     df = create_target(features_df)
     results = train_evaluate(df, n_splits=3, max_iter=5)

@@ -224,6 +224,92 @@ def test_staged_upsert_drops_stage_table(spark, db):
     assert names == ["t"], names
 
 
+def test_delta_merge_branch_with_stubbed_api(spark, db, monkeypatch, tmp_path):
+    """Prove the gated Delta MERGE branch forms the right calls without
+    delta-spark installed (VERDICT r04 #6: no silent dead code): a
+    minimal stub of delta.tables.DeltaTable records the fluent chain.
+    Covers both the first-load create (isDeltaTable False -> plain delta
+    write) and the MERGE path (composite-key condition, update-all /
+    insert-all clauses, execute)."""
+    import sys
+    import types
+
+    calls: dict = {}
+
+    class FakeMergeBuilder:
+        def whenMatchedUpdateAll(self):
+            calls.setdefault("chain", []).append("whenMatchedUpdateAll")
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls.setdefault("chain", []).append("whenNotMatchedInsertAll")
+            return self
+
+        def execute(self):
+            calls.setdefault("chain", []).append("execute")
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark_, path):
+            calls["isDeltaTable_path"] = path
+            return calls.get("exists", False)
+
+        @staticmethod
+        def forPath(spark_, path):
+            calls["forPath_path"] = path
+            return FakeDeltaTable()
+
+        def alias(self, a):
+            calls["target_alias"] = a
+            return self
+
+        def merge(self, src_df, cond):
+            calls["merge_cond"] = cond
+            calls["source_is_df"] = hasattr(src_df, "sparkSession")
+            return FakeMergeBuilder()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    # first-load create: df.write.format("delta") — intercept the writer
+    # because the real delta datasource jar is absent.
+    writes: list = []
+    df = _df(spark, [(1, "x", "a")], "id long, region string, name string")
+
+    class FakeWriter:
+        def format(self, fmt):
+            writes.append(("format", fmt))
+            return self
+
+        def save(self, path):
+            writes.append(("save", path))
+
+    monkeypatch.setattr(type(df), "write", property(lambda self: FakeWriter()))
+
+    cfg = {
+        "database": db, "table": "t", "if_exists": "upsert",
+        "primary_keys": ["id", "region"], "delta_path": str(tmp_path / "dt"),
+    }
+    sink = SqlDatabaseSink(spark, cfg)
+    sink.load(df)  # isDeltaTable False -> create
+    assert writes == [("format", "delta"), ("save", str(tmp_path / "dt"))]
+    assert "merge_cond" not in calls
+
+    calls["exists"] = True
+    sink.load(df)  # now the MERGE path
+    sink.disconnect()
+    assert calls["forPath_path"] == str(tmp_path / "dt")
+    assert calls["merge_cond"] == 't."id" = s."id" AND t."region" = s."region"'
+    assert calls["source_is_df"]
+    assert calls["chain"] == [
+        "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+    ]
+
+
 def test_delta_path_without_delta_spark_raises(spark, db):
     """delta_path is the import-gated lakehouse MERGE route; without
     delta-spark installed it must fail loudly, not fall back silently."""
