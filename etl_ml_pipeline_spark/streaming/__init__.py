@@ -1,5 +1,9 @@
 """Structured Streaming operators (SURVEY.md §7.3 step 7, watermark-ready)."""
 
+from etl_ml_pipeline_spark.streaming.joins import (  # noqa: F401
+    stateful_sessionizer,
+    stream_stream_interval_join,
+)
 from etl_ml_pipeline_spark.streaming.windows import (  # noqa: F401
     read_json_stream,
     run_available_now,
