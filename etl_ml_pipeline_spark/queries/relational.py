@@ -625,6 +625,53 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# unpivot_order_metrics — wide -> long melt (the inverse of pivot).
+# Aggregates orders per status into four metric columns, then unpivots
+# them into (status, metric, value) rows via DataFrame.unpivot (Spark's
+# Expand-based melt — one projection per metric, NO shuffle beyond the
+# aggregation's own). The canonical reshape before generic per-metric
+# processing (alerting thresholds, metric stores).
+# Scale: the unpivot multiplies rows by the constant metric count only.
+# ---------------------------------------------------------------------------
+
+
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "min_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'total_price', total_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'min_price', min_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'max_price', max_price FROM wide
+ORDER BY o_orderstatus, metric
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_percentile_prices — ordered-set aggregates (exact interpolated
 # percentiles per group). Spark's `percentile` and DuckDB's
 # `quantile_cont` both use linear interpolation on the sorted group, and
@@ -1217,6 +1264,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "pivot_status_by_priority": pivot_status_by_priority,
     "scalar_function_battery": scalar_function_battery,
+    "unpivot_order_metrics": unpivot_order_metrics,
 }
 
 ORACLES = {
@@ -1244,4 +1292,5 @@ ORACLES = {
     "json_extract_events": _JSON_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "scalar_function_battery": _SCALAR_SQL,
+    "unpivot_order_metrics": _UNPIVOT_SQL,
 }

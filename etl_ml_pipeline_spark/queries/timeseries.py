@@ -285,6 +285,75 @@ ORDER BY user_id, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# resample_gapfill_events — calendar-regular resampling with gap fill.
+# Per user: daily buckets from first to last active day; days with no
+# events appear with n_events=0 and the value forward-filled from the
+# last observation (LOCF) — the classic time-series regularization step
+# (pandas .resample('D').last().ffill()) the reference's pandas stack
+# would do before indicator math.
+# Scale: one shuffle for the daily agg, one for the per-user spine agg,
+# an equi-join back on (user_id, day), and a per-user window for the
+# forward fill — all partitioned by user; the date spine explodes at
+# most span-days rows per user (bounded, no cross join). At 100 TB the
+# join keys would be pre-partitioned by user_id to share one exchange.
+# ---------------------------------------------------------------------------
+
+
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        # deterministic "last value of the day": lexicographic struct max
+        # on (ts, event_id) — event_id is unique, so ties are impossible
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias("last_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("last_value", ignorenulls=True).over(w), 2
+            ).alias("ffill_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+         (max(struct_pack(t := ts, e := event_id, v := value))).v AS last_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       round(last_value(d.last_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day), 2) AS ffill_value
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+ORDER BY s.user_id, s.day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "bollinger_events": bollinger_events,
@@ -292,6 +361,7 @@ QUERIES = {
     "tumble_hourly_events": tumble_hourly_events,
     "ml_target_events": ml_target_events,
     "rsi_macd_events": rsi_macd_events,
+    "resample_gapfill_events": resample_gapfill_events,
 }
 
 ORACLES = {
@@ -301,4 +371,5 @@ ORACLES = {
     "tumble_hourly_events": _TUMBLE_SQL,
     "ml_target_events": _TARGET_SQL,
     "rsi_macd_events": _RSI_MACD_SQL,
+    "resample_gapfill_events": _GAPFILL_SQL,
 }
