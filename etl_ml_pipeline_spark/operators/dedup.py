@@ -359,6 +359,54 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def ed1_candidate_pairs(
+    df: DataFrame,
+    col: str,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """All distinct string pairs within Levenshtein distance 1, via the
+    FastSS/SymSpell deletion-neighborhood join — NO cross product.
+
+    Each distinct string emits its 1-deletion neighborhood (itself plus
+    every string formed by deleting one character, O(len) variants).
+    Two strings at edit distance <= 1 always share a variant: a
+    substitution pair shares the both-deleted form, an insert/delete
+    pair shares the shorter string itself. One equi-join on the variant
+    key produces candidates; an exact ``levenshtein`` filter removes the
+    false positives (distance-2 pairs can collide, e.g. swap pairs).
+
+    Scale: shuffle on variant keys only; neighborhood size is linear in
+    string length, and hot variant keys (short strings, common stems)
+    are capped at ``max_bucket`` like the MinHash band buckets —
+    candidate generation degrades gracefully instead of exploding on a
+    pathological key. Returns (name_a, name_b) with name_a < name_b.
+    """
+    names = df.select(F.col(col).alias("_s")).where(F.col("_s").isNotNull()).distinct()
+    variants = names.select(
+        "_s",
+        F.explode(
+            F.expr(
+                "array_union(array(_s), transform(sequence(1, length(_s)), "
+                "i -> concat(substring(_s, 1, i-1), "
+                "substring(_s, i+1, length(_s)))))"
+            )
+        ).alias("_v"),
+    )
+    # hot-key guard: drop variant buckets too large to pair safely
+    counts = variants.groupBy("_v").agg(F.count("*").alias("_n"))
+    safe = variants.join(
+        counts.filter(F.col("_n") <= max_bucket).select("_v"), "_v"
+    )
+    a, b = safe.alias("a"), safe.alias("b")
+    return (
+        a.join(b, "_v")
+        .filter(F.col("a._s") < F.col("b._s"))
+        .select(F.col("a._s").alias("name_a"), F.col("b._s").alias("name_b"))
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

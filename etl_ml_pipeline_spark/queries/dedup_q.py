@@ -358,12 +358,40 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_ed1_names — fuzzy string join at edit distance <= 1 via
+# the FastSS deletion-neighborhood equi-join (operators.dedup.
+# ed1_candidate_pairs): explode O(len) one-deletion variants, one
+# shuffle on the variant key, exact levenshtein verify. The oracle is
+# the brute-force all-pairs levenshtein — feasible on DuckDB because
+# the DISTINCT name space is small, while the Spark plan is the one
+# that scales (no cross product; plan-guarded in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+def dedup_fuzzy_ed1_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+
+    part = t(spark, sf_dir, "part")
+    return ed1_candidate_pairs(part, "p_name").orderBy("name_a", "name_b")
+
+
+_FUZZY_ED1_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM names a, names b
+WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_fuzzy_ed1_names": dedup_fuzzy_ed1_names,
 }
 
 ORACLES = {
@@ -372,4 +400,5 @@ ORACLES = {
     "dedup_minhash_documents": _minhash_oracle(),
     "dedup_simhash_documents": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_fuzzy_ed1_names": _FUZZY_ED1_SQL,
 }

@@ -671,3 +671,57 @@ def test_chunk_sliding_overlap_and_tail(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_sliding(docs, window=4, stride=5)
+
+
+def test_ed1_candidate_pairs_semantics(spark):
+    """Deletion-neighborhood join finds exactly the ed<=1 pairs:
+    substitution, deletion/insertion, identity-adjacent — and excludes
+    distance-2 pairs that share no variant AND distance-2 pairs that DO
+    collide on a variant (swap) via the levenshtein verify."""
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+
+    rows = [
+        ("cat",), ("bat",),      # substitution (ed 1)
+        ("cart",),               # insertion vs cat (ed 1)
+        ("act",),                # transposition vs cat (ed 2, shares variant "at"... )
+        ("dog",),                # unrelated
+        ("dig",), ("dug",),      # substitution pair (ed 1), both ed1 of "dg" variants
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    got = sorted(
+        (r.name_a, r.name_b)
+        for r in ed1_candidate_pairs(df, "s").collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        # tiny DP reference
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted(
+        tuple(sorted(p))
+        for p in itertools.combinations([r[0] for r in rows], 2)
+        if lev(p[0], p[1]) <= 1
+    )
+    assert got == want
+    assert ("bat", "cat") in got
+    assert not any(set(p) == {"act", "cat"} for p in got)  # ed-2 transposition
+
+
+def test_ed1_hot_bucket_cap(spark):
+    """Variant buckets above max_bucket are dropped from candidate
+    generation (graceful degradation, like the MinHash band cap)."""
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+
+    # "a0".."a9" all share the deletion variant "a" -> bucket of 10+
+    rows = [(f"a{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["s"])
+    n_uncapped = ed1_candidate_pairs(df, "s", max_bucket=10_000).count()
+    n_capped = ed1_candidate_pairs(df, "s", max_bucket=5).count()
+    assert n_uncapped == 45          # all pairs are ed 1 (same length, one sub)
+    assert n_capped < n_uncapped     # hot "a"-variant bucket dropped

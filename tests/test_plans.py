@@ -366,3 +366,15 @@ def test_scd2_pit_join_no_cartesian(spark, sf_dir):
     plan = _plan(scd2_point_in_time_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_ed1_join_no_cartesian(spark, sf_dir):
+    """The deletion-neighborhood fuzzy join must plan as an equi-join on
+    the variant key — never a cross product (the brute-force all-pairs
+    levenshtein shape lives only in the DuckDB oracle)."""
+    from etl_ml_pipeline_spark.queries.dedup_q import dedup_fuzzy_ed1_names
+
+    plan = _plan(dedup_fuzzy_ed1_names(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
