@@ -135,7 +135,18 @@ def add_rsi_macd(
         pdf["macd_histogram"] = macd - signal
         yield pdf[col_names]
 
-    return df.repartition(series_col).mapInPandas(kernel, schema=schema)
+    # Enforce the memory contract: never let a 1-partition session (tiny
+    # local test configs set spark.sql.shuffle.partitions=1) concentrate
+    # the whole dataset into a single pandas frame on one core — spread
+    # over at least the cluster's parallelism. Groups still co-locate
+    # via the hash repartition on series_col.
+    sess = df.sparkSession
+    try:
+        shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0
+    n_parts = max(shuffle_n, sess.sparkContext.defaultParallelism)
+    return df.repartition(n_parts, series_col).mapInPandas(kernel, schema=schema)
 
 
 @register_transform("technical_indicators")

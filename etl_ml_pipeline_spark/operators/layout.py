@@ -1,4 +1,5 @@
-"""Data-layout operators: Z-order (Morton) clustering keys.
+"""Data-layout operators: Z-order (Morton) clustering keys and
+small-file compaction.
 
 ``sort_by`` on the file sinks clusters ONE column per file; predicates
 on a second column still read every file. Z-ordering interleaves the
@@ -63,6 +64,72 @@ def with_zorder_key(
     return joined.withColumn(out_col, z).drop(
         *[f"__zmin_{i}" for i in range(m)], *[f"__zmax_{i}" for i in range(m)]
     )
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the files backing ``df``'s scan.
+
+    Metadata-only: lists file statuses through the Hadoop FileSystem
+    API (works for file://, hdfs://, s3a:// alike). Listing cost is
+    O(files) on the driver — the same listing any compaction planner
+    (Delta OPTIMIZE, Iceberg rewrite_data_files) performs.
+    """
+    sc = df.sparkSession.sparkContext
+    conf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    return total
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into files of ~``target_file_bytes`` each.
+
+    The 100 TB problem this solves: streaming ingestion and
+    over-parallel writes leave tables as millions of KB-sized files;
+    every downstream scan then pays per-file open/footer costs and the
+    driver pays O(files) listing. Output file count is computed from
+    the ACTUAL input bytes (ceil(bytes / target)), so the rewrite is
+    one shuffle to exactly the right width — not a guess.
+
+    With ``sort_col`` the rewrite range-partitions + locally sorts on
+    it, so compaction doubles as a clustering pass and parquet min/max
+    pruning works on that column afterwards (pair with
+    ``zorder_layout`` for multi-column pruning). Without it, a plain
+    round-robin ``repartition`` gives uniform file sizes. ``coalesce``
+    is deliberately NOT used: it skips the shuffle but inherits the
+    input's size skew — compaction exists to fix skew, not keep it.
+
+    Returns {files_before, files_after, bytes, target_files}.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    nbytes = input_bytes(df)
+    files_before = len(df.inputFiles())
+    n_out = max(1, math.ceil(nbytes / target_file_bytes))
+    if sort_col is None:
+        shaped = df.repartition(n_out)
+    else:
+        shaped = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    shaped.write.mode("overwrite").parquet(dst_path)
+    files_after = len(spark.read.parquet(dst_path).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": nbytes,
+        "target_files": n_out,
+    }
 
 
 def zorder_layout(

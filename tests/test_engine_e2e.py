@@ -437,3 +437,50 @@ def test_parquet_schema_evolution_merge(tmp_path, spark):
         assert set(df.columns) == {"id", "a", "b"}
         rows = {r.id: r.b for r in df.collect()}
         assert rows[1] is None and rows[2] == 3.5
+
+
+def test_compact_files_hits_target_count(tmp_path, spark):
+    """A 64-fragment table compacts to ceil(bytes/target) files with all
+    rows intact and roughly uniform file sizes."""
+    from etl_ml_pipeline_spark.operators.layout import compact_files, input_bytes
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 20_000).selectExpr(
+        "id", "id % 97 AS k", "repeat('x', 64) AS pad"
+    ).repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    nbytes = input_bytes(spark.read.parquet(src))
+    dst = str(tmp_path / "compacted")
+    # pick a target that lands on 4 output files
+    stats = compact_files(spark, src, dst, target_file_bytes=(nbytes + 3) // 4)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["target_files"] == 4
+    assert spark.read.parquet(dst).count() == 20_000
+
+
+def test_compact_files_sorted_clusters_disjoint(tmp_path, spark):
+    """With sort_col, compaction range-partitions: per-file key ranges
+    are disjoint, so parquet min/max stats prune file-level reads."""
+    from etl_ml_pipeline_spark.operators.layout import compact_files, input_bytes
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 10_000).selectExpr("id", "repeat('y', 32) AS pad") \
+        .repartition(32).write.parquet(src)
+    nbytes = input_bytes(spark.read.parquet(src))
+    dst = str(tmp_path / "sorted")
+    stats = compact_files(
+        spark, src, dst, target_file_bytes=(nbytes + 3) // 4, sort_col="id"
+    )
+    assert stats["files_after"] >= 2
+    ranges = []
+    for f in spark.read.parquet(dst).inputFiles():
+        r = spark.read.parquet(f.replace("file:", "")).agg(
+            {"id": "min"}
+        ).collect()[0][0], spark.read.parquet(f.replace("file:", "")).agg(
+            {"id": "max"}
+        ).collect()[0][0]
+        ranges.append(r)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered key ranges across files

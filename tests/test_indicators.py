@@ -164,3 +164,21 @@ def test_min_periods_guard_nulls(spark):
     assert out2["bb_upper"].isna().tolist() == [True, True, False, False, False]
     # sample std of [1,2,3] = 1.0 -> upper = 2 + 2*1 = 4
     assert out2["bb_upper"].iloc[2] == pytest.approx(4.0)
+
+
+def test_rsi_macd_spreads_one_partition_sessions(spark):
+    """The EWM kernel's repartition must override a 1-partition shuffle
+    config (memory contract: one partition != whole dataset)."""
+    from etl_ml_pipeline_spark.operators.indicators import add_rsi_macd
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        df = spark.range(0, 1000).selectExpr(
+            "id % 7 AS sid", "id AS ord", "CAST(id % 13 AS DOUBLE) AS v"
+        )
+        out = add_rsi_macd(df, "sid", "ord", "v")
+        assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        assert out.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
