@@ -337,8 +337,14 @@ def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAPFILL_SQL = """
 WITH daily AS (
+  -- arg_max on a single HUGEINT (ts, event_id) composite, NOT
+  -- max(struct_pack(...)): DuckDB's struct-max aggregate is ~1ms per
+  -- GROUP (measured 400s+ on sf1's 400k (user, day) groups vs 0.5s for
+  -- arg_max); event_id is unique so the composite is tie-free.
   SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
-         (max(struct_pack(t := ts, e := event_id, v := value))).v AS last_value
+         arg_max(value,
+                 CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id
+         ) AS last_value
   FROM events GROUP BY 1, 2
 ), spine AS (
   SELECT user_id,
