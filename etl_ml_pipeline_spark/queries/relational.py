@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_ml_pipeline_spark.queries.tables import t
+from etl_ml_pipeline_spark.queries.tables import dim, maybe_broadcast, t
 
 # ---------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 analog.
@@ -156,7 +156,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            maybe_broadcast(cust, sf_dir, "customer"),
+            orders.o_custkey == cust.c_custkey,
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -199,10 +202,13 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = t(spark, sf_dir, "region")
-    nation = t(spark, sf_dir, "nation")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
+    # dim() = size-guarded broadcast: supplier/customer scale with the
+    # dataset (1e9 rows at 100 TB — never force-broadcast those); the
+    # hint applies only while the scan is genuinely broadcast-sized.
+    region = dim(spark, sf_dir, "region")
+    nation = dim(spark, sf_dir, "nation")
+    cust = dim(spark, sf_dir, "customer")
+    supp = dim(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -210,14 +216,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_ml_pipeline_spark.queries.tables import t
+from etl_ml_pipeline_spark.queries.tables import maybe_broadcast, t
 
 # ---------------------------------------------------------------------------
 # q4_priority_exists — TPC-H Q4 analog (EXISTS -> left-semi join).
@@ -122,7 +122,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(
@@ -162,7 +162,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4)
             .alias("promo_revenue"),
@@ -208,7 +208,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("l_partkey", "ap_partkey")
     return (
         li.join(
-            F.broadcast(per_part), li.l_partkey == per_part.ap_partkey
+            maybe_broadcast(per_part, sf_dir, "part"), li.l_partkey == per_part.ap_partkey
         )
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -304,7 +304,7 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn(
             "nationkey", F.coalesce("c_nationkey", "s_nationkey")
         )
-        .join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+        .join(maybe_broadcast(n, sf_dir, "nation"), F.col("nationkey") == n.n_nationkey)
         .select(
             "n_name",
             F.coalesce("customers", F.lit(0)).alias("customers"),

@@ -216,3 +216,65 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
         f"events.ts has unsupported physical type {ts_type}; expected a "
         "parquet timestamp or legacy nanos-as-int64 storage"
     )
+
+
+# An explicit broadcast hint is only ever SAFE for inputs that are small
+# by construction. nation (25 rows) and region (5) qualify forever;
+# supplier/customer/part scale WITH the dataset — at TPC-H sf100k
+# (~100 TB) supplier is ~1e9 rows and a forced broadcast OOMs every
+# executor. 64 MB of parquet (~a few hundred MB on-heap) is a
+# comfortable single-executor build side; past it, withholding the hint
+# lets Catalyst/AQE choose from actual runtime sizes.
+_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a table's parquet (file or part-file directory);
+    None when unknowable (remote path) — treat unknown as NOT small."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Dimension-side scan with a SIZE-GUARDED broadcast hint.
+
+    Returns the ``t()`` scan wrapped in ``F.broadcast`` only while the
+    table's on-disk size is under ``_BROADCAST_MAX_BYTES``; bigger (or
+    unknown-size) tables come back unhinted so the optimizer picks a
+    shuffle/broadcast strategy from real statistics. Queries say
+    "this is my dimension side" exactly once and stay correct from
+    sf0.001 to 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    df = t(spark, sf_dir, name)
+    nbytes = _table_bytes(sf_dir, name)
+    if nbytes is not None and nbytes <= _BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, base_table: str) -> DataFrame:
+    """Size-guarded broadcast hint for a frame DERIVED from ``base_table``
+    (filter/projection — derivations that only shrink). The base table's
+    on-disk size upper-bounds the frame, so hint exactly when the base
+    itself would be hinted; past the bound the optimizer (AQE runtime
+    sizes) decides. Aggregate-bounded frames (1-row totals, group-count-
+    bounded rollups) don't need this — their size is bounded by
+    construction, and a direct F.broadcast stays correct at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    nbytes = _table_bytes(sf_dir, base_table)
+    if nbytes is not None and nbytes <= _BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df

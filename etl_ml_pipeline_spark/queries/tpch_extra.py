@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_ml_pipeline_spark.queries.tables import t
+from etl_ml_pipeline_spark.queries.tables import dim, maybe_broadcast, t
 
 
 def _rev() -> F.Column:
@@ -47,7 +47,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     s = t(spark, sf_dir, "supplier")
     per_ps = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum(_rev()), 4).alias("supply_value"))
     )
@@ -55,7 +55,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_ps.withColumn("min_value", F.min("supply_value").over(w))
         .filter(F.col("supply_value") == F.col("min_value"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select(
             F.col("l_partkey").alias("partkey"),
             "s_name",
@@ -98,7 +98,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         t(spark, sf_dir, "customer")
         .join(
-            F.broadcast(t(spark, sf_dir, "nation")),
+            dim(spark, sf_dir, "nation"),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .filter(F.col("n_name").isin(*n1))
@@ -107,16 +107,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(t(spark, sf_dir, "nation")),
+            dim(spark, sf_dir, "nation"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .filter(F.col("n_name").isin(*n1))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -163,7 +163,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_nations = (
         t(spark, sf_dir, "nation")
         .join(
-            F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")),
+            maybe_broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0"), sf_dir, "region"),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("n_nationkey")
@@ -176,17 +176,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(t(spark, sf_dir, "nation")),
+            dim(spark, sf_dir, "nation"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     vol = _rev()
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == F.col("p_partkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -248,7 +248,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(t(spark, sf_dir, "nation")),
+            dim(spark, sf_dir, "nation"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
@@ -261,9 +261,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == F.col("p_partkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -310,8 +310,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
     )
     return (
-        per_cust.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        per_cust.join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == c.c_custkey)
+        .join(maybe_broadcast(n, sf_dir, "nation"), c.c_nationkey == n.n_nationkey)
         .select(
             "c_custkey",
             "c_name",
@@ -356,14 +356,14 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(t(spark, sf_dir, "nation")),
+            dim(spark, sf_dir, "nation"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .filter(F.col("n_name") == "NATION_5")
         .select("s_suppkey")
     )
     per_part = (
-        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("raw_value"))
     )
@@ -462,7 +462,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -533,7 +533,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole.groupBy("late_suppkey")
         .agg(F.count("*").alias("per_supp_wait"))
-        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("late_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("per_supp_wait").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -587,8 +587,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(bad_supp, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -630,7 +630,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     per_ps = (
-        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(maybe_broadcast(red_parts, sf_dir, "part"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -643,7 +643,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier")
     return (
-        dominant.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        dominant.join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_suppkey")
     )

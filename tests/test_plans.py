@@ -378,3 +378,26 @@ def test_fuzzy_ed1_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_dim_broadcast_hint_is_size_guarded(spark, sf_dir, monkeypatch):
+    """dim()/maybe_broadcast() hint only while the table's on-disk size
+    is under the bound: at 100 TB a forced supplier/customer broadcast
+    OOMs executors, so past the bound the optimizer must choose."""
+    from etl_ml_pipeline_spark.queries import tables as tbl
+
+    hinted = tbl.dim(spark, sf_dir, "supplier")
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(tbl, "_BROADCAST_MAX_BYTES", 0)
+    unhinted = tbl.dim(spark, sf_dir, "supplier")
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+    derived = tbl.t(spark, sf_dir, "part").filter("p_size < 10")
+    assert "ResolvedHint" not in tbl.maybe_broadcast(
+        derived, sf_dir, "part"
+    )._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setattr(tbl, "_BROADCAST_MAX_BYTES", 64 << 20)
+    assert "ResolvedHint" in tbl.maybe_broadcast(
+        derived, sf_dir, "part"
+    )._jdf.queryExecution().analyzed().toString()
