@@ -33,6 +33,7 @@ _MODULES = (
     "ml_q",
     "asof_q",
     "skew_q",
+    "analytics_q",
 )
 
 # Latest round in which the driver recorded a correctness row for each

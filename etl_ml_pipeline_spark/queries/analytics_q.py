@@ -1,0 +1,335 @@
+"""Product-analytics + data-quality staples over the events/orders
+tables: expectation batteries (Deequ-style), windowed anomaly
+detection, ordered-funnel conversion, and weekly cohort retention.
+
+The reference engine has none of these (SURVEY.md §2.6); they are the
+queries a training-data/ops pipeline runs daily. Every query is
+expressed declaratively and oracle-checked; the anomaly detector's
+threshold predicate is EXACT integer-grid arithmetic so borderline
+rows can never split across engines (see gotcha notes in
+.claude/skills/verify/SKILL.md about float tie-breaking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.queries.tables import t
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations_orders — data-quality expectation battery.
+# One row per check: (check, metric, passed). Null fractions, key
+# uniqueness, domain membership, range bounds, referential integrity.
+# Scale: each check is a scan+aggregate (map-side partial); the
+# referential check is a broadcast-free anti-join count on the join
+# key. The exact countDistinct is fine on a key column (it IS the
+# grouping key's cardinality); for 100 TB approximate audits swap in
+# approx_count_distinct (see agg_approx_distinct_parts).
+# ---------------------------------------------------------------------------
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.countDistinct("o_orderkey").alias("dist_keys"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")).alias(
+            "bad_status"
+        ),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("bad_date"),
+    )
+    checks = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count").alias("check_name"),
+                    F.col("n").cast("double").alias("metric"),
+                    (F.col("n") > 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("null_custkey_count").alias("check_name"),
+                    F.col("null_cust").cast("double").alias("metric"),
+                    (F.col("null_cust") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderkey_duplicates").alias("check_name"),
+                    (F.col("n") - F.col("dist_keys")).cast("double").alias("metric"),
+                    (F.col("n") == F.col("dist_keys")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("min_totalprice").alias("check_name"),
+                    F.round(F.col("min_price"), 2).alias("metric"),
+                    (F.col("min_price") >= 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("status_domain_violations").alias("check_name"),
+                    F.col("bad_status").cast("double").alias("metric"),
+                    (F.col("bad_status") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderdate_out_of_range").alias("check_name"),
+                    F.col("bad_date").cast("double").alias("metric"),
+                    (F.col("bad_date") == 0).alias("passed"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("k"))
+        .select(
+            F.lit("lineitem_orphan_rows").alias("check_name"),
+            F.col("k").cast("double").alias("metric"),
+            (F.col("k") == 0).alias("passed"),
+        )
+    )
+    return checks.unionByName(orphans).orderBy("check_name")
+
+
+_DQ_SQL = """
+WITH base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         count(DISTINCT o_orderkey) AS dist_keys,
+         min(o_totalprice) AS min_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate >= TIMESTAMP '2000-01-01'
+              THEN 1 ELSE 0 END) AS bad_date
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'row_count' AS check_name, CAST(n AS DOUBLE) AS metric, n > 0 AS passed
+  FROM base
+  UNION ALL
+  SELECT 'null_custkey_count', CAST(null_cust AS DOUBLE), null_cust = 0 FROM base
+  UNION ALL
+  SELECT 'orderkey_duplicates', CAST(n - dist_keys AS DOUBLE), n = dist_keys
+  FROM base
+  UNION ALL
+  SELECT 'min_totalprice', round(min_price, 2), min_price >= 0 FROM base
+  UNION ALL
+  SELECT 'status_domain_violations', CAST(bad_status AS DOUBLE), bad_status = 0
+  FROM base
+  UNION ALL
+  SELECT 'orderdate_out_of_range', CAST(bad_date AS DOUBLE), bad_date = 0 FROM base
+  UNION ALL
+  SELECT 'lineitem_orphan_rows',
+         CAST(count(*) AS DOUBLE), count(*) = 0
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomaly_zscore_events — rolling z-score outliers, EXACT threshold.
+# Flags events whose value deviates > 2.5 sample stddevs from the
+# trailing-20 window (current row excluded; >= 10 observations).
+# The threshold predicate is evaluated on the 0.01-grid INTEGER sums
+# (value is 2dp): with v = 100*value, S = sum(v), Q = sum(v^2), n,
+#     |v*n - S| > 2.5 * sqrt(n * (n*Q - S^2) / (n-1))
+# squares to  4*(v*n - S)^2 * (n-1) > 25 * n * (n*Q - S^2)
+# — all integer arithmetic, so Spark and DuckDB agree on EVERY
+# borderline row (double mean/std last-ulp noise cannot flip the
+# filter). The reported z is floor-truncated for display parity.
+# Scale: per-user rows window — one shuffle, state bounded by frame.
+# ---------------------------------------------------------------------------
+
+
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("v").over(w)
+    s = F.sum("v").over(w)
+    q = F.sum(F.col("v") * F.col("v")).over(w)
+    dev = F.col("v") * n - s          # n * (v - mean), scaled exact
+    var_num = n * q - s * s           # n^2 * (n-1)/n * sample variance
+    flagged = (
+        ev.withColumn("n_w", n)
+        .withColumn("dev", dev)
+        .withColumn("var_num", var_num)
+        .filter(
+            (F.col("n_w") >= 10)
+            & (F.col("var_num") > 0)
+            & (
+                4 * F.col("dev") * F.col("dev") * (F.col("n_w") - 1)
+                > 25 * F.col("n_w") * F.col("var_num")
+            )
+        )
+    )
+    z = F.col("dev") / F.sqrt(
+        F.col("n_w") * F.col("var_num") / (F.col("n_w") - 1)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        (F.floor(z * 100) / 100).alias("zscore"),
+    ).orderBy("user_id", "event_id")
+
+
+_ANOMALY_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value,
+       floor(dev / sqrt(n_w * var_num / (n_w - 1)) * 100) / 100 AS zscore
+FROM (
+  SELECT user_id, event_id, value,
+         count(v)   OVER w AS n_w,
+         v * count(v) OVER w - sum(v) OVER w AS dev,
+         count(v) OVER w * sum(v * v) OVER w
+           - sum(v) OVER w * sum(v) OVER w AS var_num
+  FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+WHERE n_w >= 10 AND var_num > 0
+  AND 4 * dev * dev * (n_w - 1) > 25 * n_w * var_num
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_events — ordered conversion funnel view -> click -> purchase.
+# A user converts a stage only with an event AT OR AFTER their previous
+# stage's first event (ordered semantics, not mere set membership).
+# Scale: three user-keyed aggregates + two co-partitioned equi-joins on
+# user_id; each stage shrinks the frame. No windows over global data.
+# ---------------------------------------------------------------------------
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_users"),
+        )
+
+    return (
+        stage(views, 1, "view")
+        .unionByName(stage(clicks, 2, "click"))
+        .unionByName(stage(purchases, 3, "purchase"))
+        .orderBy("stage_idx")
+    )
+
+
+_FUNNEL_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM views
+UNION ALL
+SELECT 2, 'click', count(*) FROM clicks
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM purchases
+ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention_events — weekly cohort retention matrix.
+# Users cohort by the Monday-start week of their first event; each
+# (cohort_week, week_offset) cell counts distinct users active that
+# many weeks later. Scale: one user-keyed aggregate for cohorts, one
+# distinct over (user, week) — both single shuffles; the join back is
+# user-keyed and co-partitioned.
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+QUERIES = {
+    "dq_expectations_orders": dq_expectations_orders,
+    "anomaly_zscore_events": anomaly_zscore_events,
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
+}
+
+ORACLES = {
+    "dq_expectations_orders": _DQ_SQL,
+    "anomaly_zscore_events": _ANOMALY_SQL,
+    "funnel_events": _FUNNEL_SQL,
+    "cohort_retention_events": _COHORT_SQL,
+}
