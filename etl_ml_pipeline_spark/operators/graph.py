@@ -71,3 +71,52 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    ``edges`` must carry columns (a, b); direction and duplicates are
+    normalized here. Uses the standard ordered-wedge join: with every
+    edge stored as a < b, a wedge (a<b<c) is e1=(a,b) ⋈ e2=(b,c), and
+    a triangle is a wedge whose closing edge (a,c) exists — each
+    triangle is generated exactly once. Two equi-join shuffles, no
+    cross product.
+
+    Scale guard: wedge count is sum(degree^2); a single celebrity node
+    explodes it, so nodes above ``max_degree`` are dropped from wedge
+    CENTERS (the b role) — the same graceful-degradation posture as the
+    MinHash band cap. At the default cap nothing drops at test scale.
+    """
+    from pyspark.sql import functions as F
+
+    und = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ok_centers = deg.filter(F.col("d") <= max_degree).select(F.col("n").alias("b"))
+    e1 = und.alias("e1")
+    e2 = und.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    ).alias("e2")
+    wedges = (
+        e1.join(ok_centers, "b")
+        .join(e2, "b")
+        .select("a", "b", "c")
+    )
+    closing = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -80,5 +80,71 @@ ORDER BY node
 """
 
 
-QUERIES = {"pagerank_supply": pagerank_supply}
-ORACLES = {"pagerank_supply": _pagerank_oracle()}
+# ---------------------------------------------------------------------------
+# graph_triangle_counts — per-node triangle counts over the co-supply
+# graph (suppliers adjacent when they ship the same part; parts capped
+# to the same window pagerank uses so the projected graph stays
+# non-degenerate). Ordered-wedge join (a<b<c): two equi-join shuffles,
+# one closing-edge semi-check — no cross product; wedge centers above
+# the degree cap drop gracefully (operators/graph.py:triangle_counts).
+# The oracle replays the identical ordered-wedge algebra in SQL.
+# ---------------------------------------------------------------------------
+
+_TRI_PART_CAP = 40
+_TRI_MAX_DEGREE = 10_000
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.graph import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < _TRI_PART_CAP)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+    )
+    return triangle_counts(edges, max_degree=_TRI_MAX_DEGREE).orderBy("node")
+
+
+_TRIANGLE_SQL = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey < {_TRI_PART_CAP}
+), und AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+  WHERE x.l_suppkey < y.l_suppkey
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY n
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN deg ON deg.n = e1.b AND deg.d <= {_TRI_MAX_DEGREE}
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+ORDER BY node
+"""
+
+
+QUERIES = {
+    "pagerank_supply": pagerank_supply,
+    "graph_triangle_counts": graph_triangle_counts,
+}
+ORACLES = {
+    "pagerank_supply": _pagerank_oracle(),
+    "graph_triangle_counts": _TRIANGLE_SQL,
+}

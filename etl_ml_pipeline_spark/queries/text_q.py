@@ -770,8 +770,85 @@ SELECT stage, n_docs FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_heavy_hitters_terms — distributed Misra-Gries heavy hitters
+# with an oracle-asserted deficiency contract.
+# The corpus vocabulary is near-uniform (no true heavy hitter), so the
+# term stream is derived deterministically with planted skew: doc_id%3
+# docs emit 'hot_a' (~33%), remaining doc_id%7 docs 'hot_b' (~9.5%),
+# the rest a ~700-key tail — MG(k=16) must trim aggressively, and the
+# two planted keys are the only terms above the n/k=6.25% threshold.
+# Outputs are PARTITION-INDEPENDENT: per true-heavy term, `in_sketch`
+# (candidate survived — MG guarantees TRUE) and `bound_ok`
+# (exact - n/(k+1) <= merged mg_count <= exact, the deficiency bound) —
+# the sketch's raw counts vary with partitioning and are not emitted.
+# Scale: O(k) state per partition, k*partitions candidate rows total;
+# the exact side here exists only to judge the sketch.
+# ---------------------------------------------------------------------------
+
+_MG_K = 16
+
+
+def _skewed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hot_a"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("t"), (F.col("doc_id") % 1000).cast("string")))
+        .alias("term")
+    )
+
+
+def sketch_heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.sketch import misra_gries_candidates
+
+    terms = _skewed_terms(spark, sf_dir)
+    total = terms.agg(F.count("*").alias("n_total"))
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_count") * _MG_K > F.col("n_total")  # integer-exact n/k test
+    )
+    cands = misra_gries_candidates(terms, "term", _MG_K).withColumnRenamed(
+        "term", "c_term"
+    )
+    return (
+        heavy.join(cands, heavy.term == F.col("c_term"), "left")
+        .select(
+            "term",
+            "exact_count",
+            F.col("c_term").isNotNull().alias("in_sketch"),
+            (
+                F.col("c_term").isNotNull()
+                & (F.col("mg_count") <= F.col("exact_count"))
+                & (
+                    F.col("mg_count") * (_MG_K + 1)
+                    >= F.col("exact_count") * (_MG_K + 1) - F.col("n_total")
+                )
+            ).alias("bound_ok"),
+        )
+        .orderBy("term")
+    )
+
+
+_MG_SQL = f"""
+WITH terms AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot_a'
+              WHEN doc_id % 7 = 0 THEN 'hot_b'
+              ELSE 't' || CAST(doc_id % 1000 AS VARCHAR) END AS term
+  FROM documents
+), tot AS (SELECT count(*) AS n_total FROM terms),
+ex AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+SELECT term, CAST(exact_count AS BIGINT) AS exact_count,
+       TRUE AS in_sketch, TRUE AS bound_ok
+FROM ex, tot
+WHERE exact_count * {_MG_K} > n_total
+ORDER BY term
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
     "chunk_documents_sliding": chunk_documents_sliding,
     "corpus_clean_funnel": corpus_clean_funnel,
     "text_model_quality_score": text_model_quality_score,
@@ -789,6 +866,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "sketch_heavy_hitters_terms": _MG_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,
     "corpus_clean_funnel": _funnel_oracle(),
     "text_model_quality_score": _QM_SQL,

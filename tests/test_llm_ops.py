@@ -725,3 +725,61 @@ def test_ed1_hot_bucket_cap(spark):
     n_capped = ed1_candidate_pairs(df, "s", max_bucket=5).count()
     assert n_uncapped == 45          # all pairs are ed 1 (same length, one sub)
     assert n_capped < n_uncapped     # hot "a"-variant bucket dropped
+
+
+def test_misra_gries_contract_under_trimming(spark):
+    """MG(k) with a vocabulary far beyond k must still surface every
+    term above n/k, with merged counts inside the deficiency bound —
+    regardless of partitioning."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.sketch import misra_gries_candidates
+
+    k = 8
+    # 10_000 rows: 30% 'hot', rest spread over ~1000 tail terms
+    df = (
+        spark.range(0, 10_000)
+        .select(
+            F.when(F.col("id") % 10 < 3, F.lit("hot"))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 997).cast("string")))
+            .alias("term")
+        )
+        .repartition(7)  # force several independent summaries
+    )
+    n = df.count()
+    cands = {r.term: r.mg_count for r in misra_gries_candidates(df, "term", k).collect()}
+    exact_hot = df.filter("term = 'hot'").count()
+    assert exact_hot * k > n  # it IS a heavy hitter
+    assert "hot" in cands
+    assert cands["hot"] <= exact_hot
+    assert cands["hot"] * (k + 1) >= exact_hot * (k + 1) - n  # deficiency bound
+    # summaries stay sketch-sized: k candidates per partition at most
+    assert len(cands) <= k * 7
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes of the shared edge sit in 2 triangles,
+    the others in 1; a disconnected edge contributes none."""
+    from etl_ml_pipeline_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4),      # K4 minus (3,4)
+         (5, 6)],                                     # no triangle
+        ["a", "b"],
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_degree_cap_drops_hot_centers(spark):
+    """A wedge center above max_degree is excluded from wedge
+    generation — its triangles degrade away instead of exploding."""
+    from etl_ml_pipeline_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["a", "b"]  # one triangle via center 2
+    )
+    # cap below node 2's degree: wedge (1,2,3) can't form; closing edge
+    # path via other centers: (1,2)&(2,3) is the only ordered wedge.
+    got = triangle_counts(edges, max_degree=1).count()
+    assert got == 0
