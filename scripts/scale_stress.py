@@ -142,6 +142,38 @@ def ann_stress():
           ivfpq_topk(queries, corpus, centroids, cbs, k=5))
 
 
+def new_ops_stress():
+    """Round-5 operators at synthetic scale: FastSS ed1 join over
+    random hex strings (variant-join machinery, near-zero true pairs),
+    Misra-Gries over a 100k vocabulary with planted skew, and
+    triangle counting on a 2M-node path-power graph (4M edges,
+    2M-2 triangles)."""
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+    from etl_ml_pipeline_spark.operators.graph import triangle_counts
+    from etl_ml_pipeline_spark.operators.sketch import misra_gries_candidates
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+
+    for n in (250_000, 1_000_000):
+        strs = spark.range(n).select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("s")
+        )
+        timed(f"ed1_pairs n={n:,}", ed1_candidate_pairs(strs, "s"))
+
+    for n in (2_000_000, 10_000_000):
+        terms = spark.range(n).select(
+            F.when(F.col("id") % 10 < 3, F.lit("hot"))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 100_000).cast("string")))
+            .alias("term")
+        )
+        timed(f"misra_gries k=200 n={n:,}", misra_gries_candidates(terms, "term", 200))
+
+    n = 2_000_000
+    base = spark.range(n - 1).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    skip = spark.range(n - 2).select(F.col("id").alias("a"), (F.col("id") + 2).alias("b"))
+    timed(f"triangles nodes={n:,} edges={2*n-3:,}", triangle_counts(base.unionAll(skip)))
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_stress()
