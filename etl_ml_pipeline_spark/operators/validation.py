@@ -170,3 +170,92 @@ class Validate(BaseTransform):
 
         out_schema = schema if mode == "drop" else schema.add("_valid", "boolean")
         return df.mapInPandas(validate_batches, schema=out_schema)
+
+
+class DataQualityError(ValueError):
+    """Raised by the dq_expectations transform when checks fail in
+    on_failure=fail mode; carries the failing check summaries."""
+
+    def __init__(self, failures: list[dict]):
+        self.failures = failures
+        super().__init__(
+            "data-quality expectations failed: "
+            + "; ".join(f"{f['check']} (metric={f['metric']})" for f in failures)
+        )
+
+
+@register_transform("dq_expectations")
+class DqExpectations(BaseTransform):
+    """Dataset-level expectation battery (Deequ-style), as a pipeline gate.
+
+    Where ``validate`` checks each ROW against a contract, this audits
+    the TABLE: row count, key uniqueness, null budgets, accepted value
+    domains, numeric bounds. All checks compile into ONE aggregate pass
+    (a single scan + 1-row reduce; uniqueness adds a count distinct),
+    so the audit costs one action regardless of check count. The frame
+    passes through unchanged — this transform gates, it doesn't mutate.
+
+    NOTE: this transform is deliberately EAGER (it runs the aggregate
+    when the pipeline builds) — a gate that doesn't evaluate can't gate.
+
+    config:
+      checks:
+        - {type: row_count, min: 1}
+        - {type: unique, column: o_orderkey}
+        - {type: not_null, column: o_custkey}
+        - {type: accepted_values, column: o_orderstatus, values: [F, O, P]}
+        - {type: min, column: o_totalprice, at_least: 0}
+      on_failure: fail (default) | warn
+    """
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        checks = self.config.get("checks") or []
+        if not checks:
+            raise ValueError("dq_expectations requires a non-empty 'checks' list")
+        aggs: list[F.Column] = [F.count("*").alias("__n")]
+        for i, c in enumerate(checks):
+            kind = c.get("type")
+            if kind == "row_count":
+                pass  # uses __n
+            elif kind == "unique":
+                aggs.append(F.countDistinct(c["column"]).alias(f"__c{i}"))
+            elif kind == "not_null":
+                aggs.append(
+                    F.sum(F.col(c["column"]).isNull().cast("long")).alias(f"__c{i}")
+                )
+            elif kind == "accepted_values":
+                aggs.append(
+                    F.sum(
+                        (~F.col(c["column"]).isin(*c["values"])).cast("long")
+                    ).alias(f"__c{i}")
+                )
+            elif kind == "min":
+                aggs.append(F.min(c["column"]).alias(f"__c{i}"))
+            else:
+                raise ValueError(f"unknown dq check type {kind!r}")
+        row = df.agg(*aggs).collect()[0]
+        n = row["__n"]
+        failures: list[dict] = []
+        for i, c in enumerate(checks):
+            kind = c["type"]
+            if kind == "row_count":
+                ok, metric = n >= c.get("min", 1), n
+            elif kind == "unique":
+                dupes = n - row[f"__c{i}"]
+                ok, metric = dupes == 0, dupes
+            elif kind in ("not_null", "accepted_values"):
+                ok, metric = row[f"__c{i}"] == 0, row[f"__c{i}"]
+            else:  # min
+                m = row[f"__c{i}"]
+                ok, metric = m is not None and m >= c["at_least"], m
+            if not ok:
+                failures.append(
+                    {"check": f"{kind}:{c.get('column', '*')}", "metric": metric}
+                )
+        if failures:
+            if self.config.get("on_failure", "fail") == "warn":
+                for f_ in failures:
+                    logger.warning("dq expectation failed: %s", f_)
+            else:
+                raise DataQualityError(failures)
+        return df

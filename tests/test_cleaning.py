@@ -248,3 +248,52 @@ def test_scd2_history_interval_chaining(spark):
     }
     # exactly one current row per key
     assert sum(1 for v in rows.values() if v[2]) == 2
+
+
+def test_dq_expectations_pass_and_gate(spark):
+    """All checks green -> frame passes through untouched; a violated
+    uniqueness/domain check raises DataQualityError naming the checks;
+    on_failure=warn logs and continues."""
+    from etl_ml_pipeline_spark.operators.validation import (
+        DataQualityError,
+        DqExpectations,
+    )
+
+    good = spark.createDataFrame(
+        [(1, 10.0, "F"), (2, 20.0, "O"), (3, 0.0, "P")], ["k", "price", "status"]
+    )
+    checks = [
+        {"type": "row_count", "min": 1},
+        {"type": "unique", "column": "k"},
+        {"type": "not_null", "column": "price"},
+        {"type": "accepted_values", "column": "status", "values": ["F", "O", "P"]},
+        {"type": "min", "column": "price", "at_least": 0},
+    ]
+    out = DqExpectations({"checks": checks}).transform(good)
+    assert out.count() == 3
+
+    bad = spark.createDataFrame(
+        [(1, -5.0, "F"), (1, 20.0, "X")], ["k", "price", "status"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DataQualityError) as exc:
+        DqExpectations({"checks": checks}).transform(bad)
+    msg = str(exc.value)
+    assert "unique:k" in msg and "accepted_values:status" in msg and "min:price" in msg
+
+    # warn mode: same violations, frame still flows
+    out = DqExpectations({"checks": checks, "on_failure": "warn"}).transform(bad)
+    assert out.count() == 2
+
+
+def test_dq_expectations_unknown_check_raises(spark):
+    from etl_ml_pipeline_spark.operators.validation import DqExpectations
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dq check"):
+        DqExpectations({"checks": [{"type": "nope"}]}).transform(df)
+    with _pytest.raises(ValueError, match="non-empty"):
+        DqExpectations({"checks": []}).transform(df)

@@ -208,3 +208,45 @@ def test_stateful_sessionizer_emits_closed_sessions(spark, tmp_path):
     # user 3's trailing session (deadline 23:30) is beyond any watermark
     # this stream can reach (max 22:00) — correctly withheld.
     assert not any(u == 3 for u, *_ in got)
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """Restarting a stopped stream from its checkpoint must process
+    only NEW files — the file-sink + checkpoint contract that gives
+    exactly-once output across restarts."""
+    d = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        d, "b1.json",
+        [{"user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},
+         {"user_id": 2, "ts": "2024-01-01 10:01:00", "value": 2.0}],
+        mtime=1_700_000_000,
+    )
+
+    def run_once():
+        stream = read_json_stream(
+            spark, str(d), "user_id bigint, ts timestamp, value double"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    # second run over the SAME checkpoint: b1 must not reprocess
+    _write_jsonl(
+        d, "b2.json",
+        [{"user_id": 3, "ts": "2024-01-01 10:02:00", "value": 3.0}],
+        mtime=1_700_000_100,
+    )
+    run_once()
+    rows = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    assert rows == [1, 2, 3]  # exactly once: no duplicates, nothing lost
