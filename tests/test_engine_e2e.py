@@ -484,3 +484,54 @@ def test_compact_files_sorted_clusters_disjoint(tmp_path, spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint, ordered key ranges across files
+
+
+def test_quality_gated_load_pipeline(tmp_path, spark):
+    """The dq_expectations transform wired into a YAML pipeline: clean
+    orders pass the gate and load; a poisoned inline check fails the
+    run BEFORE the sink writes anything."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from etl_ml_pipeline_spark.engine import PipelineEngine
+    from etl_ml_pipeline_spark.operators.validation import DataQualityError
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "gated"
+    PipelineEngine(
+        str(repo / "configs" / "quality_gated_load.yaml"),
+        spark=spark,
+        inline_config={"pipeline": {"load": {"config": {"path": str(out)}}}},
+        state_path=str(tmp_path / "state.json"),
+    ).run()
+    assert spark.read.parquet(str(out)).count() > 0
+
+    # poison one check: min price impossible -> gate fails, sink untouched
+    out_bad = tmp_path / "gated_bad"
+    with _pytest.raises(DataQualityError):
+        PipelineEngine(
+            str(repo / "configs" / "quality_gated_load.yaml"),
+            spark=spark,
+            inline_config={
+                "pipeline": {
+                    "load": {"config": {"path": str(out_bad)}},
+                    "transform": [
+                        {
+                            "type": "dq_expectations",
+                            "config": {
+                                "checks": [
+                                    {
+                                        "type": "min",
+                                        "column": "o_totalprice",
+                                        "at_least": 10**12,
+                                    }
+                                ]
+                            },
+                        }
+                    ],
+                }
+            },
+            state_path=str(tmp_path / "state2.json"),
+        ).run()
+    assert not out_bad.exists()
