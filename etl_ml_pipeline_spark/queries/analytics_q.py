@@ -320,8 +320,78 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# window_rolling_autocorr_events — trailing-20 lag-1 autocorrelation
+# per user, EXACT cross-engine arithmetic. Pearson corr of (value,
+# prev value) pairs from INTEGER window sums on the 0.01 grid:
+#   corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+# Every sum is a long; the single double division/sqrt is the same
+# expression in both engines, so results agree to the last bit — the
+# floor truncation is belt and braces. (Built-in corr() over a window
+# would carry engine-specific summation order — same reason
+# anomaly_zscore_events avoids stddev().)
+# Scale: one per-user window after a lag projection — one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def window_rolling_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.round(F.col("value") * 100).cast("long")
+    )
+    lagw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.withColumn("y", F.lag("x").over(lagw)).filter(F.col("y").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    n = F.count("x").over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    out = (
+        paired.withColumn("n_w", n)
+        .withColumn("num", n * sxy - sx * sy)
+        .withColumn("dx", n * sxx - sx * sx)
+        .withColumn("dy", n * syy - sy * sy)
+        .filter((F.col("n_w") >= 10) & (F.col("dx") > 0) & (F.col("dy") > 0))
+    )
+    corr = F.col("num") / F.sqrt(F.col("dx").cast("double") * F.col("dy").cast("double"))
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.floor(corr * 10000) / 10000).alias("autocorr_lag1"),
+    ).orderBy("user_id", "event_id")
+
+
+_AUTOCORR_SQL = """
+SELECT user_id, event_id,
+       floor(num / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 10000)
+         / 10000 AS autocorr_lag1
+FROM (
+  SELECT user_id, event_id,
+         count(x) OVER w AS n_w,
+         count(x) OVER w * sum(x * y) OVER w
+           - sum(x) OVER w * sum(y) OVER w AS num,
+         count(x) OVER w * sum(x * x) OVER w
+           - sum(x) OVER w * sum(x) OVER w AS dx,
+         count(x) OVER w * sum(y * y) OVER w
+           - sum(y) OVER w * sum(y) OVER w AS dy
+  FROM (
+    SELECT user_id, event_id, ts, x,
+           lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+    FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS x FROM events)
+  )
+  WHERE y IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+WHERE n_w >= 10 AND dx > 0 AND dy > 0
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
+    "window_rolling_autocorr_events": window_rolling_autocorr_events,
     "anomaly_zscore_events": anomaly_zscore_events,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
@@ -329,6 +399,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_expectations_orders": _DQ_SQL,
+    "window_rolling_autocorr_events": _AUTOCORR_SQL,
     "anomaly_zscore_events": _ANOMALY_SQL,
     "funnel_events": _FUNNEL_SQL,
     "cohort_retention_events": _COHORT_SQL,
