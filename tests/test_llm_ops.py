@@ -783,3 +783,47 @@ def test_triangle_degree_cap_drops_hot_centers(spark):
     # path via other centers: (1,2)&(2,3) is the only ordered wedge.
     got = triangle_counts(edges, max_degree=1).count()
     assert got == 0
+
+
+def test_ivfpq_rerank_recovers_recall(spark, sf_dir):
+    """Exact re-ranking of IVF-PQ ADC candidates must substantially beat
+    raw ADC ordering against the exact-cosine truth — the two-stage
+    production pattern (prune compressed, rescore exact)."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        pq_codebooks_from_rows,
+    )
+    from etl_ml_pipeline_spark.queries.similarity_q import _PQ_K, _PQ_M, _PQ_STEP
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cbs = pq_codebooks_from_rows(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    truth = {(r.q_id, r.c_id) for r in brute_force_topk(queries, corpus, k=5).collect()}
+    raw = {
+        (r.q_id, r.c_id)
+        for r in ivfpq_topk(queries, corpus, centroids, cbs, k=5).collect()
+    }
+    rr_df = ivfpq_rerank_topk(
+        queries, corpus, centroids, cbs, k=5, n_candidates=100, n_probe=8
+    ).collect()
+    rr = {(r.q_id, r.c_id) for r in rr_df}
+    recall_raw = len(truth & raw) / len(truth)
+    recall_rr = len(truth & rr) / len(truth)
+    assert recall_rr >= recall_raw + 0.2   # prune-then-rescore is a big jump
+    assert recall_rr >= 0.6                # measured 0.78 @ sf0.001 (n_probe 8)
+    # self-match sanity: each query's own vector survives reranking at rank 1
+    rank1 = {r.q_id: r.c_id for r in rr_df if r.rank == 1}
+    assert all(q == c for q, c in rank1.items())
