@@ -744,6 +744,143 @@ ORDER BY q_id, rank
 
 
 # ---------------------------------------------------------------------------
+# ann_ivfpq_rerank_topk — the FULL production retrieval stack as one
+# oracle-checked query: multi-probe IVF (8 cells) -> ADC over PQ codes
+# prunes to 100 candidates -> EXACT cosine rescoring of just those
+# candidates orders the final top-5. Raw single-probe ADC lands ~0.25
+# recall@5 on this corpus; this stack measures 0.78-0.86 (pytest) —
+# and the plan reads full vectors only for the candidate point-lookups,
+# never scanning the corpus with exact math.
+# ---------------------------------------------------------------------------
+
+_RERANK_PROBE = 8
+_RERANK_CANDS = 100
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    codebooks = pq_codebooks_from_rows(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = ivfpq_rerank_topk(
+        queries,
+        corpus,
+        centroids,
+        codebooks,
+        k=5,
+        n_candidates=_RERANK_CANDS,
+        n_probe=_RERANK_PROBE,
+    )
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos")
+    ).orderBy("q_id", "rank")
+
+
+def _ivfpq_rerank_oracle() -> str:
+    dsub = 64 // _PQ_M
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cent
+  FROM vecs WHERE vec_id % {_PQ_STEP} = 0 ORDER BY vec_id LIMIT {_PQ_K}
+),
+codebook AS (
+  SELECT cent, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS cv
+  FROM seeds, unnest(range({_PQ_M})) AS u(j)
+),
+subs AS (
+  SELECT vec_id, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS sv
+  FROM vecs, unnest(range({_PQ_M})) AS u(j)
+),
+dists AS (
+  SELECT s.vec_id, s.j, c.cent,
+         list_sum(list_transform(list_zip(s.sv, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM subs s JOIN codebook c USING (j)
+),
+codes AS (
+  SELECT vec_id, j, cent AS code FROM (
+    SELECT vec_id, j, cent,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cent ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, j, cent, d FROM dists WHERE vec_id < 10
+),
+qprobe AS (
+  SELECT vec_id AS q_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c WHERE a.vec_id < 10
+  ) WHERE rn <= {_RERANK_PROBE}
+),
+scored AS (
+  SELECT q.q_id, co.vec_id AS c_id,
+         list_sum(list(l.d ORDER BY l.j)) AS adc
+  FROM codes co
+  JOIN assigned a ON a.vec_id = co.vec_id
+  JOIN qprobe q ON q.cent_id = a.cent_id
+  JOIN lut l ON l.q_id = q.q_id AND l.j = co.j AND l.cent = co.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_RERANK_CANDS}
+),
+rer AS (
+  SELECT cand.q_id, cand.c_id, list_cosine_similarity(qv.v, cv.v) AS cos
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.q_id
+  JOIN vecs cv ON cv.vec_id = cand.c_id
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos
+FROM (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM rer
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_recall_contract — recall@10 of the sqrt(N) IVF index vs the exact
 # brute-force top-10, measured INSIDE the engine at two probe settings
 # and asserted as data (VERDICT r04 #5: IVF recall lived only in pytest).
@@ -872,6 +1009,7 @@ QUERIES = {
     "ann_recall_contract": ann_recall_contract,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "embedding_quantize_sq8": embedding_quantize_sq8,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
@@ -887,6 +1025,7 @@ ORACLES = {
     "ann_recall_contract": _recall_oracle(),
     "ann_pq_adc_topk": _pq_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_ivfpq_rerank_topk": _ivfpq_rerank_oracle(),
     "embedding_quantize_sq8": _SQ8_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
