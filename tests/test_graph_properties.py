@@ -194,3 +194,73 @@ def test_operators_handle_empty_inputs(spark):
 
     empty_rows = spark.createDataFrame([], "a long")
     assert global_row_number(empty_rows, ["a"]).count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_ed1_pairs_match_bruteforce_property(spark, strings):
+    """Deletion-neighborhood fuzzy join == brute-force levenshtein<=1 on
+    arbitrary small alphabets (where variant collisions are maximal)."""
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = sorted(
+        (r.name_a, r.name_b) for r in ed1_candidate_pairs(df, "s").collect()
+    )
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(sorted(strings))
+        for b in sorted(strings)[i + 1 :]
+        if _lev(a, b) <= 1
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=20, max_size=300),
+    st.integers(min_value=2, max_value=8),
+)
+def test_misra_gries_deficiency_property(spark, items, k):
+    """On arbitrary streams and k: every item with frequency > n/k is in
+    the candidate set, and merged counts never exceed true counts."""
+    from collections import Counter
+
+    from etl_ml_pipeline_spark.operators.sketch import misra_gries_candidates
+
+    df = spark.createDataFrame([(f"t{i}",) for i in items], ["term"]).repartition(3)
+    cands = {
+        r.term: r.mg_count
+        for r in misra_gries_candidates(df, "term", k).collect()
+    }
+    true = Counter(f"t{i}" for i in items)
+    n = len(items)
+    for term, freq in true.items():
+        if freq * k > n:
+            assert term in cands, (term, freq, n, k)
+        if term in cands:
+            assert cands[term] <= freq
