@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_ml_pipeline_spark.operators import text as X
-from etl_ml_pipeline_spark.queries.tables import t
+from etl_ml_pipeline_spark.queries.tables import maybe_broadcast, t
 
 _STOP_SQL_LIST = ", ".join(f"'{s}'" for s in X.EN_STOPWORDS)
 
@@ -276,9 +276,12 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_smooth = F.log((n + 1) / (dfc + 1)) + 1
     idf_bm25 = F.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
     denom = tfc + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    # df_ (vocab-sized) and dl (corpus-sized) SCALE with the documents
+    # table — size-guard their broadcast hints like the TPC-H dims; the
+    # 1-row scalars frame is bounded by construction.
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(dl), "doc_id")
+        tf.join(maybe_broadcast(df_, sf_dir, "documents"), "term")
+        .join(maybe_broadcast(dl, sf_dir, "documents"), "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",
