@@ -264,3 +264,20 @@ def test_misra_gries_deficiency_property(spark, items, k):
             assert term in cands, (term, freq, n, k)
         if term in cands:
             assert cands[term] <= freq
+
+
+def test_round5_operators_handle_empty_inputs(spark):
+    """Same hardening for the round-5 operators: empty frames flow
+    through without errors."""
+    from etl_ml_pipeline_spark.operators.dedup import ed1_candidate_pairs
+    from etl_ml_pipeline_spark.operators.graph import triangle_counts
+    from etl_ml_pipeline_spark.operators.sketch import misra_gries_candidates
+
+    empty_strs = spark.createDataFrame([], "s string")
+    assert ed1_candidate_pairs(empty_strs, "s").count() == 0
+
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    assert triangle_counts(empty_edges).count() == 0
+
+    empty_terms = spark.createDataFrame([], "term string")
+    assert misra_gries_candidates(empty_terms, "term", 8).count() == 0
