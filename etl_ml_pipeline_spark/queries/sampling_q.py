@@ -315,8 +315,55 @@ ORDER BY pack_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# split_assign_documents — deterministic train/val/test assignment.
+# The canonical dataset-split move: hash-mod buckets on the stable key
+# (98/1/1 here), so the SAME doc lands in the SAME split on every
+# engine, every re-run, any partitioning — and membership is a pure
+# map-side predicate (no shuffle, no RNG state). Output is the
+# per-(lang, split) count matrix plus each split's min/max doc_id as a
+# membership spot-check.
+# ---------------------------------------------------------------------------
+
+
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    split = (
+        F.when(_bucket() < 98, "train")
+        .when(_bucket() < 99, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN {_HASH_DUCK} % 100 < 98 THEN 'train'
+            WHEN {_HASH_DUCK} % 100 < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "split_assign_documents": split_assign_documents,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
@@ -325,6 +372,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "split_assign_documents": _SPLIT_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
