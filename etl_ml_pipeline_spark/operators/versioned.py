@@ -114,3 +114,46 @@ def expire(path: str, keep_last: int) -> list[int]:
     manifest["versions"] = [v for v in versions if v["id"] in keep_ids]
     _store_manifest(path, manifest)
     return removed
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+    note: str = "",
+) -> int:
+    """Copy-on-write upsert: merge a CDC change batch into the current
+    snapshot and publish the result as the table's next version.
+
+    The composition that makes the versioned store a mini-lakehouse:
+    ``cdc_latest_view`` (one key-shuffle merge, latest-version-wins,
+    tombstones drop — operators/relational.py) computes the new
+    snapshot; ``write_version`` publishes it atomically. Readers on the
+    previous version are never disturbed (their files are immutable),
+    rollback undoes a bad batch in O(1), and re-applying the same batch
+    is a no-op row-wise (the merge is idempotent) — effectively-once
+    ingestion on top of at-least-once delivery.
+
+    First call on an empty table bootstraps from the changes alone.
+    Returns the published version id.
+    """
+    from etl_ml_pipeline_spark.operators.relational import cdc_latest_view
+
+    manifest = _load_manifest(path)
+    if manifest["latest"] is None:
+        base = changes.limit(0)
+    else:
+        base = read_version(spark, path)
+    merged = cdc_latest_view(base, changes, keys, version_col, delete_col)
+    if delete_col is not None and delete_col in changes.columns:
+        # keep the schema stable across versions: surviving rows are,
+        # by definition, not deleted
+        from pyspark.sql import functions as F
+
+        merged = merged.withColumn(delete_col, F.lit(False)).select(
+            *changes.columns
+        )
+    return write_version(merged, path, note=note)

@@ -67,3 +67,37 @@ def test_versioned_manifest_swap_is_atomic(spark, tmp_path):
         read_version(spark, path, version=7)  # unpublished => unknown
     # the next successful write publishes as v2, ignoring the orphan
     assert write_version(spark.range(0, 4), path) == 2
+
+
+def test_apply_changes_copy_on_write(spark, tmp_path):
+    """CDC batches fold into new versions: updates win, tombstones drop,
+    old versions stay readable, rollback undoes a batch, and re-applying
+    a batch is row-identical (idempotent merge)."""
+    from etl_ml_pipeline_spark.operators.versioned import apply_changes
+
+    path = str(tmp_path / "cow")
+    b1 = spark.createDataFrame(
+        [(1, 1, False, "a"), (2, 1, False, "b")],
+        "k int, version int, deleted boolean, payload string",
+    )
+    v1 = apply_changes(spark, path, b1, ["k"], "version", "deleted", note="seed")
+    assert v1 == 1
+    b2 = spark.createDataFrame(
+        [(1, 2, False, "a2"), (2, 2, True, "dead"), (3, 1, False, "c")],
+        "k int, version int, deleted boolean, payload string",
+    )
+    v2 = apply_changes(spark, path, b2, ["k"], "version", "deleted")
+    got = {
+        r.k: r.payload for r in read_version(spark, path).collect()
+    }
+    assert got == {1: "a2", 3: "c"}  # update applied, tombstone dropped
+    # time travel still sees the pre-merge world
+    got1 = {r.k: r.payload for r in read_version(spark, path, version=v1).collect()}
+    assert got1 == {1: "a", 2: "b"}
+    # idempotence: re-applying batch 2 produces a row-identical version
+    v3 = apply_changes(spark, path, b2, ["k"], "version", "deleted")
+    got3 = {r.k: r.payload for r in read_version(spark, path, version=v3).collect()}
+    assert got3 == got
+    # rollback undoes everything after v1 in O(1)
+    rollback(path, v1)
+    assert {r.k for r in read_version(spark, path).collect()} == {1, 2}
