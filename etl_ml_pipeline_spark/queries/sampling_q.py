@@ -361,9 +361,72 @@ ORDER BY lang, split
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_priority_documents — deterministic weighted sampling
+# WITHOUT replacement (Efraimidis-Spirakis A-ES priorities): each doc
+# gets priority ln(u)/w with u = hash-uniform in (0,1) and w = its
+# token count; the top-k by priority is a weighted sample where
+# inclusion probability scales with w. Hash-derived u makes the
+# "random" draw reproducible on any engine/partitioning — the same
+# property hash-mod sampling has, extended to WEIGHTED draws (sample
+# long/high-quality documents preferentially, deterministically).
+# Priorities are compared, never emitted: two priorities colliding
+# within libm ulp noise would need hash values equal to ~15 digits.
+# Scale: map-side priority + one top-k (TakeOrdered) — no shuffle of
+# the corpus, no RNG state.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_K = 25
+
+
+def sample_weighted_priority_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    u = (token_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(float(1 << 60))
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    pri = F.log(u) / w
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k*partitions rows) — NOT a global-sort
+    # window; the rank window then runs over only k rows.
+    top = (
+        docs.select("doc_id", "lang", w.alias("n_tokens"), pri.alias("_pri"))
+        .orderBy(F.desc("_pri"), F.asc("doc_id"))
+        .limit(_WEIGHTED_K)
+    )
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("_pri"), F.asc("doc_id"))),
+        )
+        .select("rank", "doc_id", "lang", "n_tokens")
+        .orderBy("rank")
+    )
+
+
+_WEIGHTED_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ln(({_HASH_DUCK} + 1) / 1152921504606846976.0)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS p
+  FROM documents
+)
+SELECT rank, doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (ORDER BY p DESC, doc_id ASC) AS rank
+  FROM pri
+) WHERE rank <= {_WEIGHTED_K}
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "split_assign_documents": split_assign_documents,
+    "sample_weighted_priority_documents": sample_weighted_priority_documents,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
@@ -373,6 +436,7 @@ QUERIES = {
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "split_assign_documents": _SPLIT_SQL,
+    "sample_weighted_priority_documents": _WEIGHTED_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
