@@ -423,10 +423,102 @@ ORDER BY rank
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_lang — temperature-based language mixing (the
+# XLM-R / mT5 recipe): sampling share of language l is proportional to
+# f_l^(1/T), which up-weights tail languages as T grows. T=2 here, so
+# the exponent is 0.5 and the weight is sqrt(f_l) — IEEE sqrt is
+# correctly rounded, hence bit-identical across engines (pow would
+# not be). Weights are floor-quantized to 1e9 integer units before the
+# normalizing sum so the sum is EXACT integer arithmetic (a 5-term
+# double sum could legally differ across engines' summation order);
+# the per-language threshold then derives from identical doubles via
+# identical operations on both sides. Membership stays the hash-mod
+# predicate: deterministic, map-side, pushdown-able.
+# ---------------------------------------------------------------------------
+
+_TEMP_FRACTION = 0.2  # sample budget: 20% of the corpus
+
+
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    total = docs.agg(F.count("*").alias("__N"))
+    # weight ~ sqrt(f_l), quantized to exact integer micro-units
+    wq = F.floor(F.sqrt(F.col("n_total") / F.col("__N")) * 1e9).cast("long")
+    weighted = counts.crossJoin(F.broadcast(total)).withColumn("wq", wq)
+    z = weighted.agg(F.sum("wq").alias("__Z"))  # exact: sum of longs
+    budget = F.floor(F.col("__N") * _TEMP_FRACTION)
+    thr = F.least(
+        F.lit(10000).cast("long"),
+        F.floor(
+            F.col("wq") / F.col("__Z") * budget * 10000 / F.col("n_total")
+        ),
+    )
+    plan = weighted.crossJoin(F.broadcast(z)).select(
+        "lang", "n_total", thr.alias("threshold")
+    )
+    sampled = (
+        docs.join(F.broadcast(plan), "lang")
+        .filter(
+            token_hash60(F.col("doc_id").cast("string")) % 10000
+            < F.col("threshold")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        plan.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "threshold",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+),
+tot AS (SELECT count(*) AS n FROM documents),
+weighted AS (
+  SELECT lang, n_total,
+         CAST(floor(sqrt(CAST(n_total AS DOUBLE) / n) * 1e9) AS BIGINT) AS wq,
+         n
+  FROM counts, tot
+),
+z AS (SELECT sum(wq) AS zq FROM weighted),
+plan AS (
+  SELECT lang, n_total,
+         least(10000, CAST(floor(
+           CAST(wq AS DOUBLE) / zq * floor(n * {_TEMP_FRACTION}) * 10000
+             / n_total
+         ) AS BIGINT)) AS threshold
+  FROM weighted, z
+),
+sampled AS (
+  SELECT d.lang, count(*) AS n_sampled
+  FROM documents d JOIN plan p USING (lang)
+  WHERE {_HASH_DUCK} % 10000 < p.threshold
+  GROUP BY d.lang
+)
+SELECT p.lang, CAST(p.n_total AS BIGINT) AS n_total,
+       p.threshold, coalesce(s.n_sampled, 0) AS n_sampled
+FROM plan p LEFT JOIN sampled s USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "split_assign_documents": split_assign_documents,
     "sample_weighted_priority_documents": sample_weighted_priority_documents,
+    "sample_temperature_lang": sample_temperature_lang,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
@@ -437,6 +529,7 @@ ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "split_assign_documents": _SPLIT_SQL,
     "sample_weighted_priority_documents": _WEIGHTED_SQL,
+    "sample_temperature_lang": _TEMP_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
