@@ -174,6 +174,62 @@ def new_ops_stress():
     timed(f"triangles nodes={n:,} edges={2*n-3:,}", triangle_counts(base.unionAll(skip)))
 
 
+def streaming_stress(n_events: int = 200_000, n_users: int = 5_000):
+    """Stateful-streaming throughput: n_events JSONL events through the
+    applyInPandasWithState gap sessionizer in availableNow micro-batches
+    — measures the custom-stateful path end to end (state store R/W,
+    Arrow transfer, timeout bookkeeping), not just the operators'
+    semantics. Events span ~55 hours with a 30-min gap, so most users
+    close multiple sessions mid-stream."""
+    import json
+    import tempfile
+    import time as _t
+    from pathlib import Path
+
+    from etl_ml_pipeline_spark.streaming import read_json_stream
+    from etl_ml_pipeline_spark.streaming.joins import stateful_sessionizer
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    tmp = Path(tempfile.mkdtemp())
+    d = tmp / "in"
+    d.mkdir()
+    # 4 files -> 4 micro-batches; deterministic event times
+    per_file = n_events // 4
+    for b in range(4):
+        with open(d / f"b{b}.json", "w") as f:
+            for i in range(per_file):
+                gid = b * per_file + i
+                ts = 1704067200 + gid  # 1 event/sec overall
+                f.write(json.dumps({
+                    "user_id": gid % n_users,
+                    "ts": _ts_str(ts),
+                    "value": float(gid % 97),
+                }) + "\n")
+    stream = read_json_stream(
+        spark, str(d), "user_id bigint, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    out = stateful_sessionizer(stream, gap_minutes=30, watermark="1 hour")
+    t0 = _t.perf_counter()
+    q = (out.writeStream.format("memory").queryName("stress_sess")
+         .outputMode("append").option("checkpointLocation", str(tmp / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    dt = _t.perf_counter() - t0
+    n_sessions = spark.table("stress_sess").count()
+    print(f"sessionizer stream n={n_events:,} users={n_users:,}: "
+          f"{dt:.1f}s ({n_events/dt:,.0f} events/s), "
+          f"{n_sessions:,} closed sessions", flush=True)
+
+
+def _ts_str(epoch: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(epoch, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_stress()
