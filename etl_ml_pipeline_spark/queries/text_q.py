@@ -849,9 +849,67 @@ ORDER BY term
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# text_novelty_surprise — unigram LM surprisal per document: mean
+# -ln(p(token)) under the corpus unigram model. The cheap statistical
+# novelty/outlier score (high = rare vocabulary, low = boilerplate) —
+# the unigram end of the perplexity-filter family used in corpus
+# curation (CCNet-style), computable without any external LM.
+# Scale: one explode->groupBy(term) shuffle builds the frequency
+# table (vocab-sized, size-guard broadcast back), one per-doc
+# aggregate. Cross-engine: ln() differs by <=1 ulp between libms and
+# the per-doc sum is order-free float addition — both sit ~1e-13
+# relative, far under the 1e-4 floor truncation (same acceptance as
+# pagerank's inflow sums).
+# ---------------------------------------------------------------------------
+
+
+def text_novelty_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").alias("N"))
+    scored = (
+        toks.join(maybe_broadcast(freq, sf_dir, "documents"), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("s", -F.log(F.col("tf") / F.col("N")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.floor(F.sum("s") / F.count("*") * 10000) / 10000).alias(
+                "surprise"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       floor(sum(-ln(tf / CAST(n AS DOUBLE))) / count(*) * 10000) / 10000
+         AS surprise
+FROM toks JOIN freq USING (term), tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
+    "text_novelty_surprise": text_novelty_surprise,
     "chunk_documents_sliding": chunk_documents_sliding,
     "corpus_clean_funnel": corpus_clean_funnel,
     "text_model_quality_score": text_model_quality_score,
@@ -870,6 +928,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,
+    "text_novelty_surprise": _NOVELTY_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,
     "corpus_clean_funnel": _funnel_oracle(),
     "text_model_quality_score": _QM_SQL,
