@@ -274,8 +274,63 @@ ORDER BY s_suppkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# window_mom_revenue_growth — month-over-month revenue growth per order
+# priority: monthly revenue sums, then lag(1) within each priority's
+# month series and the growth ratio from the two ALREADY-ROUNDED sums
+# (identical doubles both engines; floor truncation belt-and-braces —
+# the derived-ratio rule from the verify notes). The period-over-period
+# shape every BI layer asks of an engine.
+# Scale: one groupBy shuffle to month granularity (output is
+# months x priorities — tiny at any input scale), then a window over
+# that aggregate, not over raw orders.
+# ---------------------------------------------------------------------------
+
+
+def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn("prev_revenue", prev)
+        .withColumn(
+            "growth_pct",
+            F.when(
+                prev > 0,
+                F.floor((F.col("revenue") - prev) / prev * 100 * 100) / 100,
+            ),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+_MOM_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       CASE WHEN lag(revenue) OVER w > 0
+            THEN floor((revenue - lag(revenue) OVER w)
+                       / lag(revenue) OVER w * 100 * 100) / 100
+       END AS growth_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""
+
+
 QUERIES = {
     "window_dist_functions": window_dist_functions,
+    "window_mom_revenue_growth": window_mom_revenue_growth,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_rank_suppliers": window_rank_suppliers,
     "window_lag_lead_orders": window_lag_lead_orders,
@@ -286,6 +341,7 @@ QUERIES = {
 
 ORACLES = {
     "window_dist_functions": _DIST_SQL,
+    "window_mom_revenue_growth": _MOM_SQL,
     "window_topk_orders_per_customer": _TOPK_SQL,
     "window_rank_suppliers": _RANK_SQL,
     "window_lag_lead_orders": _LAG_SQL,
