@@ -401,3 +401,32 @@ def test_dim_broadcast_hint_is_size_guarded(spark, sf_dir, monkeypatch):
     assert "ResolvedHint" in tbl.maybe_broadcast(
         derived, sf_dir, "part"
     )._jdf.queryExecution().analyzed().toString()
+
+
+def test_weighted_sampler_plans_take_ordered(spark, sf_dir):
+    """The weighted sampler's top-k must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global-sort window over
+    the corpus; the rank window runs over only k rows post-limit."""
+    from etl_ml_pipeline_spark.queries.sampling_q import (
+        sample_weighted_priority_documents,
+    )
+
+    plan = _plan(sample_weighted_priority_documents(spark, sf_dir))
+    assert "TakeOrdered" in plan
+
+
+def test_round5_analytics_no_cartesian(spark, sf_dir):
+    """Funnel, cohort, gap-fill, and MoM growth all plan as equi-joins /
+    keyed windows — no cartesian products, no nested-loop joins beyond
+    broadcast-1-row scalars."""
+    from etl_ml_pipeline_spark.queries.analytics_q import (
+        cohort_retention_events,
+        funnel_events,
+    )
+    from etl_ml_pipeline_spark.queries.timeseries import resample_gapfill_events
+    from etl_ml_pipeline_spark.queries.windows import window_mom_revenue_growth
+
+    for fn in (funnel_events, cohort_retention_events,
+               resample_gapfill_events, window_mom_revenue_growth):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
