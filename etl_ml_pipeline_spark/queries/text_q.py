@@ -852,6 +852,91 @@ ORDER BY term
 
 
 # ---------------------------------------------------------------------------
+# sketch_cms_frequency — Count-Min point-frequency estimates over the
+# same planted-skew term stream the Misra-Gries query uses, probed at
+# the two heavy terms, three tail terms, and one absent term. Because
+# the row hashes are md5-derived (operators/sketch.cms_bucket), DuckDB
+# rebuilds the IDENTICAL depth x width matrix and the oracle checks the
+# estimates cell-for-cell — plus the one-sided guarantee
+# (cms_estimate >= exact_count, always true by construction).
+# Scale: the sketch build is one shuffle bounded at depth*width keys
+# with full map-side partial aggregation — state independent of
+# vocabulary size, the streaming-frequency answer the exact
+# groupBy(term) can't give at 100 TB vocab cardinality.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+_CMS_PROBES = ("hot_a", "hot_b", "t1", "t5", "t998", "absent_term")
+
+
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_matrix,
+    )
+
+    terms = _skewed_terms(spark, sf_dir)
+    matrix = count_min_matrix(terms, "term", _CMS_DEPTH, _CMS_WIDTH)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "term string"
+    )
+    est = count_min_estimate(matrix, probes, "term", _CMS_DEPTH, _CMS_WIDTH)
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            F.col("term").alias("probe"),
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.coalesce("exact_count", F.lit(0))).alias(
+                "over_ok"
+            ),
+        )
+        .orderBy("probe")
+    )
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+
+_CMS_SQL = f"""
+WITH terms AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot_a'
+              WHEN doc_id % 7 = 0 THEN 'hot_b'
+              ELSE 't' || CAST(doc_id % 1000 AS VARCHAR) END AS term
+  FROM documents
+),
+rows_j AS (SELECT unnest(range({_CMS_DEPTH})) AS j),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(term || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM terms, rows_j
+  GROUP BY 1, 2
+),
+probes(term) AS (VALUES {_CMS_PROBE_VALUES}),
+pcells AS (
+  SELECT term, j,
+         ('0x' || substr(md5(term || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM probes, rows_j
+),
+est AS (
+  SELECT term, min(coalesce(cnt, 0)) AS cms_estimate
+  FROM pcells LEFT JOIN cells USING (j, bucket)
+  GROUP BY term
+),
+ex AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+SELECT est.term AS probe,
+       CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+       est.cms_estimate >= coalesce(ex.exact_count, 0) AS over_ok
+FROM est LEFT JOIN ex ON est.term = ex.term
+ORDER BY probe
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_novelty_surprise — unigram LM surprisal per document: mean
 # -ln(p(token)) under the corpus unigram model. The cheap statistical
 # novelty/outlier score (high = rare vocabulary, low = boilerplate) —
@@ -909,6 +994,7 @@ ORDER BY doc_id
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
+    "sketch_cms_frequency": sketch_cms_frequency,
     "text_novelty_surprise": text_novelty_surprise,
     "chunk_documents_sliding": chunk_documents_sliding,
     "corpus_clean_funnel": corpus_clean_funnel,
@@ -928,6 +1014,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,
+    "sketch_cms_frequency": _CMS_SQL,
     "text_novelty_surprise": _NOVELTY_SQL,
     "chunk_documents_sliding": _CHUNK_SQL,
     "corpus_clean_funnel": _funnel_oracle(),

@@ -266,6 +266,51 @@ def test_misra_gries_deficiency_property(spark, items, k):
             assert cands[term] <= freq
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=10, max_size=200),
+)
+def test_count_min_one_sided_property(spark, items):
+    """On arbitrary streams: the CMS estimate never undercounts any
+    item (collisions only ADD), each sketch row's mass equals n, and
+    the matrix never exceeds depth*width cells."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from etl_ml_pipeline_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_matrix,
+    )
+
+    depth, width = 3, 32
+    df = spark.createDataFrame([(f"t{i}",) for i in items], ["term"]).repartition(3)
+    matrix = count_min_matrix(df, "term", depth, width)
+    cells = matrix.collect()
+    assert len(cells) <= depth * width
+    per_row = {
+        r.j: r.mass
+        for r in matrix.groupBy("j").agg(F.sum("cnt").alias("mass")).collect()
+    }
+    assert per_row == {j: len(items) for j in range(depth)}
+
+    true = Counter(f"t{i}" for i in items)
+    probes = spark.createDataFrame(
+        [(t,) for t in list(true) + ["never_seen"]], ["term"]
+    )
+    est = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(matrix, probes, "term", depth, width).collect()
+    }
+    for term, freq in true.items():
+        assert est[term] >= freq, (term, est[term], freq)
+    assert est["never_seen"] >= 0
+
+
 def test_round5_operators_handle_empty_inputs(spark):
     """Same hardening for the round-5 operators: empty frames flow
     through without errors."""
@@ -281,3 +326,14 @@ def test_round5_operators_handle_empty_inputs(spark):
 
     empty_terms = spark.createDataFrame([], "term string")
     assert misra_gries_candidates(empty_terms, "term", 8).count() == 0
+
+    from etl_ml_pipeline_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_matrix,
+    )
+
+    empty_matrix = count_min_matrix(empty_terms, "term", 3, 32)
+    assert empty_matrix.count() == 0
+    probe = spark.createDataFrame([("x",)], ["term"])
+    est = count_min_estimate(empty_matrix, probe, "term", 3, 32).collect()
+    assert est[0].cms_estimate == 0
