@@ -360,8 +360,109 @@ ORDER BY s.user_id, s.day
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_sessionize_replay — the STREAMING stateful sessionizer
+# (streaming/joins.stateful_sessionizer: applyInPandasWithState +
+# event-time timeout), replayed over the events table as a bounded
+# stream and oracle-checked against the same gap-sessionization SQL
+# the batch query uses. This is the one catalog entry that gives the
+# custom-stateful-streaming path a driver-recorded differential; the
+# rest of the streaming suite is pytest-only by nature.
+#
+# Determinism contract: the watermark delay is set far beyond the
+# dataset's time span, so no row is ever late-dropped and no timeout
+# ever fires — the emitted set is EXACTLY the sessions closed by a
+# later in-stream event, i.e. every session except each user's last
+# (which stays parked in state when the bounded stream ends). The
+# oracle mirrors that by excluding each user's final session. Arrival
+# order per user is guaranteed by the single-file source (one
+# micro-batch; the kernel sorts within a batch). sum_value is omitted:
+# the kernel's float accumulation order is not contract-stable.
+# Scale: identical shuffle/state shape as production streaming — one
+# shuffle on user_id per micro-batch, O(open sessions) state.
+# ---------------------------------------------------------------------------
+
+
+def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from etl_ml_pipeline_spark.queries.tables import _normalize_events_ts
+    from etl_ml_pipeline_spark.streaming.joins import stateful_sessionizer
+
+    path = f"{sf_dir}/events.parquet"
+    # Physical schema from the batch reader (readStream needs it up
+    # front); ts normalization then dispatches on the produced type,
+    # same as tables.t().
+    raw_schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory or glob (a bare file path is
+    # rejected as basePath); the glob pins the single events file.
+    stream = _normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.*")
+    )
+    sessions = stateful_sessionizer(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        gap_minutes=30,
+        watermark="36500 days",  # >> data span: nothing late, no timeouts
+    )
+    name = f"sess_replay_{uuid.uuid4().hex}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_replay_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_start").cast("string").alias("session_start"),
+            F.col("session_end").cast("string").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_seq,
+         CAST(min(ts) AS VARCHAR) AS session_start,
+         CAST(max(ts) AS VARCHAR) AS session_end,
+         count(*) AS n_events
+  FROM numbered
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
+    "stream_sessionize_replay": stream_sessionize_replay,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
     "tumble_hourly_events": tumble_hourly_events,
@@ -372,6 +473,7 @@ QUERIES = {
 
 ORACLES = {
     "sma_events": _SMA_SQL,
+    "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "tumble_hourly_events": _TUMBLE_SQL,
