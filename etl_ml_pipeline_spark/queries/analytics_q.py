@@ -389,8 +389,64 @@ ORDER BY user_id, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# layout_partition_prune_stats — data-skipping evidence as a query:
+# write events hive-partitioned by event_type (repartition on the
+# partition column first, so each partition directory gets exactly ONE
+# file), read it back, and report per-partition layout stats from
+# input_file_name(). n_files == 1 per partition is the layout contract
+# that makes partition pruning maximal: a predicate on event_type
+# prunes to a single file at planning time (the plan-level guard lives
+# in tests/test_plans.py; this entry puts the layout contract itself
+# under the driver's differential). Key bounds are integer min/max —
+# no float selection ties.
+# Scale: the write is one shuffle on the partition column; stats are
+# one scan of the rewritten layout. At 100 TB add a file-count target
+# per partition (operators/layout.compact_files) instead of 1.
+# ---------------------------------------------------------------------------
+
+
+def layout_partition_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    out = tempfile.mkdtemp(prefix="prune_stats_")
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("_file", F.input_file_name())
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+            F.min("event_id").alias("min_key"),
+            F.max("event_id").alias("max_key"),
+        )
+        .withColumn("single_file", F.col("n_files") == 1)
+        .orderBy("event_type")
+    )
+
+
+_PRUNE_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       min(event_id) AS min_key,
+       max(event_id) AS max_key,
+       TRUE AS single_file
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
+    "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_rolling_autocorr_events": window_rolling_autocorr_events,
     "anomaly_zscore_events": anomaly_zscore_events,
     "funnel_events": funnel_events,
@@ -399,6 +455,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_expectations_orders": _DQ_SQL,
+    "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_rolling_autocorr_events": _AUTOCORR_SQL,
     "anomaly_zscore_events": _ANOMALY_SQL,
     "funnel_events": _FUNNEL_SQL,

@@ -1200,6 +1200,99 @@ ORDER BY status
 
 
 # ---------------------------------------------------------------------------
+# agg_incremental_refresh — materialized-view maintenance: refresh a
+# per-status aggregate from a CDC batch WITHOUT re-aggregating the base.
+# The refreshed aggregate is base_agg ⊕ delta, where delta holds the
+# retracted contribution of each changed/deleted row and the added
+# contribution of each upsert — the classic incremental-view-maintenance
+# identity for distributive aggregates (sum/count; avg = sum/count).
+# The oracle recomputes the aggregate from the merged final state
+# directly, proving the incremental path lands on the IDENTICAL result
+# (sums stay on the exact DECIMAL cent grid, so ⊕ is associative).
+# Scale: the refresh shuffles O(|changes| + |groups|) rows — at 100 TB
+# the base is never rescanned when the CDC stream carries before-images;
+# the key semi-join here stands in for those (no-before-image CDC).
+# ---------------------------------------------------------------------------
+
+
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 17 != 0)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+
+    # CDC batch: upserts re-price every 13th key (an update where the key
+    # exists in base, an insert where it doesn't); deletes drop every
+    # 23rd key not also upserted (disjoint ops — no ordering ambiguity).
+    ups = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.floor(F.col("o_totalprice") * 1.1 * 100) / 100
+    )
+    dels = o.filter(
+        (F.col("o_orderkey") % 23 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select("o_orderkey")
+
+    base_agg = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.sum(dec("o_totalprice")).alias("tot")
+    )
+    changed_keys = ups.select("o_orderkey").unionByName(dels)
+    # Retractions: the OLD contribution of every base row the batch
+    # touches (absent keys — pure inserts — retract nothing).
+    retract = base.join(changed_keys, "o_orderkey", "left_semi").select(
+        "o_orderstatus",
+        F.lit(-1).cast("long").alias("cnt"),
+        (-dec("o_totalprice")).alias("tot"),
+    )
+    additions = ups.select(
+        "o_orderstatus",
+        F.lit(1).cast("long").alias("cnt"),
+        dec("o_totalprice").alias("tot"),
+    )
+    delta = retract.unionByName(additions)
+    return (
+        base_agg.select("o_orderstatus", "cnt", "tot")
+        .unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.round(F.sum("tot"), 2).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_INCR_REFRESH_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 17 != 0
+),
+ups AS (
+  SELECT o_orderkey, o_orderstatus,
+         floor(o_totalprice * 1.1 * 100) / 100 AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 23 = 0 AND o_orderkey % 13 != 0
+),
+final AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+  UNION ALL
+  SELECT * FROM ups
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # hist_order_prices — equi-width histogram via width_bucket: one
 # map-side bucket assignment + one tiny shuffle on the bucket id; the
 # standard distribution-profiling scan. Bounds fixed (not data-derived)
@@ -1251,6 +1344,7 @@ QUERIES = {
     "scd2_order_history": scd2_order_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "diff_order_snapshots": diff_order_snapshots,
+    "agg_incremental_refresh": agg_incremental_refresh,
     "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
@@ -1279,6 +1373,7 @@ ORACLES = {
     "scd2_order_history": _SCD2_SQL,
     "scd2_point_in_time_join": _SCD2_PIT_SQL,
     "diff_order_snapshots": _DIFF_SQL,
+    "agg_incremental_refresh": _INCR_REFRESH_SQL,
     "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,

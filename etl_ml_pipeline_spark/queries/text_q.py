@@ -991,8 +991,72 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_novelty_trigram — trigram-LM surprisal per document: mean
+# -ln P(w3 | w1 w2) under the corpus trigram MLE, the higher-order
+# companion of text_novelty_surprise (unigram). P(w3|w1w2) =
+# c(w1w2w3) / c(w1w2·) where the denominator counts the CONTEXT as it
+# appears in trigram slots — exact integer ratios, so the only
+# cross-engine noise is ln()'s <=1 ulp, far under the 1e-4 floor.
+# Documents with fewer than 3 tokens have no trigram slots and are
+# excluded (explode of the guarded empty shingle array drops them) —
+# the oracle's empty range() does the same.
+# Scale: two groupBy shuffles on gram keys (trigram + context vocab)
+# and one join back on the exploded stream — the same shape as
+# text_contamination; frequency tables are size-guard broadcast.
+# ---------------------------------------------------------------------------
+
+
+def text_novelty_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id", F.explode(X.word_ngrams(F.col("text"), 3)).alias("tri")
+    ).withColumn("ctx", F.regexp_replace(F.col("tri"), " [^ ]+$", ""))
+    tri_freq = tris.groupBy("tri").agg(F.count("*").alias("c3"))
+    ctx_freq = tris.groupBy("ctx").agg(F.count("*").alias("c2"))
+    scored = (
+        tris.join(maybe_broadcast(tri_freq, sf_dir, "documents"), "tri")
+        .join(maybe_broadcast(ctx_freq, sf_dir, "documents"), "ctx")
+        .withColumn("s", -F.log(F.col("c3") / F.col("c2")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (F.floor(F.sum("s") / F.count("*") * 10000) / 10000).alias(
+                "surprise_tri"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TRIGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri
+  FROM toks
+),
+w AS (SELECT doc_id, tri, regexp_replace(tri, ' [^ ]+$', '') AS ctx FROM tris),
+tf AS (SELECT tri, count(*) AS c3 FROM w GROUP BY tri),
+cf AS (SELECT ctx, count(*) AS c2 FROM w GROUP BY ctx)
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       floor(sum(-ln(c3 / CAST(c2 AS DOUBLE))) / count(*) * 10000) / 10000
+         AS surprise_tri
+FROM w JOIN tf USING (tri) JOIN cf USING (ctx)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_novelty_trigram": text_novelty_trigram,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
     "sketch_cms_frequency": sketch_cms_frequency,
     "text_novelty_surprise": text_novelty_surprise,
@@ -1013,6 +1077,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "text_novelty_trigram": _TRIGRAM_NOVELTY_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,
     "sketch_cms_frequency": _CMS_SQL,
     "text_novelty_surprise": _NOVELTY_SQL,
