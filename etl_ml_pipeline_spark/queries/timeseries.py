@@ -383,43 +383,57 @@ ORDER BY s.user_id, s.day
 # ---------------------------------------------------------------------------
 
 
-def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded stream, ts-normalized like t().
+
+    The physical schema comes from the batch reader (readStream needs
+    it up front); ts normalization then dispatches on the produced
+    type, same as tables.t(). FileStreamSource requires a directory or
+    glob (a bare file path is rejected as basePath); the glob pins the
+    single events file, which also guarantees ONE micro-batch —
+    per-user in-order arrival, the determinism contract the replay
+    oracles rely on.
+    """
+    from etl_ml_pipeline_spark.queries.tables import _normalize_events_ts
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return _normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.*")
+    )
+
+
+def _replay(stream_result: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded streaming plan to completion into a memory sink
+    and return the sink table (unique name per invocation)."""
     import tempfile
     import uuid
 
-    from etl_ml_pipeline_spark.queries.tables import _normalize_events_ts
+    name = f"replay_{uuid.uuid4().hex}"
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="replay_ckpt_"))
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_result.sparkSession.table(name)
+
+
+def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.streaming.joins import stateful_sessionizer
 
-    path = f"{sf_dir}/events.parquet"
-    # Physical schema from the batch reader (readStream needs it up
-    # front); ts normalization then dispatches on the produced type,
-    # same as tables.t().
-    raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a directory or glob (a bare file path is
-    # rejected as basePath); the glob pins the single events file.
-    stream = _normalize_events_ts(
-        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.*")
-    )
     sessions = stateful_sessionizer(
-        stream,
+        _events_stream(spark, sf_dir),
         key_col="user_id",
         ts_col="ts",
         value_col="value",
         gap_minutes=30,
         watermark="36500 days",  # >> data span: nothing late, no timeouts
     )
-    name = f"sess_replay_{uuid.uuid4().hex}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_replay_ckpt_"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _replay(sessions, "append")
         .select(
             "user_id",
             F.col("session_start").cast("string").alias("session_start"),
@@ -460,9 +474,172 @@ ORDER BY user_id, session_start
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_tumble_replay — the streaming watermarked tumbling-window
+# aggregation (streaming/windows.tumbling_window_agg) replayed over the
+# bounded events stream in COMPLETE mode, which emits every window
+# regardless of watermark progress — so the result must equal the batch
+# hourly rollup exactly (same grouping, same rounding grid as
+# tumble_hourly_events' oracle). Covers the watermark+window streaming
+# path with a driver-recorded differential.
+# Scale: identical to the production stream — one shuffle on
+# (window, event_type) per micro-batch with partial aggregation; state
+# is one row per open window x type. (Complete mode is for the bounded
+# replay; unbounded production uses append + watermark eviction.)
+# ---------------------------------------------------------------------------
+
+
+def stream_tumble_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import tumbling_window_agg
+
+    agg = tumbling_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        window="1 hour",
+        watermark="2 hours",
+        group_cols=("event_type",),
+    )
+    return (
+        _replay(agg, "complete")
+        .select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Same rollup as _TUMBLE_SQL, with the streaming helper's intermediate
+# round-4 applied before the final round-2 (round twice on both sides).
+_STREAM_TUMBLE_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(round(sum(value), 4), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_running_totals_replay — the per-key cumulative count/sum
+# stateful operator (streaming/windows.stateful_running_totals,
+# applyInPandasWithState in UPDATE mode) replayed over the bounded
+# events stream. The single micro-batch emits exactly one final row
+# per user — the state each key would carry into the next trigger —
+# which must equal the batch per-user aggregate.
+# Scale: state is O(1) per key (n, total); the replay exercises the
+# same state-store write path as production.
+# ---------------------------------------------------------------------------
+
+
+def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import stateful_running_totals
+
+    totals = stateful_running_totals(_events_stream(spark, sf_dir))
+    return (
+        _replay(totals, "update")
+        .select(
+            "user_id",
+            "n",
+            F.round("total", 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_TOTALS_SQL = """
+SELECT user_id, count(*) AS n,
+       round(round(sum(value), 4), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch_rolling_distinct_users — mergeable-sketch rollup: one pass
+# builds a per-day HLL sketch of user_id (Datasketches HllSketch via
+# hll_sketch_agg), then every trailing-7-day distinct count is a
+# UNION OF THE 7 DAILY SKETCHES — no second scan of the raw events.
+# This is the sketch-rollup pattern that makes rolling/cube distinct
+# counts feasible at 100 TB: exact rolling distinct must re-shuffle
+# the raw (day x user) pairs for every window, while sketch state is
+# O(days x 2^lgK) and merges are associative (same story as the
+# GK/HLL aggregates in queries/relational.py).
+# The estimate is sketch-implementation-specific, so the compared
+# output carries the exact count and a generous ~5-sigma error
+# contract (lgConfigK=12 -> rsd ~1.6%; bound max(5, 8%)) as a boolean,
+# like agg_approx_distinct_parts.
+# ---------------------------------------------------------------------------
+
+
+def sketch_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily_sk = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    spine = daily_sk.select(F.col("day").alias("anchor"))
+    rolled = (
+        spine.join(
+            daily_sk,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    exact = (
+        ev.distinct()
+        .alias("e")
+        .join(
+            spine,
+            (F.col("e.day") <= F.col("anchor"))
+            & (F.col("e.day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(rolled, "anchor")
+        .select(
+            F.col("anchor").cast("date").cast("string").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(F.lit(5), F.ceil(F.col("exact_users") * 0.08))
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+spine AS (SELECT DISTINCT day AS anchor FROM du)
+SELECT CAST(CAST(anchor AS DATE) AS VARCHAR) AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM spine JOIN du
+  ON du.day <= spine.anchor AND du.day >= spine.anchor - INTERVAL 6 DAY
+GROUP BY anchor
+ORDER BY day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_sessionize_replay": stream_sessionize_replay,
+    "stream_tumble_replay": stream_tumble_replay,
+    "stream_running_totals_replay": stream_running_totals_replay,
+    "sketch_rolling_distinct_users": sketch_rolling_distinct_users,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
     "tumble_hourly_events": tumble_hourly_events,
@@ -474,6 +651,9 @@ QUERIES = {
 ORACLES = {
     "sma_events": _SMA_SQL,
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
+    "stream_tumble_replay": _STREAM_TUMBLE_SQL,
+    "stream_running_totals_replay": _STREAM_TOTALS_SQL,
+    "sketch_rolling_distinct_users": _ROLLING_DISTINCT_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "tumble_hourly_events": _TUMBLE_SQL,
