@@ -444,9 +444,76 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# window_new_vs_returning — daily active users split into first-ever-
+# seen (new) vs returning, plus the cumulative distinct-user count.
+# The cumulative count needs NO rolling distinct: a user is counted on
+# exactly their first-seen day, so it is a running SUM of n_new — the
+# standard trick that turns an O(days x users) rolling distinct into
+# one groupBy(user) + one tiny day-level window.
+# Scale: one shuffle to (day,user) distinct, one groupBy(user) for
+# first-seen, one day-grain aggregate; the running-sum window orders
+# ~days rows (thousands at century scale) — never user-cardinality.
+# ---------------------------------------------------------------------------
+
+
+def window_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        du.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+        )
+        .withColumn("n_returning", F.col("n_active") - F.col("n_new"))
+    )
+    cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.withColumn("cum_users", F.sum("n_new").over(cum))
+        .select(
+            F.col("day").cast("date").cast("string").alias("day"),
+            "n_active",
+            "n_new",
+            "n_returning",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+fs AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id),
+daily AS (
+  SELECT day,
+         count(*) AS n_active,
+         sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+  FROM du JOIN fs USING (user_id)
+  GROUP BY day
+)
+SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+       n_active,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       CAST(sum(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+ORDER BY day
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
+    "window_new_vs_returning": window_new_vs_returning,
     "window_rolling_autocorr_events": window_rolling_autocorr_events,
     "anomaly_zscore_events": anomaly_zscore_events,
     "funnel_events": funnel_events,
@@ -456,6 +523,7 @@ QUERIES = {
 ORACLES = {
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
+    "window_new_vs_returning": _NEW_RETURNING_SQL,
     "window_rolling_autocorr_events": _AUTOCORR_SQL,
     "anomaly_zscore_events": _ANOMALY_SQL,
     "funnel_events": _FUNNEL_SQL,

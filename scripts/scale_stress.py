@@ -230,8 +230,65 @@ def _ts_str(epoch: int) -> str:
     )
 
 
+def sketch_stress():
+    """Mergeable-sketch operators at synthetic scale: Count-Min build +
+    probe over a 100k vocabulary, and the HLL rolling-distinct rollup
+    over a year of synthetic (day, user) activity. Both are the
+    bounded-state replacements for vocabulary/user-cardinality
+    shuffles, so the interesting number is how flat the per-row cost
+    stays as rows grow."""
+    from etl_ml_pipeline_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_matrix,
+    )
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+
+    for n in (2_000_000, 10_000_000):
+        terms = spark.range(n).select(
+            F.when(F.col("id") % 10 < 3, F.lit("hot"))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 100_000).cast("string")))
+            .alias("term")
+        )
+        matrix = count_min_matrix(terms, "term", depth=4, width=4096)
+        timed(f"cms_build d=4 w=4096 n={n:,}", matrix)
+        probes = spark.range(1000).select(
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("term")
+        )
+        timed(
+            f"cms_probe 1000 terms n={n:,}",
+            count_min_estimate(matrix, probes, "term", depth=4, width=4096),
+        )
+
+    # 365 days x 1M users, ~20M activity rows: per-day HLL sketches,
+    # trailing-7-day union. The exact rolling distinct re-shuffles the
+    # raw pairs per window; the sketch path touches them once.
+    n = 20_000_000
+    act = spark.range(n).select(
+        (F.col("id") % 365).alias("day"),
+        ((F.col("id") * 2654435761) % 1_000_000).alias("user_id"),
+    )
+    daily = act.groupBy("day").agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    spine = daily.select(F.col("day").alias("anchor"))
+    rolled = (
+        spine.join(
+            daily,
+            (F.col("day") <= F.col("anchor")) & (F.col("day") >= F.col("anchor") - 6),
+        )
+        .groupBy("anchor")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    timed(f"hll_rolling_7d days=365 rows={n:,}", rolled)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_stress()
+    elif "--new-ops" in sys.argv:
+        new_ops_stress()
+    elif "--streaming" in sys.argv:
+        streaming_stress()
+    elif "--sketch" in sys.argv:
+        sketch_stress()
     else:
         main()

@@ -430,3 +430,54 @@ def test_round5_analytics_no_cartesian(spark, sf_dir):
                resample_gapfill_events, window_mom_revenue_growth):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_cms_build_bounded_partial_agg_and_broadcast_probe(spark, sf_dir):
+    """The Count-Min build must partial-aggregate map-side onto the
+    depth*width cell grid (shuffle volume O(matrix) per task), and the
+    probe side must broadcast the matrix — never shuffle or cross-join
+    the probed terms."""
+    from etl_ml_pipeline_spark.queries.text_q import sketch_cms_frequency
+
+    plan = _plan(sketch_cms_frequency(spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine on (j, bucket)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_refresh_semi_join_no_cartesian(spark, sf_dir):
+    """The incremental view refresh derives retractions via a LEFT SEMI
+    join on the key and merges deltas with a union — no cartesian, no
+    re-aggregation via nested loops."""
+    from etl_ml_pipeline_spark.queries.relational import agg_incremental_refresh
+
+    plan = _plan(agg_incremental_refresh(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trigram_novelty_freq_tables_broadcast_at_small_sf(spark, sf_dir):
+    """Trigram/context frequency tables join back to the exploded gram
+    stream as hash joins (broadcast under the size guard at test SF) —
+    no cartesian shapes."""
+    from etl_ml_pipeline_spark.queries.text_q import text_novelty_trigram
+
+    plan = _plan(text_novelty_trigram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_vs_returning_day_grain_window_only(spark, sf_dir):
+    """new-vs-returning plans its running sum over the day-grain
+    aggregate (rows = distinct days), never a user-cardinality global
+    window, and contains no cartesian join."""
+    from etl_ml_pipeline_spark.queries.analytics_q import window_new_vs_returning
+
+    df = window_new_vs_returning(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # The only Window in the plan runs AFTER the day-level aggregate:
+    # its input cannot carry user_id.
+    wins = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert wins and all("user_id" not in ln for ln in wins)
