@@ -1293,6 +1293,71 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# versioned_time_travel — the snapshot-versioned parquet store
+# (operators/versioned.py: immutable _v=N directories behind an
+# atomically-swapped manifest) exercised as a catalog query: publish
+# two versions, then read BOTH the historical v1 (time travel) and the
+# manifest's latest, and aggregate each. The oracle recomputes both
+# snapshots' aggregates from the raw table — the published v1 must be
+# bit-identical to what was written even after v2 superseded it.
+# Scale: each version write is one data pass; time travel is a scan of
+# one immutable directory (no log replay); sums on the DECIMAL grid.
+# ---------------------------------------------------------------------------
+
+
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_ml_pipeline_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="vstore_tt_")
+    write_version(o.filter(F.col("o_orderkey") % 2 == 0), path, "even keys")
+    write_version(
+        o.withColumn(
+            "o_totalprice", F.floor(F.col("o_totalprice") * 1.05 * 100) / 100
+        ),
+        path,
+        "repriced full set",
+    )
+
+    def snap_agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        ).select(F.lit(label).alias("snapshot"), "n_orders", "total_price")
+
+    return (
+        snap_agg(read_version(spark, path, 1), "v1")
+        .unionByName(snap_agg(read_version(spark, path), "latest"))
+        .orderBy("snapshot")
+    )
+
+
+_TIME_TRAVEL_SQL = """
+SELECT 'latest' AS snapshot,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(floor(o_totalprice * 1.05 * 100) / 100
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+UNION ALL
+SELECT 'v1' AS snapshot,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+ORDER BY snapshot
+"""
+
+
+# ---------------------------------------------------------------------------
 # hist_order_prices — equi-width histogram via width_bucket: one
 # map-side bucket assignment + one tiny shuffle on the bucket id; the
 # standard distribution-profiling scan. Bounds fixed (not data-derived)
@@ -1345,6 +1410,7 @@ QUERIES = {
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "diff_order_snapshots": diff_order_snapshots,
     "agg_incremental_refresh": agg_incremental_refresh,
+    "versioned_time_travel": versioned_time_travel,
     "hist_order_prices": hist_order_prices,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
@@ -1374,6 +1440,7 @@ ORACLES = {
     "scd2_point_in_time_join": _SCD2_PIT_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "agg_incremental_refresh": _INCR_REFRESH_SQL,
+    "versioned_time_travel": _TIME_TRAVEL_SQL,
     "hist_order_prices": _HIST_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,

@@ -324,6 +324,86 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_features — the audio leg of the media plumbing:
+# deterministic int8 PCM synthesized executor-side into the FPCM
+# container (magic + length header), then parsed back through the
+# decode_audio_features mapInPandas path (real header parse + numpy
+# DSP: RMS, strict-sign zero crossings). Sample i of doc d is
+# ((d*31 + i*7) % 256) - 128 with n = 64 + d%64 samples, so DuckDB
+# replays the waveform exactly; the squared-mean is an exact double
+# and IEEE sqrt is correctly rounded, so rms matches bit-for-bit
+# under the 1e-4 floor.
+# Scale: blobs stay inside Arrow batches on executors; features are
+# small columns and the binary prunes away downstream — same posture
+# as the image path.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_audio_features,
+        encode_pcm,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def gen_pcm(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(64 + d % 64, dtype=np.int64)
+                media.append(encode_pcm((d * 31 + i * 7) % 256 - 128))
+            yield pdf.assign(media=media)
+
+    media = docs.mapInPandas(gen_pcm, schema="doc_id long, media binary")
+    media = attach_media_meta(media, "media", "audio", "fpcm")
+    decoded = decode_audio_features(media, "media")
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.rms").alias("rms"),
+        F.col("audio.zero_crossings").alias("zero_crossings"),
+    ).orderBy("doc_id")
+
+
+_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id < 400
+),
+s AS (SELECT doc_id, unnest(range(n)) AS i FROM d),
+v AS (SELECT doc_id, i, ((doc_id * 31 + i * 7) % 256) - 128 AS val FROM s),
+w AS (
+  SELECT doc_id,
+         val * lag(val) OVER (PARTITION BY doc_id ORDER BY i) AS prod
+  FROM v
+),
+zc AS (
+  SELECT doc_id,
+         sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS zero_crossings
+  FROM w GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id,
+         count(*) AS n_samples,
+         floor(sqrt(avg(CAST(val * val AS DOUBLE))) * 10000) / 10000 AS rms
+  FROM v GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(8 + n_samples AS BIGINT) AS n_bytes,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       rms,
+       CAST(zero_crossings AS BIGINT) AS zero_crossings
+FROM r JOIN zc ON r.doc_id = zc.doc_id
+ORDER BY r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_ivf_topk — IVF ANN: deterministic coarse centroids (every 50th
 # vector), broadcast argmin assignment, probe-1 candidate lists, exact
 # rerank. Fully oracle-checked: the quantizer is data-deterministic, so
@@ -1018,6 +1098,7 @@ QUERIES = {
     "ann_ivf_sqrtn_topk": ann_ivf_sqrtn_topk,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES = {
@@ -1034,4 +1115,5 @@ ORACLES = {
     "ann_ivf_sqrtn_topk": _IVF_SQRTN_SQL,
     "multimodal_image_features": _MULTIMODAL_SQL,
     "multimodal_png_decode": _PNG_DECODE_SQL,
+    "multimodal_audio_features": _AUDIO_SQL,
 }

@@ -143,3 +143,49 @@ def test_decode_image_features_spark_real(spark):
         expect = (i % 100 + (w - 1) / 2 + (h - 1) / 2) / 255.0
         assert got[i]["width"] == w and got[i]["height"] == h
         assert got[i]["mean_luma"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_pcm_roundtrip_and_features():
+    from etl_ml_pipeline_spark.operators.multimodal import _decode_pcm, encode_pcm
+
+    s = np.array([0, 10, -10, 10, 0, -1], dtype=np.int8)
+    n, rms, zc = _decode_pcm(encode_pcm(s))
+    assert n == 6
+    # strict sign flips: 10->-10, -10->10 (0 boundaries don't count)
+    assert zc == 2
+    expect = np.floor(np.sqrt((s.astype(np.int64) ** 2).mean()) * 10000) / 10000
+    assert rms == expect
+
+    n, rms, zc = _decode_pcm(encode_pcm(np.array([], dtype=np.int8)))
+    assert (n, rms, zc) == (0, 0.0, 0)
+
+
+def test_pcm_errors():
+    from etl_ml_pipeline_spark.operators.multimodal import _decode_pcm, encode_pcm
+
+    with pytest.raises(ValueError, match="not an FPCM blob"):
+        _decode_pcm(b"RIFF....WAVE")
+    blob = encode_pcm(np.arange(10, dtype=np.int8))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_pcm(blob[:-3])
+
+
+def test_decode_audio_features_spark(spark):
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        encode_pcm,
+    )
+
+    rows = [
+        (0, bytearray(encode_pcm(np.array([5, -5, 5], dtype=np.int8)))),
+        (1, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, media: binary")
+    got = {
+        r["doc_id"]: r
+        for r in decode_audio_features(df, "media")
+        .select("doc_id", "audio.n_samples", "audio.zero_crossings")
+        .collect()
+    }
+    assert got[0]["n_samples"] == 3 and got[0]["zero_crossings"] == 2
+    assert got[1]["n_samples"] is None
