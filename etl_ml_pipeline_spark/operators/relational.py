@@ -358,3 +358,55 @@ def table_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def incremental_agg_refresh(
+    base: DataFrame,
+    base_agg: DataFrame,
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    key: str,
+    group: str,
+    measure: str,
+) -> DataFrame:
+    """Refresh a materialized ``group -> (cnt, tot)`` aggregate from a
+    CDC batch without re-aggregating the base table.
+
+    ``base_agg`` must carry columns ``(group, cnt, tot)`` as produced
+    by ``base.groupBy(group).agg(count(*), sum(measure))``. ``upserts``
+    are full replacement rows (insert where the key is absent);
+    ``delete_keys`` is a one-column frame of keys to drop. Upsert and
+    delete key sets must be disjoint (CDC batches are compacted to one
+    op per key upstream — see cdc_latest_view).
+
+    The refreshed aggregate is ``base_agg ⊕ delta``: the old
+    contribution of every touched base row is retracted, the new
+    contribution of every upsert added — the incremental-view-
+    maintenance identity for distributive aggregates. Correct only for
+    exact-typed measures (integral/DECIMAL): float retraction leaves
+    roundoff residue, so cast money to DECIMAL first (the caller's
+    job; see queries/relational.agg_incremental_refresh).
+
+    Scale: shuffles O(|changes| + |groups|) rows. The base appears
+    only in one key semi-join to recover old contributions — with
+    before-image CDC feeds even that disappears; it is never
+    re-aggregated.
+    """
+    changed_keys = upserts.select(key).unionByName(delete_keys.select(key))
+    retract = base.join(changed_keys, key, "left_semi").select(
+        F.col(group),
+        F.lit(-1).cast("long").alias("cnt"),
+        (-F.col(measure)).alias("tot"),
+    )
+    additions = upserts.select(
+        F.col(group),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col(measure).alias("tot"),
+    )
+    return (
+        base_agg.select(group, "cnt", "tot")
+        .unionByName(retract)
+        .unionByName(additions)
+        .groupBy(group)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("tot").alias("tot"))
+    )

@@ -1216,49 +1216,42 @@ ORDER BY status
 
 
 def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import incremental_agg_refresh
+
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = o.filter(F.col("o_orderkey") % 17 != 0)
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # The exact-grid measure the maintained aggregate sums (float
+    # retraction would leave roundoff residue — operator docstring).
+    dec = lambda df: df.withColumn(  # noqa: E731
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    base = dec(o.filter(F.col("o_orderkey") % 17 != 0))
 
     # CDC batch: upserts re-price every 13th key (an update where the key
     # exists in base, an insert where it doesn't); deletes drop every
     # 23rd key not also upserted (disjoint ops — no ordering ambiguity).
-    ups = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
-        "o_totalprice", F.floor(F.col("o_totalprice") * 1.1 * 100) / 100
+    # The mutation runs on the raw double, exactly as the oracle does.
+    ups = dec(
+        o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_totalprice", F.floor(F.col("o_totalprice") * 1.1 * 100) / 100
+        )
     )
     dels = o.filter(
         (F.col("o_orderkey") % 23 == 0) & (F.col("o_orderkey") % 13 != 0)
     ).select("o_orderkey")
 
     base_agg = base.groupBy("o_orderstatus").agg(
-        F.count("*").alias("cnt"), F.sum(dec("o_totalprice")).alias("tot")
+        F.count("*").alias("cnt"), F.sum("price_dec").alias("tot")
     )
-    changed_keys = ups.select("o_orderkey").unionByName(dels)
-    # Retractions: the OLD contribution of every base row the batch
-    # touches (absent keys — pure inserts — retract nothing).
-    retract = base.join(changed_keys, "o_orderkey", "left_semi").select(
+    refreshed = incremental_agg_refresh(
+        base, base_agg, ups, dels, "o_orderkey", "o_orderstatus", "price_dec"
+    )
+    return refreshed.select(
         "o_orderstatus",
-        F.lit(-1).cast("long").alias("cnt"),
-        (-dec("o_totalprice")).alias("tot"),
-    )
-    additions = ups.select(
-        "o_orderstatus",
-        F.lit(1).cast("long").alias("cnt"),
-        dec("o_totalprice").alias("tot"),
-    )
-    delta = retract.unionByName(additions)
-    return (
-        base_agg.select("o_orderstatus", "cnt", "tot")
-        .unionByName(delta)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.sum("cnt").alias("n_orders"),
-            F.round(F.sum("tot"), 2).cast("double").alias("total_price"),
-        )
-        .orderBy("o_orderstatus")
-    )
+        F.col("cnt").alias("n_orders"),
+        F.round("tot", 2).cast("double").alias("total_price"),
+    ).orderBy("o_orderstatus")
 
 
 _INCR_REFRESH_SQL = """

@@ -337,3 +337,69 @@ def test_round5_operators_handle_empty_inputs(spark):
     probe = spark.createDataFrame([("x",)], ["term"])
     est = count_min_estimate(empty_matrix, probe, "term", 3, 32).collect()
     assert est[0].cms_estimate == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # key
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-1000, max_value=1000),  # measure (exact)
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    st.sets(st.integers(min_value=0, max_value=50), max_size=15),
+)
+def test_incremental_agg_refresh_equals_recompute(spark, base_rows, ups_rows, del_keys):
+    """On arbitrary base/upsert/delete batches (disjoint upsert vs
+    delete keys enforced), the incremental refresh equals a direct
+    aggregate over the merged final state — including groups that
+    appear only via inserts or empty out entirely."""
+    from etl_ml_pipeline_spark.operators.relational import incremental_agg_refresh
+
+    ups_keys = {r[0] for r in ups_rows}
+    del_keys = del_keys - ups_keys
+    schema = "k long, g long, m long"
+    base = spark.createDataFrame(base_rows, schema)
+    ups = spark.createDataFrame(ups_rows, schema)
+    dels = spark.createDataFrame([(k,) for k in del_keys], "k long")
+
+    import pyspark.sql.functions as F
+
+    base_agg = base.groupBy("g").agg(
+        F.count("*").alias("cnt"), F.sum("m").alias("tot")
+    )
+    got = {
+        r.g: (r.cnt, r.tot)
+        for r in incremental_agg_refresh(
+            base, base_agg, ups, dels, "k", "g", "m"
+        ).collect()
+        if r.cnt != 0
+    }
+
+    final = {r[0]: r for r in base_rows if r[0] not in ups_keys and r[0] not in del_keys}
+    for r in ups_rows:
+        final[r[0]] = r
+    want = {}
+    for _, g, m in final.values():
+        c, t = want.get(g, (0, 0))
+        want[g] = (c + 1, t + m)
+    # sum over empty/retracted-to-zero groups is (0, 0 or null) — dropped above
+    assert {g: v for g, v in got.items()} == want
