@@ -561,6 +561,98 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# stream_dedup_replay — bounded-state streaming dedup
+# (dropDuplicatesWithinWatermark) replayed over the events stream
+# UNIONED WITH ITSELF, so every event arrives (at least) twice across
+# two file sources; the deduped output must collapse back to exactly
+# the distinct event set, proven by per-type counts against the raw
+# batch table. The beyond-span watermark keeps every key's state live
+# for the whole bounded replay (no late drops) — production uses a
+# real horizon so state expires; semantics over the retained horizon
+# are identical.
+# Scale: state is one 64-bit key per event inside the horizon — the
+# reason the operator exists; an unbounded dropDuplicates would
+# accumulate keys forever.
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import stream_dedup
+
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = stream_dedup(
+        doubled, keys=("event_id",), ts_col="ts", watermark="36500 days"
+    )
+    return (
+        _replay(deduped, "append")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_slide_replay — sliding event-time windows (1 hour, 15-minute
+# slide: every event lands in exactly 4 overlapping windows) replayed
+# in complete mode. The oracle materializes the window membership
+# explicitly: window_start = time_bucket(15 min, ts) - k*15min for
+# k in 0..3 (both engines' buckets are epoch-aligned at this
+# granularity), so the streaming expansion must match the relational
+# unrolling bucket-for-bucket.
+# ---------------------------------------------------------------------------
+
+
+def stream_slide_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import sliding_window_agg
+
+    agg = sliding_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        window="1 hour",
+        slide="15 minutes",
+        watermark="2 hours",
+    )
+    return (
+        _replay(agg, "complete")
+        .select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+_STREAM_SLIDE_SQL = """
+WITH ks AS (SELECT unnest(range(4)) AS k),
+w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+           - to_minutes(15 * k) AS window_start
+  FROM events, ks
+)
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       count(*) AS n_events
+FROM w
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_rolling_distinct_users — mergeable-sketch rollup: one pass
 # builds a per-day HLL sketch of user_id (Datasketches HllSketch via
 # hll_sketch_agg), then every trailing-7-day distinct count is a
@@ -639,6 +731,8 @@ QUERIES = {
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
+    "stream_dedup_replay": stream_dedup_replay,
+    "stream_slide_replay": stream_slide_replay,
     "sketch_rolling_distinct_users": sketch_rolling_distinct_users,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
@@ -653,6 +747,8 @@ ORACLES = {
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
+    "stream_dedup_replay": _STREAM_DEDUP_SQL,
+    "stream_slide_replay": _STREAM_SLIDE_SQL,
     "sketch_rolling_distinct_users": _ROLLING_DISTINCT_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
