@@ -653,6 +653,135 @@ ORDER BY window_start
 
 
 # ---------------------------------------------------------------------------
+# stream_session_window_replay — Spark's built-in session_window
+# aggregation (streaming/windows.session_window_agg) replayed in
+# complete mode: every gap-merged session emits, so the result must
+# equal the batch lag+cumsum sessionization with session_end mapped to
+# last-event + gap (session_window's closed bound). Together with
+# stream_sessionize_replay this pins BOTH sessionization paths — the
+# built-in window merge and the custom applyInPandasWithState kernel —
+# to the same relational definition.
+# ---------------------------------------------------------------------------
+
+
+def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import session_window_agg
+
+    agg = session_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        gap="30 minutes",
+        watermark="2 hours",
+        key_col="user_id",
+    )
+    return (
+        _replay(agg, "complete")
+        .select(
+            "user_id",
+            F.col("session_start").cast("string").alias("session_start"),
+            F.col("session_end").cast("string").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STREAM_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+       count(*) AS n_events,
+       round(round(sum(value), 4), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_interval_join_replay — the watermarked stream-stream interval
+# join (streaming/joins.stream_stream_interval_join): click events
+# joined to purchase events of the same user within a 1-hour lookback,
+# BOTH sides unbounded streams. On the bounded replay every match is
+# emitted (inner join emits as matches form, independent of watermark
+# progress), so per-user match counts must equal the relational
+# interval self-join. Join state in production stays bounded by
+# watermark + interval — the property that makes this join possible on
+# infinite streams.
+# ---------------------------------------------------------------------------
+
+
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key_left="c_user",
+        key_right="p_user",
+        ts_left="c_ts",
+        ts_right="p_ts",
+        lookback="1 hour",
+        watermark="36500 days",
+    )
+    return (
+        _replay(joined, "append")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_id").alias("n_purchases_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.user_id AS user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases_matched
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY c.user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_rolling_distinct_users — mergeable-sketch rollup: one pass
 # builds a per-day HLL sketch of user_id (Datasketches HllSketch via
 # hll_sketch_agg), then every trailing-7-day distinct count is a
@@ -733,6 +862,8 @@ QUERIES = {
     "stream_running_totals_replay": stream_running_totals_replay,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_slide_replay": stream_slide_replay,
+    "stream_session_window_replay": stream_session_window_replay,
+    "stream_interval_join_replay": stream_interval_join_replay,
     "sketch_rolling_distinct_users": sketch_rolling_distinct_users,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
@@ -749,6 +880,8 @@ ORACLES = {
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
     "stream_dedup_replay": _STREAM_DEDUP_SQL,
     "stream_slide_replay": _STREAM_SLIDE_SQL,
+    "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,
+    "stream_interval_join_replay": _STREAM_INTERVAL_JOIN_SQL,
     "sketch_rolling_distinct_users": _ROLLING_DISTINCT_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
