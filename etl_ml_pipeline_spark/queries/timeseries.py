@@ -383,23 +383,26 @@ ORDER BY s.user_id, s.day
 # ---------------------------------------------------------------------------
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a bounded stream, ts-normalized like t().
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A test table as a bounded stream.
 
     The physical schema comes from the batch reader (readStream needs
-    it up front); ts normalization then dispatches on the produced
-    type, same as tables.t(). FileStreamSource requires a directory or
-    glob (a bare file path is rejected as basePath); the glob pins the
-    single events file, which also guarantees ONE micro-batch —
-    per-user in-order arrival, the determinism contract the replay
-    oracles rely on.
+    it up front). FileStreamSource requires a directory or glob (a
+    bare file path is rejected as basePath); the glob pins the single
+    table file, which also guarantees ONE micro-batch — the in-order /
+    all-at-once arrival contract the replay oracles rely on.
     """
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    return spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/{name}.*")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded stream, ts-normalized like t()
+    (the normalization dispatches on the scanned type, same as the
+    batch loader)."""
     from etl_ml_pipeline_spark.queries.tables import _normalize_events_ts
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return _normalize_events_ts(
-        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.*")
-    )
+    return _normalize_events_ts(_table_stream(spark, sf_dir, "events"))
 
 
 def _replay(stream_result: DataFrame, output_mode: str) -> DataFrame:
@@ -782,6 +785,94 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# stream_cdc_view_replay — the foreachBatch-maintained merge-on-read
+# CURRENT VIEW (streaming/windows.write_stream_cdc_view): the same
+# base + v2-update change set cdc_current_orders uses, but delivered
+# as a CDC stream and folded per micro-batch through cdc_latest_view
+# into a global temp view. The final snapshot's per-status aggregate
+# must equal the batch merge — one fold code path for both worlds,
+# now under the driver differential. (Single micro-batch by the
+# one-file-source contract; across batches the fold is version-
+# ordered, pinned by tests/test_streaming.py.)
+# ---------------------------------------------------------------------------
+
+
+def stream_cdc_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from etl_ml_pipeline_spark.streaming.windows import write_stream_cdc_view
+
+    o = _table_stream(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1)).withColumn("deleted", F.lit(False))
+    updates = (
+        o.filter((F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 17 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 17 == 0, F.col("o_orderstatus"))
+            .otherwise(F.lit("U"))
+            .alias("o_orderstatus"),
+            (F.floor(F.col("o_totalprice") * 1.1 * 100) / 100).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+            (F.col("o_orderkey") % 17 == 0).alias("deleted"),
+        )
+    )
+    view_name = f"cdc_replay_{uuid.uuid4().hex}"
+    q = write_stream_cdc_view(
+        base.unionByName(updates),
+        keys=["o_orderkey"],
+        version_col="version",
+        delete_col="deleted",
+        view_name=view_name,
+        checkpoint_dir=tempfile.mkdtemp(prefix="cdc_replay_ckpt_"),
+    )
+    q.awaitTermination()
+    return (
+        spark.table(f"global_temp.{view_name}")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# Same merge as the batch cdc_current_orders oracle.
+_STREAM_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         1 AS version, FALSE AS deleted, 0 AS src
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_orderstatus ELSE 'U' END AS o_orderstatus,
+         floor(o_totalprice * 1.1 * 100) / 100 AS o_totalprice,
+         2 AS version, o_orderkey % 17 = 0 AS deleted, 1 AS src
+  FROM orders
+  WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+),
+merged AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+  FROM merged
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM ranked
+WHERE rn = 1 AND NOT deleted
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_rolling_distinct_users — mergeable-sketch rollup: one pass
 # builds a per-day HLL sketch of user_id (Datasketches HllSketch via
 # hll_sketch_agg), then every trailing-7-day distinct count is a
@@ -864,6 +955,7 @@ QUERIES = {
     "stream_slide_replay": stream_slide_replay,
     "stream_session_window_replay": stream_session_window_replay,
     "stream_interval_join_replay": stream_interval_join_replay,
+    "stream_cdc_view_replay": stream_cdc_view_replay,
     "sketch_rolling_distinct_users": sketch_rolling_distinct_users,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
@@ -882,6 +974,7 @@ ORACLES = {
     "stream_slide_replay": _STREAM_SLIDE_SQL,
     "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,
     "stream_interval_join_replay": _STREAM_INTERVAL_JOIN_SQL,
+    "stream_cdc_view_replay": _STREAM_CDC_SQL,
     "sketch_rolling_distinct_users": _ROLLING_DISTINCT_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
