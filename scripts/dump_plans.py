@@ -103,6 +103,42 @@ SHOWCASE = [
         "rescoring over a candidate point-lookup join — full vectors "
         "are read only for candidates, never scanned.",
     ),
+    (
+        "sketch_cms_frequency",
+        "Count-Min sketch: partial_count in the map stage collapses "
+        "every task's output to <= depth*width cells before ONE "
+        "bounded exchange; probes hit the matrix via BroadcastHashJoin "
+        "— frequency estimation with no vocabulary-sized shuffle.",
+    ),
+    (
+        "agg_incremental_refresh",
+        "Incremental view maintenance: the base table appears once in "
+        "a LeftSemi key join (old-contribution recovery) and once in "
+        "the pre-materialized aggregate; the refresh itself is a "
+        "Union of delta rows + one group-cardinality aggregate — "
+        "O(changes + groups), no base re-aggregation.",
+    ),
+    (
+        "sketch_rolling_distinct_users",
+        "Mergeable-sketch rollup: per-day hll_sketch_agg partials, "
+        "then the trailing-7-day union runs over day-cardinality "
+        "sketch rows only — the raw (day,user) pairs are shuffled "
+        "exactly once, never per window.",
+    ),
+    (
+        "window_new_vs_returning",
+        "Cumulative distinct users without a rolling distinct: "
+        "first-seen via groupBy(user), day-grain aggregate, and the "
+        "only Window in the plan runs over day rows (post-aggregate) "
+        "— never user cardinality.",
+    ),
+    (
+        "text_novelty_trigram",
+        "Trigram LM scoring: let-bound tokenization feeds the shingle "
+        "explode once; trigram and context frequency tables come back "
+        "as (size-guarded broadcast) hash joins on the gram keys — "
+        "same shape as the contamination join, no cartesian.",
+    ),
 ]
 
 
