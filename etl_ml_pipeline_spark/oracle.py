@@ -60,13 +60,57 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     return rows
 
 
+def _canon_series(s: pd.Series) -> pd.Series:
+    """Vectorized _canon_value with dtype fast paths.
+
+    Both compared frames go through THIS function, so equality
+    semantics are preserved as long as each fast path canonicalizes a
+    value the same way _canon_value would (ints as digits, int-valued
+    floats as digits, other floats as shortest round-trip repr — which
+    numpy's float64 str conversion also produces)."""
+    import numpy as np
+
+    kind = s.dtype.kind
+    if kind in "iu":
+        return s.astype("int64").astype(str)
+    if kind == "b":
+        return s.astype(str)
+    if kind == "f":
+        # float32 widens to float64 first, matching the scalar path's
+        # .item() -> Python float -> repr canonicalization exactly.
+        v = s.to_numpy(dtype="float64")
+        out = np.empty(len(v), dtype=object)
+        nan = np.isnan(v)
+        intlike = ~nan & (v == np.floor(v)) & (np.abs(v) < 1e15)
+        out[intlike] = v[intlike].astype("int64").astype("U")
+        rest = ~nan & ~intlike
+        out[rest] = v[rest].astype("U")  # dragon4 shortest repr == repr()
+        out[nan] = "<nan>"
+        return pd.Series(out, index=s.index)
+    return s.map(_canon_value)
+
+
 def value_hash(pdf: pd.DataFrame) -> str:
+    """Order-insensitive canonical hash.
+
+    \x1f unit / \x1e record separators (escaped, not raw bytes)
+    prevent ('ab','c') vs ('a','bc') and row-regrouping collisions.
+    Rows are canonicalized column-vectorized, joined, and sorted as
+    whole strings — a deterministic order applied identically to both
+    compared frames, so multiset equality is exactly preserved.
+    """
+    import numpy as np
+
+    cols = sorted(pdf.columns)
     h = hashlib.sha256()
-    for row in canonical_rows(pdf):
-        # \x1f unit / \x1e record separators (escaped, not raw bytes)
-        # prevent ('ab','c') vs ('a','bc') and row-regrouping collisions.
-        h.update("\x1f".join(row).encode("utf-8"))
-        h.update(b"\x1e")
+    if len(pdf) == 0 or not cols:
+        return h.hexdigest()
+    joined = _canon_series(pdf[cols[0]]).to_numpy(dtype=object)
+    for c in cols[1:]:
+        joined = joined + "\x1f" + _canon_series(pdf[c]).to_numpy(dtype=object)
+    joined = np.sort(joined)
+    h.update("\x1e".join(joined).encode("utf-8"))
+    h.update(b"\x1e")
     return h.hexdigest()
 
 
