@@ -9,7 +9,9 @@ replica-specific suffix token so dedup statistics stay sf0.1-like
 instead of collapsing into 10-way exact-duplicate clusters; embeddings
 replicate as-is (ANN list sizes scale linearly either way).
 
-Usage: python scripts/make_sf1.py [out_dir]   (default /root/repo/.sf1)
+Usage: python scripts/make_sf1.py [out_dir] [n_replicas]
+       (defaults /root/repo/.sf1, 10; n_replicas=100 builds an
+       sf10-equivalent ladder rung, e.g. scripts/scale_ladder.py)
 """
 
 from __future__ import annotations
@@ -62,8 +64,13 @@ def _strides(spark) -> dict[str, int]:
     return out
 
 
-def _replicate(df: DataFrame, shifts: dict[str, str], strides: dict[str, int]) -> DataFrame:
-    rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(N_REPLICAS - 1))))
+def _replicate(
+    df: DataFrame,
+    shifts: dict[str, str],
+    strides: dict[str, int],
+    n_replicas: int = N_REPLICAS,
+) -> DataFrame:
+    rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))))
     for col, fam in shifts.items():
         rep = rep.withColumn(col, F.col(col) + F.col("__r") * F.lit(strides[fam]))
     if "text" in df.columns:
@@ -90,7 +97,7 @@ def _compact(tmp_dir: Path, dest: Path) -> None:
     shutil.rmtree(tmp_dir)
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, n_replicas: int = N_REPLICAS) -> None:
     spark = get_spark(app_name="make_sf1")
     strides = _strides(spark)
     print("strides:", strides)
@@ -105,12 +112,16 @@ def main(out_dir: str) -> None:
     for tbl, shifts in _SHIFTS.items():
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         tmp = out / f"__tmp_{tbl}"
-        _replicate(df, shifts, strides).repartition(8).write.mode("overwrite").parquet(
-            str(tmp)
-        )
+        n_files = max(8, n_replicas // 4)
+        _replicate(df, shifts, strides, n_replicas).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(str(tmp))
         _compact(tmp, out / f"{tbl}.parquet")
         print(tbl, "written")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else N_REPLICAS,
+    )

@@ -1,0 +1,107 @@
+"""Three-decade scale ladder: headline queries at sf0.1 / sf1 / sf10.
+
+The per-round bench (sf0.1) and the sf1 sweep verify two rungs; this
+script adds a third decade (.sf10 = 100x sf0.1 by key-shifted
+replication, ~60M lineitem rows) and reports the per-decade scaling
+exponent alpha = log10(t_next / t_prev) for each query. On fixed
+cores, a plan whose work is linear in rows measures alpha <= 1
+(fixed costs amortize); alpha meaningfully above 1 flags a shape that
+would NOT survive the next 10x — the local proxy for the 100 TB
+question. No oracle at sf10: correctness is pinned at the lower rungs
+(sf0.001-sf0.1 by DuckDB, sf1 by the full differential); this rung
+measures plan shape only.
+
+Usage: python scripts/scale_ladder.py [out_json]
+Builds .sf10 on first run (scripts/make_sf1.py with 100 replicas).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from etl_ml_pipeline_spark.session import get_spark  # noqa: E402
+
+REPO = Path(__file__).resolve().parents[1]
+RUNGS = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", str(REPO / ".sf1")),
+    ("sf10", str(REPO / ".sf10")),
+]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q21_waiting_supplier",
+    "agg_distinct_parts",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "text_token_stats",
+    "sessionize_events",
+    "window_topk_orders_per_customer",
+    "sketch_cms_frequency",
+    "asof_click_purchase",
+]
+
+
+def main() -> None:
+    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "SCALE_LADDER.json"
+    sf10 = REPO / ".sf10"
+    if not sf10.exists():
+        print("building .sf10 (make_sf1.py x100)...", flush=True)
+        subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "scripts" / "make_sf1.py"),
+                str(sf10),
+                "100",
+            ],
+            check=True,
+        )
+
+    from etl_ml_pipeline_spark.queries import all_queries
+
+    qs = all_queries()
+    spark = get_spark(app_name="scale_ladder")
+
+    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    for rung, sf_dir in RUNGS:
+        for q in QUERIES:
+            fn = qs[q]
+            fn(spark, sf_dir).count()  # untimed warm pass (codegen, scans)
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            results[q][rung] = round(min(times), 3)
+            print(f"{rung:6s} {q:35s} {results[q][rung]:8.3f}s", flush=True)
+
+    report = {}
+    for q, r in results.items():
+        a01 = math.log10(max(r["sf1"], 1e-3) / max(r["sf0.1"], 1e-3))
+        a110 = math.log10(max(r["sf10"], 1e-3) / max(r["sf1"], 1e-3))
+        report[q] = {
+            **r,
+            "alpha_sf0.1_to_sf1": round(a01, 2),
+            "alpha_sf1_to_sf10": round(a110, 2),
+        }
+    out = {
+        "rungs": {r: d for r, d in RUNGS},
+        "queries": report,
+        "note": "alpha = log10 wall-time ratio per data decade on fixed "
+        "local[32]; <=1 is linear-or-better",
+    }
+    out_path.write_text(json.dumps(out, indent=1))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
