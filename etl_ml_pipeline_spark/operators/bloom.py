@@ -1,0 +1,108 @@
+"""Bloom-filter join pruning: shrink a fact-side shuffle with a compact
+approximate membership filter built from the dimension side's keys.
+
+No reference counterpart (the reference is single-process pandas with no
+shuffles — SURVEY.md §3.1); this is the 100 TB shuffle-reduction
+technique Spark itself applies as "runtime row-level filtering"
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, injected only
+under specific join/stats conditions). This operator makes the rewrite
+explicit and unconditional so a pipeline author can prune a 100 TB fact
+scan by a multi-million-key dimension that is too large for an exact
+``isin`` broadcast but whose Bloom filter is a few hundred KB.
+
+Semantics: ``bloom_prune_join(fact, dim, key)`` is RESULT-IDENTICAL to
+``fact.join(dim, key, "inner")`` — Bloom false positives survive the
+pre-filter but are removed by the exact join that follows; true members
+are never dropped (no false negatives). The value is plan shape: the
+filter runs map-side against the scan, so only ~(selectivity + fpp) of
+the fact rows enter the shuffle.
+
+Implementation is pure JVM built-ins (no Python UDF anywhere):
+
+- build: one aggregation job over the dim keys — k probe positions per
+  key via ``xxhash64(key, seed)`` mod m, packed into 64-bit words with
+  ``shiftleft``/``bit_or``, collected as m/64 longs (the collect is
+  bounded by the FILTER size, not the data size — same legitimacy class
+  as the IVF centroid collect in operators/similarity.py).
+- probe: the word array is a literal array<bigint> column; membership is
+  ``getbit(element_at(words, pos div 64 + 1), pos mod 64)`` AND-ed over
+  the k probes — whole-stage-codegen-able scalar expressions.
+
+Sizing: ``bits_per_key=10`` with ``k=7`` gives ~0.8% false positives
+(standard Bloom analysis); the filter is ndv*10/8 bytes — 1.2 MB for
+one million keys, vs >= 8 MB for the exact key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_build(dim: DataFrame, key: str, bits_per_key: int = 10, k: int = 7) -> tuple[list[int], int, int]:
+    """Build a Bloom filter over ``dim[key]``; returns (words, m_bits, k).
+
+    One distributed aggregation; the collect returns m/64 rows (filter
+    size, independent of dim row count). m is sized from the exact
+    distinct key count — callers pruning against a dimension they just
+    filtered already pay a scan, and the count shares it.
+    """
+    ndv = dim.select(key).distinct().count()
+    m = max(64, ndv * bits_per_key)
+    m += (-m) % 64  # round up to whole words
+    seeds = list(range(k))
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m)) for s in seeds])
+    )
+    packed = (
+        dim.select(pos.alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 6).alias("__word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for row in packed:
+        words[row["__word"]] = row["__bits"]
+    return words, m, k
+
+
+def might_contain(key_col: Column, words: list[int], m: int, k: int) -> Column:
+    """Membership predicate: AND of the k probe bits. JVM-only scalars."""
+    lit_words = F.lit(words)
+    probes = []
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m))
+        word = F.element_at(lit_words, (F.shiftright(pos, 6) + 1).cast("int"))
+        probes.append(F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1)
+    out = probes[0]
+    for p in probes[1:]:
+        out = out & p
+    return out
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    bits_per_key: int = 10,
+    k: int = 7,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join with a Bloom pre-filter on the fact side.
+
+    Result-identical to ``fact.join(dim, key, how)`` for inner and
+    left_semi joins (false positives are eliminated by the exact join);
+    the Bloom filter prunes the fact side BEFORE its shuffle. For
+    ``how="left_semi"`` the dim side still shuffles only its keys.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_prune_join preserves semantics only for inner/left_semi, got {how!r}")
+    words, m, kk = bloom_build(dim, key, bits_per_key, k)
+    pruned = fact.filter(might_contain(F.col(key), words, m, kk))
+    return pruned.join(dim, key, how)

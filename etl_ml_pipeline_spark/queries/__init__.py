@@ -33,6 +33,7 @@ _MODULES = (
     "ml_q",
     "asof_q",
     "skew_q",
+    "prune_q",
     "analytics_q",
 )
 

@@ -1,0 +1,72 @@
+"""Bloom-filter join pruning: membership contract, join identity, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_prune_join,
+    might_contain,
+)
+
+
+def test_no_false_negatives(spark):
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"))
+    words, m, k = bloom_build(dim, "k")
+    hits = dim.filter(might_contain(F.col("k"), words, m, k)).count()
+    assert hits == 1000  # every member must pass
+
+
+def test_false_positive_rate_bounded(spark):
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"))
+    words, m, k = bloom_build(dim, "k", bits_per_key=10, k=7)
+    # 20k keys disjoint from the build set
+    probe = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = probe.filter(might_contain(F.col("k"), words, m, k)).count()
+    # theory ~0.8% at 10 bits/key, 7 hashes; allow 3x slack
+    assert fp / 20_000 < 0.03
+
+
+def test_prune_join_identical_to_plain_join(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 700).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # add null fact keys — inner join must drop them either way
+    fact = fact.union(spark.sql("SELECT CAST(NULL AS BIGINT) k, CAST(-1 AS BIGINT) v"))
+    dim = spark.range(0, 200).select((F.col("id") * 3).alias("k"), F.lit("d").alias("tag"))
+    got = sorted(bloom_prune_join(fact, dim, "k").collect())
+    want = sorted(fact.join(dim, "k", "inner").collect())
+    assert got == want
+
+
+def test_prune_join_left_semi(spark):
+    fact = spark.range(0, 3000).select((F.col("id") % 500).alias("k"))
+    dim = spark.range(0, 100).select((F.col("id") * 5).alias("k"))
+    got = sorted(bloom_prune_join(fact, dim, "k", how="left_semi").collect())
+    want = sorted(fact.join(dim, "k", "left_semi").collect())
+    assert got == want
+
+
+def test_unsupported_how_raises(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prune_join(df, df, "k", how="left_outer")
+
+
+def test_empty_dim_prunes_everything(spark):
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    assert bloom_prune_join(fact, dim, "k").count() == 0
+
+
+def test_plan_filter_is_jvm_side_single_join(spark):
+    fact = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    dim = spark.range(0, 30).select(F.col("id").alias("k"))
+    plan = bloom_prune_join(fact, dim, "k")._jdf.queryExecution().executedPlan().toString()
+    # probe is built-in scalar exprs: no Python eval anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one join (the exact one); the bloom is a Filter, not a join
+    assert plan.count("Join") == 1
+    assert "getbit" in plan  # the probe reached the fact side as a filter
