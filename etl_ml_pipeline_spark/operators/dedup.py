@@ -407,6 +407,59 @@ def ed1_candidate_pairs(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (the "paragraph dedup" stage
+    of web-corpus pipelines, run with a deterministic k-word segmenter
+    since the synthetic corpus has no newlines): split every document
+    into consecutive ``seg_words``-word segments, keep the FIRST
+    occurrence of each distinct segment corpus-wide (first = lowest
+    (doc_id, seg_idx)), and reassemble each document from its surviving
+    segments in order.
+
+    Returns one row per document that keeps >= 1 segment:
+    (id, n_segs, n_kept, clean_text).
+
+    Scale: segmentation is per-row JVM HOFs (split/transform/slice — no
+    Python); the dedup itself is ONE shuffle partitioned by segment
+    value (row_number over the segment window), then one shuffle back to
+    the document for reassembly — both keys are high-cardinality and
+    near-uniform, the shape that survives 100 TB. No pairwise anything.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+    w_seg = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    w_doc = Window.partitionBy(id_col)
+    ranked = exploded.withColumn("__rn", F.row_number().over(w_seg)).withColumn(
+        "n_segs", F.count("*").over(w_doc)
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .groupBy(id_col, "n_segs")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

@@ -385,6 +385,51 @@ ORDER BY name_a, name_b
 """
 
 
+def dedup_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level ("paragraph") exact dedup over the dup'd corpus:
+    10-word segments deduped corpus-wide keep-first, documents
+    reassembled from survivors. Exact duplicates (the +1M copies in
+    _dup_corpus) lose every segment except where they are first; near
+    duplicates keep only their novel tail. clean_text is emitted as
+    md5 + length to keep the comparison row compact."""
+    from etl_ml_pipeline_spark.operators.dedup import segment_dedup
+
+    out = segment_dedup(_dup_corpus(spark, sf_dir), seg_words=10)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_chars"),
+    )
+
+
+_SEGMENT_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+segs AS (
+  SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    u.i * 10 + 1, u.i * 10 + 10), ' ') AS seg
+  FROM corpus,
+       UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_segs
+  FROM segs
+)
+SELECT doc_id,
+       CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5,
+       CAST(len(string_agg(seg, ' ' ORDER BY seg_idx)) AS INT) AS clean_chars
+FROM ranked
+WHERE rn = 1
+GROUP BY doc_id, n_segs
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -392,6 +437,7 @@ QUERIES = {
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_fuzzy_ed1_names": dedup_fuzzy_ed1_names,
+    "dedup_segments_documents": dedup_segments_documents,
 }
 
 ORACLES = {
@@ -401,4 +447,5 @@ ORACLES = {
     "dedup_simhash_documents": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_fuzzy_ed1_names": _FUZZY_ED1_SQL,
+    "dedup_segments_documents": _SEGMENT_SQL,
 }
