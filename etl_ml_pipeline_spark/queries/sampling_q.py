@@ -514,8 +514,53 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_source_cap_documents — per-source document caps (the domain-cap
+# primitive of web-corpus pipelines: no single domain may contribute
+# more than N documents). Deterministic: within each source, docs are
+# ranked by md5(text) with doc_id as the tiebreak — a stable,
+# content-derived shuffle — and the first cap survive.
+# Scale: one shuffle partitioned by source with a bounded per-partition
+# top-N; no global sort. Hot sources are the common case (web domains
+# are Zipfian) — rank-within-partition keeps the hot source on one
+# reducer but emits only cap rows from it; for extreme cardinality the
+# two-phase global_row_number pattern applies per source.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 15
+
+
+def sample_source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    kept = (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= _SOURCE_CAP)
+    )
+    return kept.select("doc_id", "source", "rank_in_source").orderBy(
+        "source", "rank_in_source"
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+           AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS INT) AS rank_in_source
+FROM ranked
+WHERE rank_in_source <= {_SOURCE_CAP}
+ORDER BY source, rank_in_source
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "sample_source_cap_documents": sample_source_cap_documents,
     "split_assign_documents": split_assign_documents,
     "sample_weighted_priority_documents": sample_weighted_priority_documents,
     "sample_temperature_lang": sample_temperature_lang,
@@ -527,6 +572,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "sample_source_cap_documents": _SOURCE_CAP_SQL,
     "split_assign_documents": _SPLIT_SQL,
     "sample_weighted_priority_documents": _WEIGHTED_SQL,
     "sample_temperature_lang": _TEMP_SQL,

@@ -946,6 +946,45 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_static_join_replay — the stream-static lookup join
+# (streaming/joins.stream_static_enrich): the bounded events stream
+# broadcast-joined per micro-batch to the static customer dimension,
+# then aggregated per (segment, event_type) in COMPLETE mode, which
+# must equal the batch join + rollup exactly.
+# Scale: stream-static joins hold NO join state; the broadcast hint
+# makes each micro-batch a map-side hash join, so the stream side never
+# shuffles for the join — the enrich pattern that survives 100 TB/day.
+# ---------------------------------------------------------------------------
+
+
+def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.queries.tables import t
+    from etl_ml_pipeline_spark.streaming.joins import stream_static_enrich
+
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream_static_enrich(_events_stream(spark, sf_dir), dim, "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _replay(agg, "complete").orderBy("segment", "event_type")
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY segment, event_type
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_sessionize_replay": stream_sessionize_replay,
@@ -956,6 +995,7 @@ QUERIES = {
     "stream_session_window_replay": stream_session_window_replay,
     "stream_interval_join_replay": stream_interval_join_replay,
     "stream_cdc_view_replay": stream_cdc_view_replay,
+    "stream_static_join_replay": stream_static_join_replay,
     "sketch_rolling_distinct_users": sketch_rolling_distinct_users,
     "bollinger_events": bollinger_events,
     "sessionize_events": sessionize_events,
@@ -975,6 +1015,7 @@ ORACLES = {
     "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,
     "stream_interval_join_replay": _STREAM_INTERVAL_JOIN_SQL,
     "stream_cdc_view_replay": _STREAM_CDC_SQL,
+    "stream_static_join_replay": _STREAM_STATIC_JOIN_SQL,
     "sketch_rolling_distinct_users": _ROLLING_DISTINCT_SQL,
     "bollinger_events": _BOLLINGER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,

@@ -165,3 +165,22 @@ def stateful_sessionizer(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Enrich a stream against a STATIC dimension (the canonical
+    lookup-join: events x customer/part attributes).
+
+    Stream-static joins need no watermark and hold no join state — each
+    micro-batch joins against the static relation as a plain batch join,
+    so the broadcast hint makes every micro-batch a map-side hash join
+    (no per-batch shuffle of the stream). The static side is re-read
+    per batch, picking up file-level changes; for large dims drop the
+    broadcast and let AQE pick the strategy.
+    """
+    return stream.join(F.broadcast(static), on, how)
