@@ -54,6 +54,10 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "text_pii_scrub",
     "pack_documents_budget",
+    # round-5: Bloom fact-side join pruning and segment-level dedup —
+    # the two new shuffle-volume stories, benched for per-round drift.
+    "bloom_prune_brand_revenue",
+    "dedup_segments_documents",
 ]
 
 

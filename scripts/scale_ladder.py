@@ -75,11 +75,15 @@ def main() -> None:
     for rung, sf_dir in RUNGS:
         for q in QUERIES:
             fn = qs[q]
-            fn(spark, sf_dir).count()  # untimed warm pass (codegen, scans)
+            # Full materialization via toPandas(), same as bench.py — a
+            # count() trigger would let Catalyst prune the aggregate
+            # expressions (counting an aggregate's rows only needs the
+            # grouping keys) and time a gutted plan.
+            len(fn(spark, sf_dir).toPandas())  # untimed warm pass
             times = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                len(fn(spark, sf_dir).toPandas())
                 times.append(time.perf_counter() - t0)
             results[q][rung] = round(min(times), 3)
             print(f"{rung:6s} {q:35s} {results[q][rung]:8.3f}s", flush=True)
