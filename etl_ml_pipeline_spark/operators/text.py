@@ -482,3 +482,85 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
         )
 
     return _udf(col)
+
+
+def bpe_train_merges(
+    words: "DataFrame", word_col: str = "w", rounds: int = 4
+) -> "DataFrame":
+    """Distributed BPE tokenizer training: learn the first ``rounds``
+    merge rules over a word corpus (byte-pair encoding, Sennrich et al.
+    2016 — public algorithm; no reference counterpart, part of the
+    LLM-data-pipeline extension surface).
+
+    Each word becomes a symbol sequence (one marker-wrapped character
+    per symbol, ``·a· ·b· ·c·``); each round counts adjacent symbol
+    pairs corpus-wide, picks the most frequent (ties broken by pair
+    text ascending, so training is deterministic), and applies the
+    merge as a LITERAL string replace — the markers make token
+    boundaries unambiguous, so a pair can never match across symbol
+    or word boundaries, and replace()'s left-to-right non-overlapping
+    scan is identical in Spark and DuckDB (the oracle replays training
+    exactly).
+
+    Returns one row per round: (round, pair, merged, n).
+
+    Scale: training runs over the WORD-FREQUENCY DICTIONARY, not raw
+    tokens — one corpus-wide word-count shuffle up front, then every
+    round's pair count is a sum of freq over the (much smaller) dict,
+    exactly like the published BPE trainer. Merge application is a
+    map-only literal replace; the winning pair reaches the next round
+    through a broadcast of a 1-row aggregate, so NOTHING is collected
+    to the driver and the whole training is one declarative plan.
+    Production trainers amortize passes by taking the top-M pairs per
+    round; rounds here are the catalog's k=4.
+    """
+    seq = F.array_join(
+        F.transform(
+            F.split(F.col(word_col), ""),
+            lambda c: F.concat(F.lit("·"), c, F.lit("·")),
+        ),
+        " ",
+    )
+    corpus = (
+        words.filter(F.col(word_col) != "")
+        .groupBy(word_col)
+        .agg(F.count("*").alias("freq"))
+        .select(seq.alias("seq"), "freq")
+    )
+
+    tops = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.col("seq"), " ")
+        n_tok = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        counts = (
+            corpus.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = (
+            counts.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit("· ·"), F.lit("")).alias(
+                    "merged"
+                ),
+                "n",
+            )
+        )
+        tops.append(top)
+        corpus = corpus.crossJoin(F.broadcast(top.select("pair", "merged"))).select(
+            F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias("seq"),
+            "freq",
+        )
+
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

@@ -1054,8 +1054,73 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges — distributed BPE tokenizer training (first 4
+# merge rules over the documents word corpus). The oracle UNROLLS the
+# training loop: each round's pair counts, argmax (ties by pair text),
+# and literal merge replace are replayed in SQL, so a green row proves
+# the full iterative training — counts, tie-breaks, and merge
+# application — is bit-identical across engines.
+# Scale: one pair-count shuffle per round, map-only merges, winner
+# propagated by a 1-row broadcast — no driver collect (see
+# operators/text.bpe_train_merges).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import bpe_train_merges
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    return bpe_train_merges(words, "w", rounds=_BPE_ROUNDS).select(
+        "round", "pair", "merged", F.col("n").cast("long").alias("n")
+    )
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    parts = ["""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+seq0 AS (
+  SELECT array_to_string(
+           list_transform(string_split(w, ''), c -> '\u00b7' || c || '\u00b7'),
+           ' ') AS seq,
+         freq
+  FROM words
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair, sum(freq) AS n
+  FROM (SELECT string_split(seq, ' ') AS t, freq FROM seq{r - 1}),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1
+),
+top{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+seq{r} AS (
+  SELECT replace(seq, (SELECT pair FROM top{r}),
+                 (SELECT replace(pair, '\u00b7 \u00b7', '') FROM top{r})) AS seq,
+         freq
+  FROM seq{r - 1}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, replace(pair, '\u00b7 \u00b7', '') AS merged, "
+        f"CAST(n AS BIGINT) AS n FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects + "\nORDER BY round"
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_bpe_train_merges": text_bpe_train_merges,
     "text_novelty_trigram": text_novelty_trigram,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
     "sketch_cms_frequency": sketch_cms_frequency,
@@ -1076,6 +1141,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_train_merges": _bpe_oracle(),
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_novelty_trigram": _TRIGRAM_NOVELTY_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,
