@@ -510,7 +510,104 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# feature_winsorize_events — robust feature scaling for ML prep:
+# per-type values winsorized at the exact p01/p99 (clamped, clamp
+# counts reported) and z-normalization moments computed on the EXACT
+# CENT GRID — sums and sums-of-squares are integer arithmetic (cents
+# fit a BIGINT at any realistic scale), so the derived mean/std are
+# identical doubles on both engines with zero reduction-order risk.
+# Scale: one percentile aggregation (exact sort-per-group; swap for
+# approx_percentile cutpoints at unbounded group sizes), a broadcast
+# join of per-type bounds, and one integer-sum aggregation.
+# ---------------------------------------------------------------------------
+
+
+def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    pct = F.percentile("value", [0.01, 0.99])
+    bounds = ev.groupBy("event_type").agg(
+        F.floor(pct[0] * 100).cast("long").alias("lo_c"),
+        F.floor(pct[1] * 100).cast("long").alias("hi_c"),
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "lo_c",
+            "hi_c",
+            cents.alias("c"),
+        )
+        .select(
+            "event_type",
+            "lo_c",
+            "hi_c",
+            "c",
+            F.greatest(F.least(F.col("c"), F.col("hi_c")), F.col("lo_c")).alias("cw"),
+        )
+    )
+    agg = w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("c") < F.col("lo_c")).cast("long")).alias("n_clamped_low"),
+        F.sum((F.col("c") > F.col("hi_c")).cast("long")).alias("n_clamped_high"),
+        F.min("lo_c").alias("lo_c"),
+        F.min("hi_c").alias("hi_c"),
+        F.sum("cw").alias("s1"),
+        F.sum(F.col("cw") * F.col("cw")).alias("s2"),
+    )
+    var_c = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        "n_clamped_low",
+        "n_clamped_high",
+        (F.col("lo_c") / 100.0).alias("lo"),
+        (F.col("hi_c") / 100.0).alias("hi"),
+        (F.floor(F.col("s1") / F.col("n") / 100.0 * 10000) / 10000).alias("mean_w"),
+        (F.floor(F.sqrt(var_c) / 100.0 * 10000) / 10000).alias("std_w"),
+    ).orderBy("event_type")
+
+
+_WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(value, 0.01) * 100) AS BIGINT) AS lo_c,
+         CAST(floor(quantile_cont(value, 0.99) * 100) AS BIGINT) AS hi_c
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT e.event_type, b.lo_c, b.hi_c,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS c,
+         greatest(least(CAST(round(e.value * 100, 0) AS BIGINT), b.hi_c), b.lo_c) AS cw
+  FROM events e JOIN bounds b USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+         CAST(sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+         min(lo_c) AS lo_c, min(hi_c) AS hi_c,
+         CAST(sum(cw) AS BIGINT) AS s1,
+         CAST(sum(cw * cw) AS BIGINT) AS s2
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n, n_clamped_low, n_clamped_high,
+       lo_c / 100.0 AS lo,
+       hi_c / 100.0 AS hi,
+       floor(s1 / n / 100.0 * 10000) / 10000 AS mean_w,
+       floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)
+             / 100.0 * 10000) / 10000 AS std_w
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "feature_winsorize_events": feature_winsorize_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -521,6 +618,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_winsorize_events": _WINSORIZE_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
