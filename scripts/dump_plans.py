@@ -139,6 +139,42 @@ SHOWCASE = [
         "as (size-guarded broadcast) hash joins on the gram keys — "
         "same shape as the contamination join, no cartesian.",
     ),
+    (
+        "bloom_prune_brand_revenue",
+        "Bloom join pruning: the fact side carries a Filter of pure "
+        "scalar expressions (xxhash64/getbit on a literal word array) "
+        "BEFORE its exchange — no Python eval, no extra join; the "
+        "exact join that follows removes the false positives.",
+    ),
+    (
+        "text_bpe_train_merges",
+        "Distributed BPE training: each round is a pair-count "
+        "HashAggregate over the word-frequency dict with the winning "
+        "pair entering the next round via BroadcastNestedLoopJoin of "
+        "a 1-row aggregate — per-round shuffles are dict-sized, and "
+        "nothing is collected to the driver.",
+    ),
+    (
+        "dedup_segments_documents",
+        "Segment-level dedup: posexplode of JVM-HOF segments, ONE "
+        "hash exchange on the segment value for the keep-first "
+        "window, one exchange back to the document for reassembly — "
+        "both high-cardinality keys, no join, no cartesian.",
+    ),
+    (
+        "feature_winsorize_events",
+        "Winsorized scaling: exact per-type percentiles, a "
+        "BroadcastHashJoin of the 1-row-per-type bounds, and ONE "
+        "integer-sum aggregate — the z-moments are BIGINT sums, so "
+        "no float reduction-order risk anywhere in the plan.",
+    ),
+    (
+        "sample_source_cap_documents",
+        "Per-source caps: a single hash exchange on source feeds "
+        "WindowGroupLimit, which prunes each partition to the cap "
+        "BEFORE the full window evaluates — hot sources emit cap "
+        "rows, not their full volume.",
+    ),
 ]
 
 
