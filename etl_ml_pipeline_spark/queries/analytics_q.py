@@ -512,7 +512,7 @@ ORDER BY day
 
 # ---------------------------------------------------------------------------
 # feature_winsorize_events — robust feature scaling for ML prep:
-# per-type values winsorized at the exact p01/p99 (clamped, clamp
+# per-type values winsorized at the exact nearest-rank p01/p99 (clamped, clamp
 # counts reported) and z-normalization moments computed on the EXACT
 # CENT GRID — sums and sums-of-squares are integer arithmetic (cents
 # fit a BIGINT at any realistic scale), so the derived mean/std are
@@ -524,13 +524,41 @@ ORDER BY day
 
 
 def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-    pct = F.percentile("value", [0.01, 0.99])
-    bounds = ev.groupBy("event_type").agg(
-        F.floor(pct[0] * 100).cast("long").alias("lo_c"),
-        F.floor(pct[1] * 100).cast("long").alias("hi_c"),
-    )
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # Nearest-rank percentiles (k = ceil(p*n), pure integer arithmetic)
+    # over the distinct cent grid: interpolated percentiles are NOT
+    # cross-engine-safe — under heavy value duplication (caught at the
+    # synthetic sf1) Spark's percentile and DuckDB's quantile_cont pick
+    # different interpolation neighbors. Order statistics on actual data
+    # values are the standard winsorize bounds anyway, and the
+    # cumulative-frequency walk runs over |distinct cents| rows, not N.
+    freqs = (
+        ev.groupBy("event_type", cents.alias("c"))
+        .agg(F.count("*").alias("f"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    ranked = freqs.select(
+        "event_type",
+        "c",
+        F.sum("f").over(w_cum).alias("cum"),
+        F.sum("f").over(w_tot).alias("total"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(total + 99) div 100"), F.col("c"))
+        ).alias("lo_c"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(99 * total + 99) div 100"), F.col("c"))
+        ).alias("hi_c"),
+    )
     w = (
         ev.join(F.broadcast(bounds), "event_type")
         .select(
@@ -573,11 +601,23 @@ def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINSORIZE_SQL = """
-WITH bounds AS (
+WITH freqs AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+         count(*) AS f
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, c,
+         sum(f) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(f) OVER (PARTITION BY event_type) AS total
+  FROM freqs
+),
+bounds AS (
   SELECT event_type,
-         CAST(floor(quantile_cont(value, 0.01) * 100) AS BIGINT) AS lo_c,
-         CAST(floor(quantile_cont(value, 0.99) * 100) AS BIGINT) AS hi_c
-  FROM events GROUP BY event_type
+         min(CASE WHEN cum >= (total + 99) // 100 THEN c END) AS lo_c,
+         min(CASE WHEN cum >= (99 * total + 99) // 100 THEN c END) AS hi_c
+  FROM ranked GROUP BY event_type
 ),
 w AS (
   SELECT e.event_type, b.lo_c, b.hi_c,
