@@ -125,3 +125,30 @@ def bloom_prune_join(
     words, m, kk = bloom_build(dim, key, bits_per_key, k)
     pruned = fact.filter(might_contain(F.col(key), words, m, kk))
     return pruned.join(dim, key, how)
+
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform  # noqa: E402
+from etl_ml_pipeline_spark.registry import register_transform  # noqa: E402
+
+
+@register_transform("bloom_prune_join")
+class BloomPruneJoin(BaseTransform):
+    """Pipeline form of the Bloom-pruned equi-join. Config: ``table``
+    (dim parquet path), ``key``, optional ``dim_filter`` (SQL condition
+    applied to the dim), ``bits_per_key``, ``k``, ``how``."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        dim = spark.read.parquet(self.config["table"])
+        if "dim_filter" in self.config:
+            dim = dim.filter(self.config["dim_filter"])
+        if "dim_columns" in self.config:
+            dim = dim.select(*self.config["dim_columns"])
+        return bloom_prune_join(
+            df,
+            dim,
+            key=self.config["key"],
+            bits_per_key=int(self.config.get("bits_per_key", 10)),
+            k=int(self.config.get("k", 7)),
+            how=self.config.get("how", "inner"),
+        )

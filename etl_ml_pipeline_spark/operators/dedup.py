@@ -484,3 +484,17 @@ class MinHashDedup(BaseTransform):
         pairs = lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= threshold)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(losers, id_col, "left_anti")
+
+
+@register_transform("dedup_segments")
+class SegmentDedup(BaseTransform):
+    """Pipeline form of segment-level (paragraph) corpus dedup: emits the
+    reassembled documents (id, n_segs, n_kept, clean_text)."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return segment_dedup(
+            df,
+            text_col=self.config.get("text_col", "text"),
+            id_col=self.config.get("id_col", "doc_id"),
+            seg_words=int(self.config.get("seg_words", 10)),
+        )

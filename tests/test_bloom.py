@@ -70,3 +70,66 @@ def test_plan_filter_is_jvm_side_single_join(spark):
     # exactly one join (the exact one); the bloom is a Filter, not a join
     assert plan.count("Join") == 1
     assert "getbit" in plan  # the probe reached the fact side as a filter
+
+
+def test_registry_transform_bloom(spark, sf_dir):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    fact = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumnRenamed("l_partkey", "p_partkey")
+        .select("p_partkey", "l_quantity")
+    )
+    tr = TRANSFORMS.get("bloom_prune_join")(
+        {
+            "table": f"{sf_dir}/part.parquet",
+            "key": "p_partkey",
+            "dim_filter": "p_size <= 10",
+            "dim_columns": ["p_partkey", "p_size"],
+        }
+    )
+    got = tr(fact)
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size <= 10").select(
+        "p_partkey", "p_size"
+    )
+    want = fact.join(dim, "p_partkey")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_native_runtime_bloom_filter_injects(spark, sf_dir):
+    """Spark's own runtime row-level bloom filter (the conf-driven
+    counterpart of operators/bloom.py) injects on a shuffle join when
+    the thresholds allow — documents the native path and the confs that
+    gate it; the explicit operator exists because these conditions are
+    stats-dependent and the filter cannot be reused across queries."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_quantity"
+        )
+        dim = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter("p_size <= 10")
+            .selectExpr("p_partkey AS l_partkey")
+        )
+        plan = (
+            fact.join(dim, "l_partkey")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

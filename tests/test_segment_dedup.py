@@ -50,3 +50,14 @@ def test_short_doc_single_partial_segment(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1
     assert rows[0]["clean_text"] == "a b"
+
+
+def test_registry_transform_segments(spark):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y")], ["doc_id", "text"]
+    )
+    out = TRANSFORMS.get("dedup_segments")({"seg_words": 2})(df)
+    rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert rows == {1: "a b c d", 3: "x y"}
