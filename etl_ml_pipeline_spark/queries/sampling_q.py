@@ -558,10 +558,146 @@ ORDER BY source, rank_in_source
 """
 
 
+# ---------------------------------------------------------------------------
+# split_leakage_safe_documents — LEAKAGE-SAFE train/val/test splits:
+# the split hash is computed on the near-dup CLUSTER canonical, not the
+# doc id, so every member of a duplicate cluster lands in the same
+# split. Plain per-doc hash splitting leaks: a near-duplicate pair
+# split across train and test inflates eval. The emitted
+# `cross_split_pairs` column counts candidate near-dup pairs whose
+# endpoints land in different splits — 0 by construction here, and the
+# quantity a reviewer would measure on any split scheme.
+# Scale: clusters from the bounded candidate graph (shingle-capped
+# jaccard pairs + pointer-doubling components); assignment is a
+# left join of component labels (absent -> singleton cluster = own id)
+# and a map-side hash — no new heavy shapes beyond the dedup path.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from etl_ml_pipeline_spark.queries.dedup_q import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir).filter((F.col("doc_id") % 1_000_000) < 300)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    assigned = (
+        corpus.join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster")
+        )
+    )
+    h = token_hash60(F.col("cluster").cast("string")) % 100
+    per_doc = assigned.withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+    )
+    leaks = (
+        pairs.join(
+            per_doc.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            per_doc.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("cross_split_pairs")
+        )
+        .select(F.coalesce("cross_split_pairs", F.lit(0)).alias("cross_split_pairs"))
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from etl_ml_pipeline_spark.queries.dedup_q import _DUP_CORPUS_SQL
+
+    hash_cluster = "('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100"
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 1000000 < 300
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+capped AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= 0.5 * (SELECT count(*) FROM corpus)) k
+  USING (shingle)
+),
+sizes AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2) i
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+),
+per_doc AS (
+  SELECT doc_id, cluster,
+         CASE WHEN {hash_cluster} < 80 THEN 'train'
+              WHEN {hash_cluster} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+),
+leaks AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS cross_split_pairs
+  FROM pairs p
+  JOIN per_doc a ON p.id_a = a.doc_id
+  JOIN per_doc b ON p.id_b = b.doc_id
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       (SELECT cross_split_pairs FROM leaks) AS cross_split_pairs
+FROM per_doc
+GROUP BY split
+ORDER BY split
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_source_cap_documents": sample_source_cap_documents,
     "split_assign_documents": split_assign_documents,
+    "split_leakage_safe_documents": split_leakage_safe_documents,
     "sample_weighted_priority_documents": sample_weighted_priority_documents,
     "sample_temperature_lang": sample_temperature_lang,
     "sample_stratified_lang": sample_stratified_lang,
@@ -574,6 +710,7 @@ ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_source_cap_documents": _SOURCE_CAP_SQL,
     "split_assign_documents": _SPLIT_SQL,
+    "split_leakage_safe_documents": _split_leakage_oracle(),
     "sample_weighted_priority_documents": _WEIGHTED_SQL,
     "sample_temperature_lang": _TEMP_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
