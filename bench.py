@@ -60,6 +60,10 @@ HEADLINE = [
     "dedup_segments_documents",
 ]
 
+# The pre-round-5 headline set: emitted as `value_22q` so round-over-
+# round totals stay comparable after headline additions.
+_COMPARABLE_22 = HEADLINE[:22]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +122,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_22q": round(
+                    sum(t for n, t in timings.items() if n in _COMPARABLE_22), 3
+                ),
                 "spread": spreads,
                 "cold_value": round(cold_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

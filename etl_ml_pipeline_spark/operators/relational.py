@@ -410,3 +410,56 @@ def incremental_agg_refresh(
         .groupBy(group)
         .agg(F.sum("cnt").alias("cnt"), F.sum("tot").alias("tot"))
     )
+
+
+def nearest_rank_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    pcts: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Per-key nearest-rank percentiles (k = ceil(p*n)) in PURE integer
+    arithmetic — the cross-engine-safe percentile.
+
+    ``pcts`` maps output column name -> (p_num, p_den), e.g.
+    ``{"p01": (1, 100), "p99": (99, 100)}``. Returns one row per key
+    group with the percentile VALUES (actual data values, never
+    interpolated).
+
+    Why this exists: interpolated percentiles (Spark ``percentile``,
+    DuckDB ``quantile_cont``) pick engine-defined interpolation
+    neighbors under heavy value duplication — a one-cent p99
+    divergence surfaced at the synthetic sf1 differential. Nearest
+    rank over a cumulative-frequency walk is exact, deterministic,
+    and runs over |distinct values| rows per key, not N.
+
+    Scale: one shuffle on (keys, value) for the frequency aggregate,
+    one per-key window over the distinct-value grid, one final
+    aggregate — every stage bounded by grid cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    freqs = df.groupBy(*keys, value_col).agg(F.count("*").alias("__f"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    ranked = freqs.select(
+        *keys,
+        value_col,
+        F.sum("__f").over(w_cum).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"({num} * __total + {den} - 1) div {den}"),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, (num, den) in pcts.items()
+    ]
+    return ranked.groupBy(*keys).agg(*aggs)

@@ -524,8 +524,6 @@ ORDER BY day
 
 
 def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = t(spark, sf_dir, "events").select("event_type", "value")
     cents = F.round(F.col("value") * 100, 0).cast("long")
     # Nearest-rank percentiles (k = ceil(p*n), pure integer arithmetic)
@@ -535,29 +533,15 @@ def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different interpolation neighbors. Order statistics on actual data
     # values are the standard winsorize bounds anyway, and the
     # cumulative-frequency walk runs over |distinct cents| rows, not N.
-    freqs = (
-        ev.groupBy("event_type", cents.alias("c"))
-        .agg(F.count("*").alias("f"))
+    from etl_ml_pipeline_spark.operators.relational import (
+        nearest_rank_percentiles,
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("event_type")
-    ranked = freqs.select(
-        "event_type",
-        "c",
-        F.sum("f").over(w_cum).alias("cum"),
-        F.sum("f").over(w_tot).alias("total"),
-    )
-    bounds = ranked.groupBy("event_type").agg(
-        F.min(
-            F.when(F.col("cum") >= F.expr("(total + 99) div 100"), F.col("c"))
-        ).alias("lo_c"),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(99 * total + 99) div 100"), F.col("c"))
-        ).alias("hi_c"),
+
+    bounds = nearest_rank_percentiles(
+        ev.select("event_type", cents.alias("c")),
+        keys=["event_type"],
+        value_col="c",
+        pcts={"lo_c": (1, 100), "hi_c": (99, 100)},
     )
     w = (
         ev.join(F.broadcast(bounds), "event_type")

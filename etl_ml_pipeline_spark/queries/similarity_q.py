@@ -404,6 +404,98 @@ ORDER BY r.doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_video_frames — the video leg of the media plumbing:
+# deterministic 8-bit gray frames synthesized executor-side into the
+# FVID container (magic + w/h/frame-count header), then parsed back
+# through decode_video_frames (real header parse + numpy per-frame
+# features, every 2nd frame sampled). Pixel (f, y, x) of doc d is
+# (d*7 + f*13 + y*3 + x) % 256 with w = 8 + d%5, h = 6 + d%4,
+# nf = 4 + d%4, so DuckDB replays every frame exactly; mean luma and
+# motion (mean |frame - prev frame|) are exact-integer means, so the
+# floor-truncated doubles match bit-for-bit — the audio-rms argument.
+# Scale: blobs stay in Arrow batches on executors; the output is
+# rows x sampled frames of small feature columns.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_video_frames,
+        encode_video,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    def gen_video(batches):
+        for pdf in batches:
+            media = []
+            for d0 in pdf["doc_id"]:
+                d = int(d0)
+                w, h, nf = 8 + d % 5, 6 + d % 4, 4 + d % 4
+                frames = (
+                    d * 7
+                    + 13 * np.arange(nf)[:, None, None]
+                    + 3 * np.arange(h)[None, :, None]
+                    + np.arange(w)[None, None, :]
+                ) % 256
+                media.append(encode_video(frames))
+            yield pdf.assign(media=media)
+
+    media = docs.mapInPandas(gen_video, schema="doc_id long, media binary")
+    media = attach_media_meta(media, "media", "video", "fvid")
+    out = decode_video_frames(media, "media", stride=2)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        "frame_idx",
+        "width",
+        "height",
+        "mean_luma",
+        "motion",
+    ).orderBy("doc_id", "frame_idx")
+
+
+_VIDEO_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+         4 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id < 300
+),
+px AS (
+  SELECT doc_id, w, h, nf, f.f AS f, y.y AS y, x.x AS x,
+         (doc_id * 7 + f.f * 13 + y.y * 3 + x.x) % 256 AS val
+  FROM d, UNNEST(range(nf)) AS f(f), UNNEST(range(h)) AS y(y),
+       UNNEST(range(w)) AS x(x)
+),
+luma AS (
+  SELECT doc_id, f, w, h, nf,
+         floor(avg(CAST(val AS DOUBLE)) * 10000) / 10000 AS mean_luma
+  FROM px GROUP BY 1, 2, 3, 4, 5
+),
+mot AS (
+  SELECT a.doc_id, a.f,
+         floor(avg(CAST(abs(a.val - b.val) AS DOUBLE)) * 10000) / 10000 AS motion
+  FROM px a JOIN px b
+    ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.y = b.y AND a.x = b.x
+  GROUP BY 1, 2
+)
+SELECT l.doc_id,
+       CAST(10 + nf * h * w AS BIGINT) AS n_bytes,
+       CAST(l.f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       l.mean_luma,
+       coalesce(m.motion, -1.0) AS motion
+FROM luma l LEFT JOIN mot m ON l.doc_id = m.doc_id AND l.f = m.f
+WHERE l.f % 2 = 0
+ORDER BY l.doc_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_ivf_topk — IVF ANN: deterministic coarse centroids (every 50th
 # vector), broadcast argmin assignment, probe-1 candidate lists, exact
 # rerank. Fully oracle-checked: the quantizer is data-deterministic, so
@@ -1099,6 +1191,7 @@ QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_video_frames": multimodal_video_frames,
 }
 
 ORACLES = {
@@ -1116,4 +1209,5 @@ ORACLES = {
     "multimodal_image_features": _MULTIMODAL_SQL,
     "multimodal_png_decode": _PNG_DECODE_SQL,
     "multimodal_audio_features": _AUDIO_SQL,
+    "multimodal_video_frames": _VIDEO_SQL,
 }

@@ -48,6 +48,12 @@ QUERIES = [
     "window_topk_orders_per_customer",
     "sketch_cms_frequency",
     "asof_click_purchase",
+    # round-5 operators
+    "bloom_prune_brand_revenue",
+    "dedup_segments_documents",
+    "text_bpe_train_merges",
+    "feature_winsorize_events",
+    "sample_source_cap_documents",
 ]
 
 

@@ -827,3 +827,30 @@ def test_ivfpq_rerank_recovers_recall(spark, sf_dir):
     # self-match sanity: each query's own vector survives reranking at rank 1
     rank1 = {r.q_id: r.c_id for r in rr_df if r.rank == 1}
     assert all(q == c for q, c in rank1.items())
+
+
+def test_fvid_roundtrip_and_errors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        _decode_fvid,
+        decode_video_frames,
+        encode_video,
+    )
+
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    blob = encode_video(frames)
+    w, h, back = _decode_fvid(blob)
+    assert (w, h) == (4, 3) and (back == frames).all()
+    with _pytest.raises(ValueError, match="not an FVID blob"):
+        _decode_fvid(b"JUNKxxxx")
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_fvid(blob[:-3])
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    rows = decode_video_frames(df, "media", stride=1).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    # frame 1 = frame 0 + 12 everywhere -> motion exactly 12
+    assert rows[0]["motion"] == -1.0 and rows[1]["motion"] == 12.0
+    assert rows[0]["mean_luma"] == float(frames[0].mean())

@@ -1,0 +1,36 @@
+
+
+def test_nearest_rank_percentiles_matches_definition(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import nearest_rank_percentiles
+
+    vals = [1, 1, 2, 3, 3, 3, 7, 9, 9, 50]  # n=10, heavy duplication
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    out = nearest_rank_percentiles(
+        df, ["k"], "v", {"p10": (1, 10), "p50": (1, 2), "p90": (9, 10), "p100": (1, 1)}
+    ).collect()[0]
+    ref = sorted(vals)
+    def nr(p_num, p_den):
+        return ref[math.ceil(p_num * len(ref) / p_den) - 1]
+    assert out["p10"] == nr(1, 10) == 1
+    assert out["p50"] == nr(1, 2) == 3
+    assert out["p90"] == nr(9, 10) == 9
+    assert out["p100"] == nr(1, 1) == 50
+
+
+def test_nearest_rank_percentiles_multi_group(spark):
+    from etl_ml_pipeline_spark.operators.relational import nearest_rank_percentiles
+
+    rows = [("a", i) for i in range(1, 101)] + [("b", 5)] * 7
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r
+        for r in nearest_rank_percentiles(
+            df, ["k"], "v", {"p01": (1, 100), "p99": (99, 100)}
+        ).collect()
+    }
+    assert got["a"]["p01"] == 1 and got["a"]["p99"] == 99
+    assert got["b"]["p01"] == 5 and got["b"]["p99"] == 5
