@@ -630,8 +630,103 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity — k-anonymity audit over quasi-identifiers, the
+# privacy gate a training-data pipeline runs before releasing a table.
+# QI = (nation, market segment, $1000-wide balance bucket); a row is
+# k-anonymous iff its QI equivalence class holds >= k rows. We report,
+# per nation: class count, smallest class, rows violating k=5, and the
+# violation count after ONE generalization step (dropping the balance
+# bucket — the next rung of the generalization lattice).
+#
+# Scale: two bounded-cardinality groupBys (|QI classes| and
+# |nation x segment|), then a per-nation rollup — every shuffle key is
+# low-cardinality and map-side combined; no row-level data leaves the
+# scan stage. The balance bucket is pure integer math (cents div
+# 100000) so both engines build identical classes.
+# ---------------------------------------------------------------------------
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 5
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # explicit floor on BOTH engines: balances go negative, and
+        # truncate-toward-zero (Spark long cast) vs floor (DuckDB //)
+        # would split the bucket at $0
+        F.floor(F.round(F.col("c_acctbal") * 100, 0).cast("long") / F.lit(100000.0))
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    fine = cust.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count("*").alias("g")
+    )
+    per_nation = fine.groupBy("c_nationkey").agg(
+        F.sum("g").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("g").alias("min_class"),
+        F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(F.lit(0))).alias(
+            "rows_violating_k5"
+        ),
+    )
+    coarse = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("g"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(F.lit(0))).alias(
+                "rows_violating_k5_generalized"
+            )
+        )
+    )
+    return (
+        per_nation.join(coarse, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n_rows",
+            "n_classes",
+            "min_class",
+            "rows_violating_k5",
+            "rows_violating_k5_generalized",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_K_ANON_SQL = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_bucket
+  FROM customer
+),
+fine AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS g
+  FROM cust GROUP BY 1, 2, 3
+),
+coarse AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS g
+  FROM cust GROUP BY 1, 2
+)
+SELECT f.c_nationkey,
+       CAST(sum(f.g) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(f.g) AS BIGINT) AS min_class,
+       CAST(sum(CASE WHEN f.g < 5 THEN f.g ELSE 0 END) AS BIGINT)
+         AS rows_violating_k5,
+       (SELECT CAST(sum(CASE WHEN c.g < 5 THEN c.g ELSE 0 END) AS BIGINT)
+        FROM coarse c WHERE c.c_nationkey = f.c_nationkey)
+         AS rows_violating_k5_generalized
+FROM fine f
+GROUP BY f.c_nationkey
+ORDER BY f.c_nationkey
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
+    "privacy_k_anonymity": privacy_k_anonymity,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -643,6 +738,7 @@ QUERIES = {
 
 ORACLES = {
     "feature_winsorize_events": _WINSORIZE_SQL,
+    "privacy_k_anonymity": _K_ANON_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
