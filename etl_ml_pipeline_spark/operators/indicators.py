@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W
@@ -140,6 +141,65 @@ def add_rsi_macd(
     # the whole dataset into a single pandas frame on one core — spread
     # over at least the cluster's parallelism. Groups still co-locate
     # via the hash repartition on series_col.
+    sess = df.sparkSession
+    try:
+        shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0
+    n_parts = max(shuffle_n, sess.sparkContext.defaultParallelism)
+    return df.repartition(n_parts, series_col).mapInPandas(kernel, schema=schema)
+
+
+def add_holt_linear(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per series.
+
+    Appends ``level``, ``trend``, and the one-step-ahead ``forecast``
+    (level_t + trend_t). Init: level_1 = y_1, trend_1 = 0; then
+    level_t = a*y_t + (1-a)*(level+trend), trend_t = b*(level_t -
+    level_{t-1}) + (1-b)*trend_{t-1} — two COUPLED recursions, so no
+    ``GroupBy.ewm`` shortcut; each series runs a float loop.
+
+    Intended input is an already-REDUCED series (e.g. daily aggregates
+    — the heavy groupBy happens before this operator, map-side
+    combined), so each series is calendar-bounded (|days| rows, not
+    |events|) and the per-row Python loop cost is trivial. Groups
+    co-locate via hash repartition on ``series_col``; one shuffle
+    partition (not one group) must fit in memory, exactly the
+    add_rsi_macd contract.
+    """
+    out_cols = ["level", "trend", "forecast"]
+    schema = _ewm_kernel_schema(df.schema, out_cols)
+    col_names = [f.name for f in df.schema.fields] + out_cols
+
+    def kernel(batches) -> "pd.DataFrame":
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values([series_col, order_col]).reset_index(drop=True)
+        level = np.empty(len(pdf))
+        trend = np.empty(len(pdf))
+        for _, idx in pdf.groupby(series_col, sort=False).indices.items():
+            y = pdf[value_col].to_numpy()[idx]
+            lv, tr = y[0], 0.0
+            level[idx[0]], trend[idx[0]] = lv, tr
+            for j in range(1, len(idx)):
+                lv_new = alpha * y[j] + (1.0 - alpha) * (lv + tr)
+                tr = beta * (lv_new - lv) + (1.0 - beta) * tr
+                lv = lv_new
+                level[idx[j]], trend[idx[j]] = lv, tr
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["forecast"] = level + trend
+        yield pdf[col_names]
+
     sess = df.sparkSession
     try:
         shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions"))

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_ml_pipeline_spark.operators.indicators import add_rsi_macd, bollinger, sma
+from etl_ml_pipeline_spark.operators.indicators import (
+    add_holt_linear,
+    add_rsi_macd,
+    bollinger,
+    sma,
+)
 from etl_ml_pipeline_spark.operators.sessionize import sessionize
 from etl_ml_pipeline_spark.queries.tables import t
 
@@ -985,6 +990,75 @@ ORDER BY segment, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# forecast_holt_events — Holt's linear-trend exponential smoothing over
+# the daily revenue series of each event type: the classic short-term
+# forecaster with both a level and a trend state (two COUPLED
+# recursions, so neither a window frame nor GroupBy.ewm expresses it).
+#
+# Scale shape: the events table reduces FIRST (one map-side-combined
+# shuffle to |event_type x day| rows, daily sums on the exact cent
+# grid so both engines see bit-identical y), and only the reduced
+# calendar-bounded series runs the sequential recursion. The oracle
+# replays the recursion in a DuckDB RECURSIVE CTE with the SAME
+# floating-point expression tree ((1 - 0.2) etc., never pre-folded
+# constants), so doubles agree bit-for-bit before round(4) — the
+# rsi_macd_events playbook.
+# ---------------------------------------------------------------------------
+
+
+def forecast_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)
+            ).alias("y")
+        )
+    )
+    out = add_holt_linear(daily, "event_type", "day", "y", alpha=0.2, beta=0.1)
+    return out.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "y",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast", 4).alias("forecast"),
+    ).orderBy("event_type", "day")
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+rec AS (
+  SELECT event_type, day, rn, y, y AS lv, 0.0::DOUBLE AS tr
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.rn, o.y,
+         0.2 * o.y + (1 - 0.2) * (r.lv + r.tr),
+         0.1 * ((0.2 * o.y + (1 - 0.2) * (r.lv + r.tr)) - r.lv)
+           + (1 - 0.1) * r.tr
+  FROM rec r
+  JOIN ordered o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, y,
+       round(lv, 4) AS level,
+       round(tr, 4) AS trend,
+       round(lv + tr, 4) AS forecast
+FROM rec
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_sessionize_replay": stream_sessionize_replay,
@@ -1003,6 +1077,7 @@ QUERIES = {
     "ml_target_events": ml_target_events,
     "rsi_macd_events": rsi_macd_events,
     "resample_gapfill_events": resample_gapfill_events,
+    "forecast_holt_events": forecast_holt_events,
 }
 
 ORACLES = {
@@ -1023,4 +1098,5 @@ ORACLES = {
     "ml_target_events": _TARGET_SQL,
     "rsi_macd_events": _RSI_MACD_SQL,
     "resample_gapfill_events": _GAPFILL_SQL,
+    "forecast_holt_events": _HOLT_SQL,
 }

@@ -182,3 +182,38 @@ def test_rsi_macd_spreads_one_partition_sessions(spark):
         assert out.count() == 1000
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_holt_linear_matches_reference_loop(spark):
+    from etl_ml_pipeline_spark.operators.indicators import add_holt_linear
+
+    ys = {"a": [10.0, 12.0, 11.0, 15.0, 14.0], "b": [5.0]}
+    rows = [(k, i, y) for k, series in ys.items() for i, y in enumerate(series)]
+    df = spark.createDataFrame(rows, ["sid", "ord", "y"])
+    got = {
+        (r["sid"], r["ord"]): r
+        for r in add_holt_linear(df, "sid", "ord", "y", alpha=0.2, beta=0.1).collect()
+    }
+    for k, series in ys.items():
+        lv, tr = series[0], 0.0
+        assert got[(k, 0)]["level"] == lv and got[(k, 0)]["trend"] == 0.0
+        for i in range(1, len(series)):
+            lv_new = 0.2 * series[i] + (1.0 - 0.2) * (lv + tr)
+            tr = 0.1 * (lv_new - lv) + (1.0 - 0.1) * tr
+            lv = lv_new
+            r = got[(k, i)]
+            assert r["level"] == lv and r["trend"] == tr
+            assert r["forecast"] == lv + tr
+
+
+def test_holt_linear_groups_independent(spark):
+    from etl_ml_pipeline_spark.operators.indicators import add_holt_linear
+
+    # identical series under different keys produce identical state
+    rows = [(k, i, float(i * i % 7)) for k in ("x", "y", "z") for i in range(20)]
+    df = spark.createDataFrame(rows, ["sid", "ord", "y"])
+    out = add_holt_linear(df, "sid", "ord", "y").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["sid"], {})[r["ord"]] = (r["level"], r["trend"])
+    assert by_key["x"] == by_key["y"] == by_key["z"]
