@@ -95,12 +95,118 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# kmeans_lloyd_embeddings — distributed Lloyd k-means (k=8, 2 exact
+# integer iterations; see operators/kmeans.py for the scale shape:
+# broadcast-literal map-only assignment + one k*d-row update shuffle
+# per iteration). The DuckDB oracle UNROLLS the full schedule — seed,
+# assign, update, assign, update, final assign — on the same micro-unit
+# integer grid, so a green row proves every assignment and every
+# centroid update matched exactly across engines (the BPE-training
+# playbook applied to an iterative numeric algorithm).
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS = 8, 2
+
+
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_iterations,
+        quantize_micro,
+    )
+
+    emb = quantize_micro(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "e")
+    # each iteration re-scans the input: cache the quantized vectors
+    # (at 100 TB this persist is what makes Lloyd linear in iterations)
+    emb = emb.persist()
+    cents = lloyd_iterations(emb, _KM_K, _KM_ITERS)
+    per = assign_clusters(emb, cents).groupBy("cluster").agg(
+        F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
+    )
+    cdf = spark.createDataFrame(
+        [(i, *cents[i][:4]) for i in sorted(cents)],
+        "cluster int, c0 long, c1 long, c2 long, c3 long",
+    )
+    return (
+        per.join(F.broadcast(cdf), "cluster")
+        .select("cluster", "n_members", "inertia", "c0", "c1", "c2", "c3")
+        .orderBy("cluster")
+    )
+
+
+def _km_dist(vec: str, ctr: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec}, {ctr}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _km_round(prev: str, idx: int) -> str:
+    """One unrolled Lloyd round: assign against `prev`, update -> c{idx}."""
+    return f"""
+a{idx} AS (
+  SELECT v.vec_id, v.e,
+         (SELECT i.cluster FROM {prev} i
+          ORDER BY {_km_dist('v.e', 'i.c')}, i.cluster LIMIT 1) AS cluster
+  FROM emb v
+),
+u{idx} AS (
+  SELECT cluster, dim, sum(val) AS s, count(*) AS n
+  FROM (SELECT cluster, unnest(e) AS val,
+               unnest(list_transform(e, (x, i) -> i)) AS dim
+        FROM a{idx})
+  GROUP BY cluster, dim
+),
+c{idx} AS (
+  SELECT p.cluster, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster,
+           list(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS c
+    FROM u{idx} GROUP BY cluster
+  ) u ON p.cluster = u.cluster
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         e AS c
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_KM_K})
+),{_km_round('init', 1)},{_km_round('c1', 2)},
+af AS (
+  SELECT v.vec_id,
+         (SELECT i.cluster FROM c2 i
+          ORDER BY {_km_dist('v.e', 'i.c')}, i.cluster LIMIT 1) AS cluster,
+         (SELECT min({_km_dist('v.e', 'i.c')}) FROM c2 i) AS dist
+  FROM emb v
+)
+SELECT a.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.dist) AS BIGINT) AS inertia,
+       c.c[1] AS c0, c.c[2] AS c1, c.c[3] AS c2, c.c[4] AS c3
+FROM af a JOIN c2 c ON a.cluster = c.cluster
+GROUP BY a.cluster, c.c[1], c.c[2], c.c[3], c.c[4]
+ORDER BY a.cluster
+"""
+
+
 QUERIES = {
     "ml_fold_assignment": ml_fold_assignment,
     "ml_feature_stats": ml_feature_stats,
+    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
 }
 
 ORACLES = {
     "ml_fold_assignment": _FOLD_SQL,
     "ml_feature_stats": _STATS_SQL,
+    "kmeans_lloyd_embeddings": _KMEANS_SQL,
 }
