@@ -67,10 +67,214 @@ ORDER BY p_size
 """
 
 
+# ---------------------------------------------------------------------------
+# layout_zorder_prune_stats — quantifies what Z-ordering buys at the
+# file level: the same orders rows are split into 16 equal "files"
+# under (a) a linear (custkey, day) sort and (b) the Morton key from
+# operators/layout.with_zorder_key, each file keeps min/max stats per
+# dimension (exactly what parquet row-group footers store), and four
+# probe boxes count how many files each layout must read. The expected
+# picture: linear wins narrowly on its PRIMARY column band, reads
+# EVERYTHING for a secondary-column band; z-order reads a fraction for
+# both — the multi-dimensional data-skipping argument for 100 TB scans.
+#
+# ntile() assigns files here (not the production write path —
+# zorder_layout uses repartitionByRange, plan-tested separately)
+# because the oracle needs a bit-identical file split in both engines;
+# it is the only global window in the query and runs over row-count
+# = |orders| once. Probe bounds are pure integer percent arithmetic on
+# the global min/max, and the z-key's normalize-and-interleave is the
+# SAME expression tree on both engines, so every file boundary and
+# overlap test matches exactly.
+# ---------------------------------------------------------------------------
+
+_ZB = 16  # z-key bits per column (with_zorder_key default)
+_NFILES = 16
+
+
+def layout_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_ml_pipeline_spark.operators.layout import with_zorder_key
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("dy"),
+    )
+    z = with_zorder_key(o, ["ck", "dy"], out_col="z", bits=_ZB)
+    lin = z.withColumn(
+        "file_id", F.ntile(_NFILES).over(W.orderBy("ck", "dy", "o_orderkey"))
+    ).withColumn("layout", F.lit("linear"))
+    zo = z.withColumn(
+        "file_id", F.ntile(_NFILES).over(W.orderBy("z", "o_orderkey"))
+    ).withColumn("layout", F.lit("zorder"))
+    files = (
+        lin.unionByName(zo)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dy").alias("min_dy"),
+            F.max("dy").alias("max_dy"),
+            F.count("*").alias("n"),
+        )
+    )
+    stats = o.agg(
+        F.min("ck").alias("ckmin"),
+        F.max("ck").alias("ckmax"),
+        F.min("dy").alias("dymin"),
+        F.max("dy").alias("dymax"),
+    )
+
+    def pct(vmin: str, vmax: str, p: int):
+        return F.expr(f"{vmin} + ({vmax} - {vmin}) * {p} div 100")
+
+    def box(name: str, ck_lo, ck_hi, dy_lo, dy_hi):
+        return F.struct(
+            F.lit(name).alias("probe"),
+            ck_lo.alias("lo_ck"),
+            ck_hi.alias("hi_ck"),
+            dy_lo.alias("lo_dy"),
+            dy_hi.alias("hi_dy"),
+        )
+
+    probes = stats.select(
+        F.explode(
+            F.array(
+                box(
+                    "ck_band",
+                    pct("ckmin", "ckmax", 30), pct("ckmin", "ckmax", 42),
+                    F.col("dymin"), F.col("dymax"),
+                ),
+                box(
+                    "dy_band",
+                    F.col("ckmin"), F.col("ckmax"),
+                    pct("dymin", "dymax", 30), pct("dymin", "dymax", 42),
+                ),
+                box(
+                    "box_small",
+                    pct("ckmin", "ckmax", 50), pct("ckmin", "ckmax", 62),
+                    pct("dymin", "dymax", 50), pct("dymin", "dymax", 62),
+                ),
+                box(
+                    "box_wide",
+                    pct("ckmin", "ckmax", 20), pct("ckmin", "ckmax", 60),
+                    pct("dymin", "dymax", 20), pct("dymin", "dymax", 60),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        files.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("max_ck") >= F.col("lo_ck"))
+            & (F.col("min_ck") <= F.col("hi_ck"))
+            & (F.col("max_dy") >= F.col("lo_dy"))
+            & (F.col("min_dy") <= F.col("hi_dy"))
+        )
+        .groupBy("layout", "probe")
+        .agg(
+            F.count("*").alias("files_read"),
+            F.sum("n").alias("rows_read"),
+        )
+        .orderBy("layout", "probe")
+    )
+
+
+def _rank_sql(col: str, vmin: str, vmax: str, bits: int) -> str:
+    max_rank = (1 << bits) - 1
+    return (
+        f"CASE WHEN {vmax} > {vmin} THEN CAST(floor((CAST({col} AS DOUBLE) - "
+        f"{vmin}) / ({vmax} - {vmin}) * {max_rank}) AS BIGINT) ELSE 0 END"
+    )
+
+
+def _interleave_sql(rx: str, ry: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({rx} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ry} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS dy
+  FROM orders
+),
+st AS (
+  SELECT CAST(min(ck) AS DOUBLE) AS ckmin_d, CAST(max(ck) AS DOUBLE) AS ckmax_d,
+         CAST(min(dy) AS DOUBLE) AS dymin_d, CAST(max(dy) AS DOUBLE) AS dymax_d,
+         min(ck) AS ckmin, max(ck) AS ckmax,
+         min(dy) AS dymin, max(dy) AS dymax
+  FROM o
+),
+keyed AS (
+  SELECT o.*, {_interleave_sql(_rank_sql('ck', 'ckmin_d', 'ckmax_d', _ZB),
+                               _rank_sql('dy', 'dymin_d', 'dymax_d', _ZB),
+                               _ZB)} AS z
+  FROM o, st
+),
+assigned AS (
+  SELECT 'linear' AS layout,
+         ntile({_NFILES}) OVER (ORDER BY ck, dy, o_orderkey) AS file_id,
+         ck, dy
+  FROM keyed
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         ntile({_NFILES}) OVER (ORDER BY z, o_orderkey) AS file_id,
+         ck, dy
+  FROM keyed
+),
+files AS (
+  SELECT layout, file_id, min(ck) AS min_ck, max(ck) AS max_ck,
+         min(dy) AS min_dy, max(dy) AS max_dy, count(*) AS n
+  FROM assigned GROUP BY layout, file_id
+),
+probes AS (
+  SELECT 'ck_band' AS probe,
+         ckmin + (ckmax - ckmin) * 30 // 100 AS lo_ck,
+         ckmin + (ckmax - ckmin) * 42 // 100 AS hi_ck,
+         dymin AS lo_dy, dymax AS hi_dy FROM st
+  UNION ALL
+  SELECT 'dy_band', ckmin, ckmax,
+         dymin + (dymax - dymin) * 30 // 100,
+         dymin + (dymax - dymin) * 42 // 100 FROM st
+  UNION ALL
+  SELECT 'box_small',
+         ckmin + (ckmax - ckmin) * 50 // 100,
+         ckmin + (ckmax - ckmin) * 62 // 100,
+         dymin + (dymax - dymin) * 50 // 100,
+         dymin + (dymax - dymin) * 62 // 100 FROM st
+  UNION ALL
+  SELECT 'box_wide',
+         ckmin + (ckmax - ckmin) * 20 // 100,
+         ckmin + (ckmax - ckmin) * 60 // 100,
+         dymin + (dymax - dymin) * 20 // 100,
+         dymin + (dymax - dymin) * 60 // 100 FROM st
+)
+SELECT f.layout, p.probe,
+       CAST(count(*) AS BIGINT) AS files_read,
+       CAST(sum(f.n) AS BIGINT) AS rows_read
+FROM files f JOIN probes p
+  ON f.max_ck >= p.lo_ck AND f.min_ck <= p.hi_ck
+ AND f.max_dy >= p.lo_dy AND f.min_dy <= p.hi_dy
+GROUP BY f.layout, p.probe
+ORDER BY f.layout, p.probe
+"""
+
+
 QUERIES = {
     "bloom_prune_brand_revenue": bloom_prune_brand_revenue,
+    "layout_zorder_prune_stats": layout_zorder_prune_stats,
 }
 
 ORACLES = {
     "bloom_prune_brand_revenue": _BLOOM_BRAND_SQL,
+    "layout_zorder_prune_stats": _ZORDER_SQL,
 }
