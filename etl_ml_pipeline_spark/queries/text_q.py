@@ -1118,8 +1118,193 @@ seq{r} AS (
     return "".join(parts) + "\n" + selects + "\nORDER BY round"
 
 
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — hybrid retrieval with reciprocal-rank fusion, the
+# standard RAG/corpus-search composition: a lexical ranking (BM25 over
+# each query doc's top-3 salient terms — "more-like-this") and a dense
+# ranking (exact cosine over the aligned embedding) are fused per
+# candidate as 1/(60+lex_rank) + 1/(60+vec_rank) and the top-10 emitted.
+#
+# Cross-engine exactness: BM25 contributions floor-truncate to INTEGER
+# ten-thousandths before the per-query sum (order-free integer adds, no
+# float reduction ambiguity), both rankings break ties on candidate id,
+# and RRF is computed from integer ranks with the identical expression
+# tree — so the fused ordering is bit-deterministic.
+#
+# Scale: the lexical leg is the text_bm25_top_terms plan (corpus-sized
+# shuffles, vocab re-aggregation, broadcast scalars) plus a term
+# equi-join against the tiny query-term set; the dense leg broadcasts
+# the query block (brute_force_topk) — swap in the IVF/LSH variants for
+# billion-vector corpora, the fusion stage is unchanged.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HY_QUERIES, _HY_CORPUS, _HY_TERMS, _HY_TOPK = 5, 200, 3, 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_ml_pipeline_spark.operators.similarity import brute_force_topk
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _HY_CORPUS)
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(maybe_broadcast(df_, sf_dir, "documents"), "term")
+        .join(maybe_broadcast(dl, sf_dir, "documents"), "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(idf * F.col("tf") * (_BM25_K1 + 1) / denom * 10000)
+            .cast("long")
+            .alias("s_i"),
+        )
+    )
+    wq = Window.partitionBy("doc_id").orderBy(F.desc("s_i"), "term")
+    qterms = (
+        scored.filter(F.col("doc_id") < _HY_QUERIES)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _HY_TERMS)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    lex_hits = (
+        F.broadcast(qterms)
+        .join(scored.select(F.col("doc_id").alias("c_id"), "term", "s_i"), "term")
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("s_i").alias("lex_i"))
+    )
+    full = (
+        docs.select(F.col("doc_id").alias("c_id"))
+        .crossJoin(F.broadcast(spark.range(_HY_QUERIES).select(F.col("id").alias("q_id"))))
+        .join(lex_hits, ["q_id", "c_id"], "left")
+        .fillna({"lex_i": 0})
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("lex_i"), "c_id")
+    lex_rank = full.select(
+        "q_id", "c_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    emb = t(spark, sf_dir, "embeddings", heavy=True).filter(
+        F.col("vec_id") < _HY_CORPUS
+    )
+    vec_rank = brute_force_topk(
+        emb.filter(F.col("vec_id") < _HY_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        k=_HY_CORPUS,
+    ).select("q_id", "c_id", F.col("rank").alias("vec_rank"))
+    fused = (
+        lex_rank.join(vec_rank, ["q_id", "c_id"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), "c_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _HY_TOPK)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            "lex_rank",
+            "vec_rank",
+            (F.floor(F.col("rrf") * 1000000) / 1000000).alias("rrf"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+_HYBRID_SQL = f"""
+WITH tfr AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+  FROM documents WHERE doc_id < {_HY_CORPUS}
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfr GROUP BY 1, 2),
+dl  AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl),
+scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+               * 10000) AS BIGINT) AS s_i
+  FROM tfc t JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars
+),
+qterms AS (
+  SELECT doc_id AS q_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s_i DESC, term) AS rk
+    FROM scored WHERE doc_id < {_HY_QUERIES}
+  ) WHERE rk <= {_HY_TERMS}
+),
+lex_hits AS (
+  SELECT q.q_id, s.doc_id AS c_id, CAST(sum(s.s_i) AS BIGINT) AS lex_i
+  FROM qterms q JOIN scored s USING (term)
+  GROUP BY 1, 2
+),
+lex_full AS (
+  SELECT q.q_id, i.c_id, coalesce(h.lex_i, 0) AS lex_i
+  FROM (SELECT doc_id AS c_id FROM documents WHERE doc_id < {_HY_CORPUS}) i
+  CROSS JOIN (SELECT unnest(range({_HY_QUERIES})) AS q_id) q
+  LEFT JOIN lex_hits h ON h.q_id = q.q_id AND h.c_id = i.c_id
+),
+lex_rank AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY lex_i DESC, c_id) AS lex_rank
+  FROM lex_full
+),
+vq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < {_HY_QUERIES}),
+vc AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+       FROM embeddings WHERE vec_id < {_HY_CORPUS}),
+vec_rank AS (
+  SELECT q_id, c_id,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, cv) DESC, c_id) AS vec_rank
+  FROM vq CROSS JOIN vc
+),
+fused AS (
+  SELECT l.q_id, l.c_id, l.lex_rank, v.vec_rank,
+         1.0 / ({_RRF_K} + l.lex_rank) + 1.0 / ({_RRF_K} + v.vec_rank) AS rrf
+  FROM lex_rank l JOIN vec_rank v ON l.q_id = v.q_id AND l.c_id = v.c_id
+  WHERE l.c_id != l.q_id
+)
+SELECT q_id, rank, c_id, lex_rank, vec_rank,
+       floor(rrf * 1000000) / 1000000 AS rrf
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id)
+             AS rank
+      FROM fused)
+WHERE rank <= {_HY_TOPK}
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_novelty_trigram": text_novelty_trigram,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
@@ -1141,6 +1326,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_novelty_trigram": _TRIGRAM_NOVELTY_SQL,
