@@ -41,11 +41,13 @@ _MODULES = (
 # query (static snapshot of CORRECTNESS_r01..r04; every latest record is
 # green as of r04). The driver records only a ~50-entry wall-clock
 # prefix of ``queries()`` in emission order, so emission is triage:
-# LEAST-recently-recorded first. Never-recorded queries (new this round
-# — absent from this map) sort as round 0, i.e. first of all; then the
-# r01 rows, r02, r03, and finally the freshly-verified r04 group. This
-# rotates stale driver records forward: entries last recorded before a
-# shared-code change get a fresh row on current code.
+# LEAST-recently-recorded first. Round 5 added ~47 never-recorded
+# queries — more than the prefix minus the r01/r02 backlog — so the
+# triage slots them at priority 2.5: the STALEST driver rows (r01+r02,
+# 23 queries, last recorded before the round-4 tie-semantics and loader
+# changes) re-verify first, the round-5 additions fill the remaining
+# prefix, and whatever overflows rotates into the next round's prefix
+# (the ordering is self-correcting as this map is refreshed per round).
 _LAST_RECORDED = {
     # --- round 1 ---
     "sma_events": 1, "validate_drop_customers": 1, "validate_flag_summary": 1,
@@ -110,8 +112,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
     # Least-recently-recorded first (stable within each round group) so a
-    # prefix-truncated correctness run refreshes the stalest entries.
-    names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 0))
+    # prefix-truncated correctness run refreshes the stalest entries;
+    # never-recorded queries slot after the r01/r02 backlog (see above).
+    names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 2.5))
     return {k: out[k] for k in names}
 
 

@@ -136,14 +136,19 @@ def test_query_catalog_counts():
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
     in emission order, so emission is triaged least-recently-recorded
-    first: never-recorded queries (round 0) lead, then the r01 rows, r02,
-    r03, and finally the freshly-verified r04 group."""
+    first: the stale r01/r02 driver rows lead, the ~47 never-recorded
+    round-5 queries slot next (priority 2.5), then r03 and the
+    freshly-verified r04 group."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
-    rounds = [_LAST_RECORDED.get(k, 0) for k in keys]
+    rounds = [_LAST_RECORDED.get(k, 2.5) for k in keys]
     assert rounds == sorted(rounds)
-    # the stalest driver rows lead the prefix
+    # the stalest driver rows lead the prefix...
+    assert _LAST_RECORDED.get(keys[0]) == 1
+    # ...and the whole r01+r02 backlog plus a round-5 block fits in the
+    # driver's 50-entry prefix
+    assert sum(1 for r in rounds[:50] if r <= 2.5) == 50
     assert _LAST_RECORDED.get(keys[-1]) == 4
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
