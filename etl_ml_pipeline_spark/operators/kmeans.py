@@ -117,3 +117,24 @@ def lloyd_iterations(
             for i in sorted(cents)
         }
     return cents
+
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform  # noqa: E402
+from etl_ml_pipeline_spark.registry import register_transform  # noqa: E402
+
+
+@register_transform("kmeans_cluster")
+class KMeansCluster(BaseTransform):
+    """Pipeline form of Lloyd k-means: quantizes ``vec_col`` to the
+    micro-unit grid, learns k centroids over ``iters`` iterations, and
+    emits the input rows with ``cluster`` and ``dist`` appended (the
+    quantized helper column is dropped)."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        vec_col = self.config.get("vec_col", "embedding")
+        id_col = self.config.get("id_col", "vec_id")
+        k = int(self.config.get("k", 8))
+        iters = int(self.config.get("iters", 2))
+        q = quantize_micro(df, vec_col, out_col="__e").persist()
+        cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+        return assign_clusters(q, cents, e_col="__e").drop("__e")

@@ -17,9 +17,11 @@ from etl_ml_pipeline_spark.sources import files as _src_files  # noqa: F401
 from etl_ml_pipeline_spark.sources import rest_api as _src_rest  # noqa: F401
 
 # Transforms
+from etl_ml_pipeline_spark.operators import bloom as _t_bloom  # noqa: F401
 from etl_ml_pipeline_spark.operators import cleaning as _t_cleaning  # noqa: F401
 from etl_ml_pipeline_spark.operators import dedup as _t_dedup  # noqa: F401
 from etl_ml_pipeline_spark.operators import indicators as _t_ind  # noqa: F401
+from etl_ml_pipeline_spark.operators import kmeans as _t_kmeans  # noqa: F401
 from etl_ml_pipeline_spark.operators import multimodal as _t_mm  # noqa: F401
 from etl_ml_pipeline_spark.operators import pass_through as _t_pass  # noqa: F401
 from etl_ml_pipeline_spark.operators import relational as _t_rel  # noqa: F401

@@ -71,3 +71,21 @@ def test_assignment_is_map_only_plan(spark):
     plan = assign_clusters(df, {0: [0, 0], 1: [1, 1]})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_registry_transform_matches_operator(spark):
+    import etl_ml_pipeline_spark.plugins  # noqa: F401 — registers transforms
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    blob_a = [[0.0, 0.0]] * 4
+    blob_b = [[1.0, 1.0]] * 4
+    df = _vec_df(spark, blob_a + blob_b)
+    out = TRANSFORMS.get("kmeans_cluster")({"k": 2, "iters": 2}).transform(df)
+    assert set(out.columns) == {"vec_id", "embedding", "cluster", "dist"}
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, by_cluster.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    # centroids land on the blobs -> zero distance everywhere
+    assert all(r["dist"] == 0 for r in rows)
