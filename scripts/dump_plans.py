@@ -175,6 +175,27 @@ SHOWCASE = [
         "BEFORE the full window evaluates — hot sources emit cap "
         "rows, not their full volume.",
     ),
+    (
+        "kmeans_lloyd_embeddings",
+        "Lloyd k-means final pass: the argmin assignment is pure "
+        "codegen over broadcast-literal centroids (no exchange before "
+        "the per-cluster aggregate, no Python eval); the only shuffle "
+        "is the k-row stats aggregation.",
+    ),
+    (
+        "hybrid_search_rrf",
+        "Hybrid RRF: the lexical leg re-aggregates tf into vocab- and "
+        "doc-sized sides joined on term/doc_id, the tiny query-term and "
+        "query-vector blocks broadcast, and the fusion joins two "
+        "rank lists on (q_id, c_id) — no cartesian anywhere.",
+    ),
+    (
+        "forecast_holt_events",
+        "Reduce-first recursion: the events scan collapses to "
+        "|event_type x day| rows in one partial-aggregated exchange "
+        "before the mapInPandas recursion sees a single row of state "
+        "per day — the Python stage runs on the reduced series only.",
+    ),
 ]
 
 
