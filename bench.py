@@ -58,6 +58,10 @@ HEADLINE = [
     # the two new shuffle-volume stories, benched for per-round drift.
     "bloom_prune_brand_revenue",
     "dedup_segments_documents",
+    # round-5 fourth session: iterative clustering (driver-synced Lloyd
+    # rounds) and two-leg fused retrieval — the widest new plan shapes.
+    "kmeans_lloyd_embeddings",
+    "hybrid_search_rrf",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

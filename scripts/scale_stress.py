@@ -281,9 +281,60 @@ def sketch_stress():
     timed(f"hll_rolling_7d days=365 rows={n:,}", rolled)
 
 
+def kmeans_stress():
+    """Lloyd k-means at 1M synthetic 64-d vectors, k=64, 2 iterations —
+    the clustering-at-scale data point. Assignment is map-only codegen
+    over 64 broadcast-literal centroids; each update shuffles to k*d =
+    4096 rows."""
+    import time as _t
+
+    from etl_ml_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_iterations,
+        quantize_micro,
+    )
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    n, k = 1_000_000, 64
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.xxhash64(F.col("id") * 64 + j) % 1000).cast("float") / 500.0
+        - 1.0,
+    )
+    emb = quantize_micro(
+        spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    ).select("vec_id", "e").persist()
+    emb.count()  # materialize the cache outside the timed region
+    t0 = _t.perf_counter()
+    cents = lloyd_iterations(emb, k=k, iters=2)
+    dt_train = _t.perf_counter() - t0
+    timed(f"kmeans assign n={n:,} k={k}", assign_clusters(emb, cents))
+    print(f"{'kmeans 2 Lloyd iterations':45s} {dt_train:7.1f}s", flush=True)
+
+
+def holt_stress():
+    """Holt smoothing over 100k series x 200 points (20M rows): the
+    per-series Python recursion after the repartition — measures the
+    mapInPandas path when the caller did NOT pre-reduce."""
+    from etl_ml_pipeline_spark.operators.indicators import add_holt_linear
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    n_series, n_pts = 100_000, 200
+    df = spark.range(n_series * n_pts).select(
+        (F.col("id") % n_series).alias("sid"),
+        (F.col("id") / n_series).cast("long").alias("ord"),
+        ((F.xxhash64("id") % 1000) / 100.0).alias("y"),
+    )
+    timed(f"holt n={n_series:,}x{n_pts}", add_holt_linear(df, "sid", "ord", "y"))
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_stress()
+    elif "--kmeans" in sys.argv:
+        kmeans_stress()
+    elif "--holt" in sys.argv:
+        holt_stress()
     elif "--new-ops" in sys.argv:
         new_ops_stress()
     elif "--streaming" in sys.argv:
