@@ -199,14 +199,100 @@ ORDER BY a.cluster
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_group_ols_trend — a model fit per group WITHOUT per-group Python:
+# closed-form OLS (daily revenue ~ day) from algebraic moments
+# (n, Σx, Σy, Σxx, Σxy) in ONE map-side-combined aggregation. This is
+# the 100 TB shape for "fit millions of per-entity models": the naive
+# applyInPandas-with-sklearn kernel ships every row to Python and holds
+# a group per call; the moment formulation is a plain JVM aggregate —
+# same shuffle as any groupBy, state is 5 numbers per group.
+#
+# Exactness: x = epoch day, y = daily revenue in cents — every moment
+# is an exact int64 (magnitudes documented in-line), so slope =
+# (nΣxy - ΣxΣy) / (nΣxx - ΣxΣx) divides identical integers on both
+# engines and the doubles agree bit-for-bit before round().
+# ---------------------------------------------------------------------------
+
+
+def ml_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+        .select(
+            "event_type",
+            # epoch-day x stays ~2e4; y is daily cents (~1e8 at sf1):
+            # Σxy <= 365 * 2e4 * 1e8 = 7e14, Σxx <= 365 * 4e8 = 1.5e11 —
+            # every moment far inside int64
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(intercept, 2).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+_OLS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS x, y
+  FROM daily
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 2) AS intercept_cents
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ml_fold_assignment": ml_fold_assignment,
     "ml_feature_stats": ml_feature_stats,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
+    "ml_group_ols_trend": ml_group_ols_trend,
 }
 
 ORACLES = {
     "ml_fold_assignment": _FOLD_SQL,
     "ml_feature_stats": _STATS_SQL,
     "kmeans_lloyd_embeddings": _KMEANS_SQL,
+    "ml_group_ols_trend": _OLS_SQL,
 }
