@@ -54,6 +54,9 @@ QUERIES = [
     "text_bpe_train_merges",
     "feature_winsorize_events",
     "sample_source_cap_documents",
+    # round-5 fourth session
+    "kmeans_lloyd_embeddings",
+    "ml_group_ols_trend",
 ]
 
 
@@ -75,7 +78,14 @@ def main() -> None:
     from etl_ml_pipeline_spark.queries import all_queries
 
     qs = all_queries()
-    spark = get_spark(app_name="scale_ladder")
+    # Pin the resources the report claims: get_spark's default master is
+    # local[$SPARK_GRAFT_CPUS] with a 4-core fallback, which silently
+    # quartered earlier ladder runs when the env var was unset (q1@sf10
+    # read 22.6s on 4 cores vs ~2s on 32 — an artifact, not a plan
+    # property).
+    spark = get_spark(
+        app_name="scale_ladder", master="local[32]", shuffle_partitions=64
+    )
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     for rung, sf_dir in RUNGS:

@@ -34,3 +34,27 @@ def test_nearest_rank_percentiles_multi_group(spark):
     }
     assert got["a"]["p01"] == 1 and got["a"]["p99"] == 99
     assert got["b"]["p01"] == 5 and got["b"]["p99"] == 5
+
+
+def test_group_ols_recovers_exact_line(spark, sf_dir):
+    """ml_group_ols_trend's moment formulation: a synthetic exact line
+    y = 3x + 7 recovers slope/intercept with zero residual."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 31).select(
+        F.lit("g").alias("k"),
+        F.col("id").alias("x"),
+        (F.col("id") * 3 + 7).alias("y"),
+    )
+    m = df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    slope = num / den
+    intercept = (m["sy"] - slope * m["sx"]) / m["n"]
+    assert slope == 3.0 and intercept == 7.0
