@@ -57,13 +57,27 @@ def _sq_dist(e_col: Column, centroid: list[int]) -> Column:
     )
 
 
+# Above this many distance terms (k * d) the higher-order-function
+# expression path — which Spark evaluates INTERPRETED per array element,
+# not in whole-stage codegen — loses to one Arrow-batched int64 matmul:
+# measured at 1M x 64-d vectors, k=64 (4096 terms/row), the expression
+# assignment takes ~29s on local[32] vs ~1s for the numpy kernel. Both
+# paths are exact int64 with identical first-match tie-breaks, so
+# routing never changes results.
+_EXPR_PATH_MAX_TERMS = 1024
+
+
 def assign_clusters(
     df: DataFrame, cents: dict[int, list[int]], e_col: str = "e"
 ) -> DataFrame:
     """Append ``cluster`` (argmin squared distance, ties to the smallest
-    cluster id) and ``dist`` (the winning squared distance). Map-only:
-    centroids are expression literals, the whole argmin is codegen."""
+    cluster id) and ``dist`` (the winning squared distance). Map-only
+    either way: small k*d stays a pure JVM expression; large k*d routes
+    to an Arrow-batched exact-int64 matmul kernel (see
+    ``_EXPR_PATH_MAX_TERMS``)."""
     ids = sorted(cents)
+    if ids and len(ids) * len(cents[ids[0]]) > _EXPR_PATH_MAX_TERMS:
+        return _assign_clusters_np(df, cents, e_col)
     with_d = df.select(
         "*", *[_sq_dist(F.col(e_col), cents[i]).alias(f"__d{i}") for i in ids]
     )
@@ -76,6 +90,47 @@ def assign_clusters(
     return with_d.select(
         *df.columns, expr.alias("cluster"), md.alias("dist")
     )
+
+
+def _assign_clusters_np(
+    df: DataFrame, cents: dict[int, list[int]], e_col: str = "e"
+) -> DataFrame:
+    """Arrow-batched assignment: ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2
+    with every term an exact int64 numpy product (magnitudes ~1e13 per
+    dot, far under 2^63), argmin first-occurrence = smallest cluster id
+    — bit-identical to the expression path, ~30x faster at k*d ~ 4k."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    from pyspark.sql import types as T
+
+    ids = sorted(cents)
+    C = np.asarray([cents[i] for i in ids], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    # StructType.add MUTATES in place — never chain it off df.schema
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[e_col].tolist(), dtype=np.int64)
+            vn = (V * V).sum(axis=1)
+            d2 = vn[:, None] - 2 * (V @ C.T) + cn[None, :]
+            idx = d2.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster"] = id_arr[idx].astype("int32")
+            out["dist"] = d2[np.arange(len(idx)), idx]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def lloyd_iterations(

@@ -308,7 +308,12 @@ def kmeans_stress():
     t0 = _t.perf_counter()
     cents = lloyd_iterations(emb, k=k, iters=2)
     dt_train = _t.perf_counter() - t0
-    timed(f"kmeans assign n={n:,} k={k}", assign_clusters(emb, cents))
+    # force FULL evaluation: a count() would let Catalyst prune the
+    # assignment projection entirely (the scale-ladder gotcha)
+    t0 = _t.perf_counter()
+    assign_clusters(emb, cents).select(F.sum(F.col("dist") / 1e6)).collect()
+    print(f"{f'kmeans assign n={n:,} k={k}':45s} "
+          f"{_t.perf_counter() - t0:7.1f}s", flush=True)
     print(f"{'kmeans 2 Lloyd iterations':45s} {dt_train:7.1f}s", flush=True)
 
 

@@ -89,3 +89,31 @@ def test_kmeans_registry_transform_matches_operator(spark):
     assert sorted(map(sorted, by_cluster.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
     # centroids land on the blobs -> zero distance everywhere
     assert all(r["dist"] == 0 for r in rows)
+
+
+def test_np_kernel_matches_expression_path(spark):
+    """The large-k*d Arrow kernel must be bit-identical to the JVM
+    expression path (exact int64 math, same smallest-id tie-break)."""
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators import kmeans as km
+
+    rng = [[(i * 37 + j * 11) % 100 / 50.0 - 1.0 for j in range(8)] for i in range(64)]
+    df = km.quantize_micro(_vec_df(spark, rng)).select("vec_id", "e")
+    cents = {i: [int(v) for v in r["e"]] for i, r in enumerate(df.orderBy("vec_id").limit(5).collect())}
+    np_rows = {r["vec_id"]: (r["cluster"], r["dist"])
+               for r in km._assign_clusters_np(df, cents).collect()}
+    old = km._EXPR_PATH_MAX_TERMS
+    try:
+        km._EXPR_PATH_MAX_TERMS = 10**9
+        expr_rows = {r["vec_id"]: (r["cluster"], r["dist"])
+                     for r in km.assign_clusters(df, cents).collect()}
+    finally:
+        km._EXPR_PATH_MAX_TERMS = old
+    assert np_rows == expr_rows
+    # schema parity too: routing must not change column types
+    a = km._assign_clusters_np(df, cents)
+    b = km.assign_clusters(df, cents)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
