@@ -724,9 +724,204 @@ ORDER BY f.c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# drift_psi_events — Population Stability Index between the first and
+# second half of the events stream, per event type: THE production
+# drift monitor for feature pipelines (PSI > 0.2 = retrain signal).
+#
+# Everything that feeds the ln() is exact integer arithmetic: values
+# bucket into 10 equal-width integer-cent bins sized off the reference
+# window's min/max (floor division, clamped), counts are Laplace-
+# smoothed (+1), and each term (q_i - p_i) * ln(q_i / p_i) floor-
+# truncates to integer 1e-8 units BEFORE the sum — so the cross-engine
+# total is an order-free integer sum and the only float op is one ln()
+# per bin on identical rationals.
+#
+# Scale: two bounded aggregations (|type x bin| and |type|), broadcast
+# joins of 1-row-per-type stats — the events scan is the only big input.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    split = ev.agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    ).select(
+        F.timestamp_seconds(
+            (F.unix_timestamp("t0") + F.unix_timestamp("t1")) / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(split)).select(
+        "event_type",
+        "c",
+        F.when(F.col("ts") < F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("win"),
+    )
+    edges = (
+        tagged.filter(F.col("win") == "ref")
+        .groupBy("event_type")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    )
+    counts = (
+        tagged.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "win",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(_PSI_BINS - 1),
+                    F.expr(f"(c - lo) * {_PSI_BINS} div (hi - lo + 1)"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum((F.col("win") == "ref").cast("long")).alias("nr"),
+            F.sum((F.col("win") == "cur").cast("long")).alias("nc"),
+        )
+    )
+    # full bin spine: bins empty in BOTH windows still carry their
+    # smoothed term, so PSI matches the textbook 10-bin definition
+    spine = edges.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+    )
+    binned = (
+        spine.join(counts, ["event_type", "bin"], "left")
+        .fillna({"nr": 0, "nc": 0})
+    )
+    tot = binned.groupBy("event_type").agg(
+        (F.sum("nr") + _PSI_BINS).alias("tr"),
+        (F.sum("nc") + _PSI_BINS).alias("tc"),
+    )
+    # p = (nr+1)/tr, q = (nc+1)/tc; term = (q - p) * ln(q / p), floored
+    # to integer 1e-8 units so the per-type sum is order-free
+    p = (F.col("nr") + 1) / F.col("tr")
+    q = (F.col("nc") + 1) / F.col("tc")
+    term_i = F.floor((q - p) * F.log(q / p) * 100000000).cast("long")
+    return (
+        binned.join(F.broadcast(tot), "event_type")
+        .select("event_type", term_i.alias("t_i"))
+        .groupBy("event_type")
+        .agg((F.sum("t_i") / 100000000.0).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, ts, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+split AS (
+  SELECT to_timestamp((epoch(min(ts)) + epoch(max(ts))) / 2) AS mid FROM ev
+),
+tagged AS (
+  SELECT event_type, c,
+         CASE WHEN ts < mid THEN 'ref' ELSE 'cur' END AS win
+  FROM ev CROSS JOIN split
+),
+edges AS (
+  SELECT event_type, min(c) AS lo, max(c) AS hi
+  FROM tagged WHERE win = 'ref' GROUP BY 1
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS nc
+  FROM (
+    SELECT t.event_type, t.win,
+           greatest(0, least({_PSI_BINS - 1},
+             (t.c - e.lo) * {_PSI_BINS} // (e.hi - e.lo + 1))) AS bin
+    FROM tagged t JOIN edges e USING (event_type)
+  )
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT s.event_type, s.bin,
+         coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+  FROM (SELECT event_type, unnest(range({_PSI_BINS})) AS bin FROM edges) s
+  LEFT JOIN counts c ON s.event_type = c.event_type AND s.bin = c.bin
+),
+tot AS (
+  SELECT event_type, sum(nr) + {_PSI_BINS} AS tr, sum(nc) + {_PSI_BINS} AS tc
+  FROM binned GROUP BY 1
+)
+SELECT b.event_type,
+       sum(CAST(floor((CAST(nc + 1 AS DOUBLE) / tc - CAST(nr + 1 AS DOUBLE) / tr)
+                 * ln((CAST(nc + 1 AS DOUBLE) / tc) / (CAST(nr + 1 AS DOUBLE) / tr))
+                 * 100000000) AS BIGINT)) / 100000000.0 AS psi
+FROM binned b JOIN tot USING (event_type)
+GROUP BY b.event_type
+ORDER BY b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions_events — first-order behavior model: the
+# event-type transition matrix over each user's time-ordered stream
+# (lead() within user, pair counts, row-normalized probabilities).
+# Probabilities floor-truncate via pure integer arithmetic
+# (cnt * 1e6 div total) so no cross-engine round-tie is possible.
+# Scale: one window shuffle on user_id (sessions stay partitioned),
+# then a |types|^2-bounded count aggregation.
+# ---------------------------------------------------------------------------
+
+
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("cnt").alias("total"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            (F.expr("cnt * 1000000 div total") / 1000000.0).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+cnts AS (
+  SELECT src, dst, count(*) AS cnt
+  FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total FROM cnts GROUP BY 1)
+SELECT src, dst, cnt,
+       (cnt * 1000000 // total) / 1000000.0 AS prob
+FROM cnts JOIN tot USING (src)
+ORDER BY src, dst
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "drift_psi_events": drift_psi_events,
+    "markov_transitions_events": markov_transitions_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -739,6 +934,8 @@ QUERIES = {
 ORACLES = {
     "feature_winsorize_events": _WINSORIZE_SQL,
     "privacy_k_anonymity": _K_ANON_SQL,
+    "drift_psi_events": _PSI_SQL,
+    "markov_transitions_events": _MARKOV_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,

@@ -1059,6 +1059,111 @@ ORDER BY event_type, day
 """
 
 
+# ---------------------------------------------------------------------------
+# changepoint_cusum_events — one-sided CUSUM change-point detection on
+# each event type's daily revenue: baseline mean over the first 10
+# days, then s_t = max(0, s_{t-1} + (y_t*10 - mu_num - mu_num div 20))
+# — the classic upward-shift detector with 5% slack, monitored from day
+# 11. EVERY quantity is an exact integer (cents scaled by the baseline
+# denominator), so the recursion has no float anywhere and the DuckDB
+# RECURSIVE CTE replays it exactly. Alarm fires when the accumulated
+# excess tops 3x the scaled baseline mean.
+#
+# Scale shape: reduce-first like forecast_holt_events — one map-side-
+# combined daily aggregation, then the bounded per-type series runs the
+# sequential recursion in a partition-batched kernel.
+# ---------------------------------------------------------------------------
+
+_CUSUM_BASE, _CUSUM_SLACK_DIV, _CUSUM_ALARM_X = 10, 20, 3
+
+
+def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    )
+    schema = "event_type string, day string, y long, s long, alarm boolean"
+
+    def kernel(batches):
+        parts = [p for p in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(["event_type", "day"]).reset_index(drop=True)
+        rows = []
+        for _, g in pdf.groupby("event_type", sort=False):
+            ys = [int(v) for v in g["y"]]
+            if len(ys) <= _CUSUM_BASE:
+                continue
+            mu_num = sum(ys[:_CUSUM_BASE])
+            slack = mu_num // _CUSUM_SLACK_DIV
+            s = 0
+            for day, y in zip(
+                g["day"].iloc[_CUSUM_BASE:], ys[_CUSUM_BASE:]
+            ):
+                s = max(0, s + y * _CUSUM_BASE - mu_num - slack)
+                rows.append(
+                    {
+                        "event_type": g["event_type"].iloc[0],
+                        "day": str(day),
+                        "y": y,
+                        "s": s,
+                        "alarm": s > _CUSUM_ALARM_X * mu_num,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["event_type", "day", "y", "s", "alarm"]
+        )
+
+    sess = spark
+    n_parts = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
+    out = daily.repartition(n_parts, "event_type").mapInPandas(kernel, schema)
+    return out.orderBy("event_type", "day")
+
+
+_CUSUM_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+mu AS (
+  SELECT event_type, CAST(sum(y) AS BIGINT) AS mu_num
+  FROM ordered WHERE rn <= {_CUSUM_BASE}
+  GROUP BY 1 HAVING count(*) = {_CUSUM_BASE}
+),
+rec AS (
+  SELECT m.event_type, {_CUSUM_BASE} AS rn, CAST(0 AS BIGINT) AS s,
+         CAST(NULL AS BIGINT) AS y, CAST(NULL AS DATE) AS day
+  FROM mu m
+  UNION ALL
+  SELECT o.event_type, o.rn,
+         greatest(0, r.s + o.y * {_CUSUM_BASE} - m.mu_num
+                     - m.mu_num // {_CUSUM_SLACK_DIV}),
+         o.y, o.day
+  FROM rec r
+  JOIN ordered o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+  JOIN mu m ON m.event_type = r.event_type
+)
+SELECT r.event_type, CAST(r.day AS VARCHAR) AS day, r.y, r.s,
+       r.s > {_CUSUM_ALARM_X} * m.mu_num AS alarm
+FROM rec r JOIN mu m USING (event_type)
+WHERE r.rn > {_CUSUM_BASE}
+ORDER BY r.event_type, r.day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_sessionize_replay": stream_sessionize_replay,
@@ -1078,6 +1183,7 @@ QUERIES = {
     "rsi_macd_events": rsi_macd_events,
     "resample_gapfill_events": resample_gapfill_events,
     "forecast_holt_events": forecast_holt_events,
+    "changepoint_cusum_events": changepoint_cusum_events,
 }
 
 ORACLES = {
@@ -1099,4 +1205,5 @@ ORACLES = {
     "rsi_macd_events": _RSI_MACD_SQL,
     "resample_gapfill_events": _GAPFILL_SQL,
     "forecast_holt_events": _HOLT_SQL,
+    "changepoint_cusum_events": _CUSUM_SQL,
 }
