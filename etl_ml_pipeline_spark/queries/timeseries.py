@@ -1164,6 +1164,29 @@ ORDER BY r.event_type, r.day
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_cusum_replay — the CUSUM change-point monitor as a STREAMING
+# stateful operator (streaming/windows.stateful_cusum): state per key
+# is the day -> cents map (bounded by |days|, never |events|), each
+# trigger folds the batch in and re-emits the monitor table in update
+# mode. The recursion is the same exact-integer math as the batch
+# query, so the bounded replay (one file -> one micro-batch) is
+# hash-checked against the SAME RECURSIVE-CTE oracle — batch/stream
+# parity for a production drift monitor.
+# ---------------------------------------------------------------------------
+
+
+def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import stateful_cusum
+
+    monitor = stateful_cusum(_events_stream(spark, sf_dir))
+    return (
+        _replay(monitor, "update")
+        .select("event_type", "day", "y", "s", "alarm")
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_sessionize_replay": stream_sessionize_replay,
@@ -1184,6 +1207,7 @@ QUERIES = {
     "resample_gapfill_events": resample_gapfill_events,
     "forecast_holt_events": forecast_holt_events,
     "changepoint_cusum_events": changepoint_cusum_events,
+    "stream_cusum_replay": stream_cusum_replay,
 }
 
 ORACLES = {
@@ -1206,4 +1230,5 @@ ORACLES = {
     "resample_gapfill_events": _GAPFILL_SQL,
     "forecast_holt_events": _HOLT_SQL,
     "changepoint_cusum_events": _CUSUM_SQL,
+    "stream_cusum_replay": _CUSUM_SQL,
 }

@@ -166,6 +166,69 @@ def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def stateful_cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_days: int = 10,
+    slack_div: int = 20,
+    alarm_x: int = 3,
+) -> DataFrame:
+    """Streaming one-sided CUSUM change-point monitor per key.
+
+    State is the per-key day -> cents map (bounded by |days|, never
+    |events|); each trigger folds the batch's rows into it and re-runs
+    the integer recursion s_t = max(0, s_{t-1} + y_t*base - mu_num -
+    mu_num // slack_div) over the (calendar-bounded) day series,
+    emitting the monitor table in 'update' mode. All arithmetic is
+    exact integers — identical to the batch changepoint_cusum_events
+    math, so a bounded replay reproduces the batch result row-for-row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        days: dict[str, int] = (
+            dict(zip(*state.get)) if state.exists else {}
+        )
+        for pdf in pdfs:
+            cents = (pdf[value_col].astype("float64") * 100).round().astype("int64")
+            for day, c in zip(
+                pdf[ts_col].dt.strftime("%Y-%m-%d"), cents
+            ):
+                days[day] = days.get(day, 0) + int(c)
+        state.update((list(days.keys()), [int(v) for v in days.values()]))
+        ordered = sorted(days.items())
+        rows = []
+        if len(ordered) > base_days:
+            mu_num = sum(c for _, c in ordered[:base_days])
+            slack = mu_num // slack_div
+            s = 0
+            for day, y in ordered[base_days:]:
+                s = max(0, s + y * base_days - mu_num - slack)
+                rows.append(
+                    {
+                        key_col: key[0],
+                        "day": day,
+                        "y": y,
+                        "s": s,
+                        "alarm": s > alarm_x * mu_num,
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[key_col, "day", "y", "s", "alarm"])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, day string, y bigint, s bigint, "
+        "alarm boolean",
+        stateStructType="days array<string>, cents array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
