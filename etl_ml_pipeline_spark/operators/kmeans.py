@@ -61,10 +61,12 @@ def _sq_dist(e_col: Column, centroid: list[int]) -> Column:
 # expression path — which Spark evaluates INTERPRETED per array element,
 # not in whole-stage codegen — loses to one Arrow-batched int64 matmul:
 # measured at 1M x 64-d vectors, k=64 (4096 terms/row), the expression
-# assignment takes ~29s on local[32] vs ~1s for the numpy kernel. Both
-# paths are exact int64 with identical first-match tie-breaks, so
-# routing never changes results.
-_EXPR_PATH_MAX_TERMS = 1024
+# assignment takes ~29s on local[32] vs ~1s for the numpy kernel; even
+# k=8, d=64 (512 terms) is 4-5x faster through Arrow (catalog query:
+# 10.3s -> 2.1s at sf1). Both paths are exact int64 with identical
+# first-match tie-breaks, so routing never changes results (bit-parity
+# pinned in tests/test_kmeans.py).
+_EXPR_PATH_MAX_TERMS = 256
 
 
 def assign_clusters(
