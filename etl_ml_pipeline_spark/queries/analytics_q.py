@@ -917,11 +917,97 @@ ORDER BY src, dst
 """
 
 
+# ---------------------------------------------------------------------------
+# anomaly_mad_events — robust outlier detection via the median absolute
+# deviation, the winsorize/z-score companion that heavy tails cannot
+# drag: per event type, med = nearest-rank median of the cent grid,
+# MAD = nearest-rank median of |c - med|, outlier iff |c - med| >
+# 5 * MAD. Every quantity is an exact integer (both medians run the
+# cumulative-frequency walk from operators/relational.
+# nearest_rank_percentiles — |distinct values| rows per key, never N),
+# so the flag can never split across engines.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 5
+
+
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import (
+        nearest_rank_percentiles,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    med = nearest_rank_percentiles(ev, ["event_type"], "c", {"med": (1, 2)})
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("c") - F.col("med")).alias("d")
+    )
+    mad = nearest_rank_percentiles(
+        dev.select("event_type", "d"), ["event_type"], "d", {"mad": (1, 2)}
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                (F.col("d") > _MAD_K * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _nr_median_sql(src: str, val: str, name: str) -> str:
+    """Nearest-rank median CTEs over (event_type, {val}) rows of {src}."""
+    return f"""
+{name}_f AS (
+  SELECT event_type, {val} AS v, count(*) AS f FROM {src} GROUP BY 1, 2
+),
+{name}_w AS (
+  SELECT event_type, v,
+         sum(f) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(f) OVER (PARTITION BY event_type) AS total
+  FROM {name}_f
+),
+{name} AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (total + 1) // 2 THEN v END) AS {name}_v
+  FROM {name}_w GROUP BY 1
+)"""
+
+
+_MAD_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+),{_nr_median_sql('ev', 'c', 'med')},
+dev AS (
+  SELECT e.event_type, m.med_v AS med, abs(e.c - m.med_v) AS d
+  FROM ev e JOIN med m USING (event_type)
+),{_nr_median_sql('dev', 'd', 'mad')}
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med) AS BIGINT) AS med_cents,
+       CAST(max(m.mad_v) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.d > {_MAD_K} * m.mad_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
     "drift_psi_events": drift_psi_events,
     "markov_transitions_events": markov_transitions_events,
+    "anomaly_mad_events": anomaly_mad_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -936,6 +1022,7 @@ ORACLES = {
     "privacy_k_anonymity": _K_ANON_SQL,
     "drift_psi_events": _PSI_SQL,
     "markov_transitions_events": _MARKOV_SQL,
+    "anomaly_mad_events": _MAD_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
