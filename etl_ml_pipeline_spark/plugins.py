@@ -20,6 +20,7 @@ from etl_ml_pipeline_spark.sources import rest_api as _src_rest  # noqa: F401
 from etl_ml_pipeline_spark.operators import bloom as _t_bloom  # noqa: F401
 from etl_ml_pipeline_spark.operators import cleaning as _t_cleaning  # noqa: F401
 from etl_ml_pipeline_spark.operators import dedup as _t_dedup  # noqa: F401
+from etl_ml_pipeline_spark.operators import drift as _t_drift  # noqa: F401
 from etl_ml_pipeline_spark.operators import indicators as _t_ind  # noqa: F401
 from etl_ml_pipeline_spark.operators import kmeans as _t_kmeans  # noqa: F401
 from etl_ml_pipeline_spark.operators import multimodal as _t_mm  # noqa: F401

@@ -745,6 +745,8 @@ _PSI_BINS = 10
 
 
 def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.drift import psi
+
     ev = t(spark, sf_dir, "events").select(
         "event_type",
         "ts",
@@ -758,62 +760,11 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("t0") + F.unix_timestamp("t1")) / 2
         ).alias("mid")
     )
-    tagged = ev.crossJoin(F.broadcast(split)).select(
-        "event_type",
-        "c",
-        F.when(F.col("ts") < F.col("mid"), F.lit("ref"))
-        .otherwise(F.lit("cur"))
-        .alias("win"),
-    )
-    edges = (
-        tagged.filter(F.col("win") == "ref")
-        .groupBy("event_type")
-        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
-    )
-    counts = (
-        tagged.join(F.broadcast(edges), "event_type")
-        .select(
-            "event_type",
-            "win",
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(_PSI_BINS - 1),
-                    F.expr(f"(c - lo) * {_PSI_BINS} div (hi - lo + 1)"),
-                ),
-            ).alias("bin"),
-        )
-        .groupBy("event_type", "bin")
-        .agg(
-            F.sum((F.col("win") == "ref").cast("long")).alias("nr"),
-            F.sum((F.col("win") == "cur").cast("long")).alias("nc"),
-        )
-    )
-    # full bin spine: bins empty in BOTH windows still carry their
-    # smoothed term, so PSI matches the textbook 10-bin definition
-    spine = edges.select(
-        "event_type",
-        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
-    )
-    binned = (
-        spine.join(counts, ["event_type", "bin"], "left")
-        .fillna({"nr": 0, "nc": 0})
-    )
-    tot = binned.groupBy("event_type").agg(
-        (F.sum("nr") + _PSI_BINS).alias("tr"),
-        (F.sum("nc") + _PSI_BINS).alias("tc"),
-    )
-    # p = (nr+1)/tr, q = (nc+1)/tc; term = (q - p) * ln(q / p), floored
-    # to integer 1e-8 units so the per-type sum is order-free
-    p = (F.col("nr") + 1) / F.col("tr")
-    q = (F.col("nc") + 1) / F.col("tc")
-    term_i = F.floor((q - p) * F.log(q / p) * 100000000).cast("long")
-    return (
-        binned.join(F.broadcast(tot), "event_type")
-        .select("event_type", term_i.alias("t_i"))
-        .groupBy("event_type")
-        .agg((F.sum("t_i") / 100000000.0).alias("psi"))
-        .orderBy("event_type")
+    tagged = ev.crossJoin(F.broadcast(split))
+    ref = tagged.filter(F.col("ts") < F.col("mid")).select("event_type", "c")
+    cur = tagged.filter(F.col("ts") >= F.col("mid")).select("event_type", "c")
+    return psi(ref, cur, ["event_type"], "c", bins=_PSI_BINS).orderBy(
+        "event_type"
     )
 
 
