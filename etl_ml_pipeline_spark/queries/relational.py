@@ -1396,6 +1396,79 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# hist_equidepth_prices — EQUI-DEPTH histogram of order prices: 9
+# nearest-rank decile boundaries (exact integer cents via
+# operators/relational.nearest_rank_percentiles — the optimizer-
+# statistics shape), then one map-side bucket assignment as a sum of
+# broadcast boundary comparisons and a 10-row count aggregate. Bucket
+# counts are near-n/10 by construction, off only by boundary ties —
+# which both engines resolve identically on the integer grid.
+# ---------------------------------------------------------------------------
+
+
+def hist_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import (
+        nearest_rank_percentiles,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    ).withColumn("g", F.lit(1))
+    pcts = {f"b{i}": (i, 10) for i in range(1, 10)}
+    bounds = nearest_rank_percentiles(o, ["g"], "c", pcts)
+    bucket = None
+    for i in range(1, 10):
+        term = (F.col("c") > F.col(f"b{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return (
+        o.crossJoin(F.broadcast(bounds.drop("g")))
+        .select(bucket.alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("c") / 100.0).alias("lo"),
+            (F.max("c") / 100.0).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+),
+f AS (SELECT c, count(*) AS f FROM o GROUP BY 1),
+w AS (
+  SELECT c,
+         sum(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(f) OVER () AS total
+  FROM f
+),
+b AS (
+  SELECT
+    min(CASE WHEN cum >= (1 * total + 9) // 10 THEN c END) AS b1,
+    min(CASE WHEN cum >= (2 * total + 9) // 10 THEN c END) AS b2,
+    min(CASE WHEN cum >= (3 * total + 9) // 10 THEN c END) AS b3,
+    min(CASE WHEN cum >= (4 * total + 9) // 10 THEN c END) AS b4,
+    min(CASE WHEN cum >= (5 * total + 9) // 10 THEN c END) AS b5,
+    min(CASE WHEN cum >= (6 * total + 9) // 10 THEN c END) AS b6,
+    min(CASE WHEN cum >= (7 * total + 9) // 10 THEN c END) AS b7,
+    min(CASE WHEN cum >= (8 * total + 9) // 10 THEN c END) AS b8,
+    min(CASE WHEN cum >= (9 * total + 9) // 10 THEN c END) AS b9
+  FROM w
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       min(c) / 100.0 AS lo, max(c) / 100.0 AS hi
+FROM (
+  SELECT CASE WHEN o.c > b.b1 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b2 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b3 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b4 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b5 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b6 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b7 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b8 THEN 1 ELSE 0 END + CASE WHEN o.c > b.b9 THEN 1 ELSE 0 END AS bucket, o.c
+  FROM o CROSS JOIN b
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
@@ -1405,6 +1478,7 @@ QUERIES = {
     "agg_incremental_refresh": agg_incremental_refresh,
     "versioned_time_travel": versioned_time_travel,
     "hist_order_prices": hist_order_prices,
+    "hist_equidepth_prices": hist_equidepth_prices,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
     "agg_approx_percentile_prices": agg_approx_percentile_prices,
@@ -1435,6 +1509,7 @@ ORACLES = {
     "agg_incremental_refresh": _INCR_REFRESH_SQL,
     "versioned_time_travel": _TIME_TRAVEL_SQL,
     "hist_order_prices": _HIST_SQL,
+    "hist_equidepth_prices": _EQUIDEPTH_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,
     "agg_approx_percentile_prices": _APPROX_PERCENTILE_SQL,

@@ -58,3 +58,35 @@ def test_group_ols_recovers_exact_line(spark, sf_dir):
     slope = num / den
     intercept = (m["sy"] - slope * m["sx"]) / m["n"]
     assert slope == 3.0 and intercept == 7.0
+
+
+def test_nearest_rank_percentiles_property(spark):
+    """Property: for any multiset and percentile p, the operator returns
+    sorted(vals)[ceil(p*n)-1] — checked against the direct definition
+    over a grid of adversarial value sets (heavy duplication, negatives,
+    single element)."""
+    import math
+
+    from etl_ml_pipeline_spark.operators.relational import nearest_rank_percentiles
+
+    cases = [
+        [5],
+        [-3, -3, -3],
+        [1, 2, 2, 2, 2, 2, 3],
+        list(range(20)) + [7] * 30,
+        [-10, 0, 0, 10, 10, 10, 10],
+    ]
+    pcts = {"p01": (1, 100), "p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p99": (99, 100)}
+    rows = [(f"g{i}", v) for i, vals in enumerate(cases) for v in vals]
+    got = {
+        r["k"]: r
+        for r in nearest_rank_percentiles(
+            spark.createDataFrame(rows, ["k", "v"]), ["k"], "v", pcts
+        ).collect()
+    }
+    for i, vals in enumerate(cases):
+        ordered = sorted(vals)
+        n = len(ordered)
+        for name, (num, den) in pcts.items():
+            expect = ordered[max(0, math.ceil(num * n / den) - 1)]
+            assert got[f"g{i}"][name] == expect, (i, name)
