@@ -108,6 +108,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("dedup_documents", tmp_path / "out2"),
         ("training_data_prep_v2", tmp_path / "out3"),
         ("cluster_embeddings", tmp_path / "out4"),
+        ("training_data_prep_v3", tmp_path / "out5"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),
