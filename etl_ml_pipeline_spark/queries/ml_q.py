@@ -283,11 +283,263 @@ ORDER BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_pca — the moment pass of distributed PCA: exact
+# integer second moments of the first 8 embedding dims (micro-unit
+# grid, one map-side-combined aggregation producing d*(d+1)/2 + d + 1
+# numbers regardless of input size), emitted as unnormalized covariance
+# numerators n*Sxy - Sx*Sy. The eigendecomposition itself is a driver-
+# side numpy eigh over this tiny matrix (tests/test_pca.py asserts the
+# spectrum) — exactly how distributed PCA splits at 100 TB: the data
+# pass is the aggregation, the O(d^3) solve never touches the cluster.
+# Magnitudes: |e| <= ~2e6 micro-units, so each product <= 4e12 and the
+# sums stay far under 2^63 at any realistic corpus size per partition;
+# cross-engine the moments are exact integers, hash-compared directly.
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.kmeans import quantize_micro
+
+    emb = quantize_micro(
+        t(spark, sf_dir, "embeddings").select("embedding")
+    ).select("e")
+    m = emb.agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("e", 1)).alias("m_0"),
+        F.sum(F.element_at("e", 2)).alias("m_1"),
+        F.sum(F.element_at("e", 3)).alias("m_2"),
+        F.sum(F.element_at("e", 4)).alias("m_3"),
+        F.sum(F.element_at("e", 5)).alias("m_4"),
+        F.sum(F.element_at("e", 6)).alias("m_5"),
+        F.sum(F.element_at("e", 7)).alias("m_6"),
+        F.sum(F.element_at("e", 8)).alias("m_7"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 1)).alias("s_0_0"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 2)).alias("s_0_1"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 3)).alias("s_0_2"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 4)).alias("s_0_3"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 5)).alias("s_0_4"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 6)).alias("s_0_5"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 7)).alias("s_0_6"),
+        F.sum(F.element_at("e", 1) * F.element_at("e", 8)).alias("s_0_7"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 2)).alias("s_1_1"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 3)).alias("s_1_2"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 4)).alias("s_1_3"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 5)).alias("s_1_4"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 6)).alias("s_1_5"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 7)).alias("s_1_6"),
+        F.sum(F.element_at("e", 2) * F.element_at("e", 8)).alias("s_1_7"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 3)).alias("s_2_2"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 4)).alias("s_2_3"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 5)).alias("s_2_4"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 6)).alias("s_2_5"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 7)).alias("s_2_6"),
+        F.sum(F.element_at("e", 3) * F.element_at("e", 8)).alias("s_2_7"),
+        F.sum(F.element_at("e", 4) * F.element_at("e", 4)).alias("s_3_3"),
+        F.sum(F.element_at("e", 4) * F.element_at("e", 5)).alias("s_3_4"),
+        F.sum(F.element_at("e", 4) * F.element_at("e", 6)).alias("s_3_5"),
+        F.sum(F.element_at("e", 4) * F.element_at("e", 7)).alias("s_3_6"),
+        F.sum(F.element_at("e", 4) * F.element_at("e", 8)).alias("s_3_7"),
+        F.sum(F.element_at("e", 5) * F.element_at("e", 5)).alias("s_4_4"),
+        F.sum(F.element_at("e", 5) * F.element_at("e", 6)).alias("s_4_5"),
+        F.sum(F.element_at("e", 5) * F.element_at("e", 7)).alias("s_4_6"),
+        F.sum(F.element_at("e", 5) * F.element_at("e", 8)).alias("s_4_7"),
+        F.sum(F.element_at("e", 6) * F.element_at("e", 6)).alias("s_5_5"),
+        F.sum(F.element_at("e", 6) * F.element_at("e", 7)).alias("s_5_6"),
+        F.sum(F.element_at("e", 6) * F.element_at("e", 8)).alias("s_5_7"),
+        F.sum(F.element_at("e", 7) * F.element_at("e", 7)).alias("s_6_6"),
+        F.sum(F.element_at("e", 7) * F.element_at("e", 8)).alias("s_6_7"),
+        F.sum(F.element_at("e", 8) * F.element_at("e", 8)).alias("s_7_7"),
+    )
+    return (
+        m.select(
+            "n",
+            F.explode(
+                F.array(
+            F.struct(F.lit(0).alias("i"), F.lit(0).alias("j"), (F.col("n") * F.col("s_0_0") - F.col("m_0") * F.col("m_0")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(1).alias("j"), (F.col("n") * F.col("s_0_1") - F.col("m_0") * F.col("m_1")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(2).alias("j"), (F.col("n") * F.col("s_0_2") - F.col("m_0") * F.col("m_2")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(3).alias("j"), (F.col("n") * F.col("s_0_3") - F.col("m_0") * F.col("m_3")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(4).alias("j"), (F.col("n") * F.col("s_0_4") - F.col("m_0") * F.col("m_4")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_0_5") - F.col("m_0") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_0_6") - F.col("m_0") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(0).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_0_7") - F.col("m_0") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(1).alias("j"), (F.col("n") * F.col("s_1_1") - F.col("m_1") * F.col("m_1")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(2).alias("j"), (F.col("n") * F.col("s_1_2") - F.col("m_1") * F.col("m_2")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(3).alias("j"), (F.col("n") * F.col("s_1_3") - F.col("m_1") * F.col("m_3")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(4).alias("j"), (F.col("n") * F.col("s_1_4") - F.col("m_1") * F.col("m_4")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_1_5") - F.col("m_1") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_1_6") - F.col("m_1") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(1).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_1_7") - F.col("m_1") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(2).alias("j"), (F.col("n") * F.col("s_2_2") - F.col("m_2") * F.col("m_2")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(3).alias("j"), (F.col("n") * F.col("s_2_3") - F.col("m_2") * F.col("m_3")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(4).alias("j"), (F.col("n") * F.col("s_2_4") - F.col("m_2") * F.col("m_4")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_2_5") - F.col("m_2") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_2_6") - F.col("m_2") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(2).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_2_7") - F.col("m_2") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(3).alias("i"), F.lit(3).alias("j"), (F.col("n") * F.col("s_3_3") - F.col("m_3") * F.col("m_3")).alias("cov_num")),
+            F.struct(F.lit(3).alias("i"), F.lit(4).alias("j"), (F.col("n") * F.col("s_3_4") - F.col("m_3") * F.col("m_4")).alias("cov_num")),
+            F.struct(F.lit(3).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_3_5") - F.col("m_3") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(3).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_3_6") - F.col("m_3") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(3).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_3_7") - F.col("m_3") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(4).alias("i"), F.lit(4).alias("j"), (F.col("n") * F.col("s_4_4") - F.col("m_4") * F.col("m_4")).alias("cov_num")),
+            F.struct(F.lit(4).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_4_5") - F.col("m_4") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(4).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_4_6") - F.col("m_4") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(4).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_4_7") - F.col("m_4") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(5).alias("i"), F.lit(5).alias("j"), (F.col("n") * F.col("s_5_5") - F.col("m_5") * F.col("m_5")).alias("cov_num")),
+            F.struct(F.lit(5).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_5_6") - F.col("m_5") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(5).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_5_7") - F.col("m_5") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(6).alias("i"), F.lit(6).alias("j"), (F.col("n") * F.col("s_6_6") - F.col("m_6") * F.col("m_6")).alias("cov_num")),
+            F.struct(F.lit(6).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_6_7") - F.col("m_6") * F.col("m_7")).alias("cov_num")),
+            F.struct(F.lit(7).alias("i"), F.lit(7).alias("j"), (F.col("n") * F.col("s_7_7") - F.col("m_7") * F.col("m_7")).alias("cov_num"))
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), "n", F.col("p.cov_num").alias("cov_num"))
+        .orderBy("i", "j")
+    )
+
+
+_COV_SQL = """
+WITH emb AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM embeddings
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(e[1]) AS BIGINT) AS m_0,
+         CAST(sum(e[2]) AS BIGINT) AS m_1,
+         CAST(sum(e[3]) AS BIGINT) AS m_2,
+         CAST(sum(e[4]) AS BIGINT) AS m_3,
+         CAST(sum(e[5]) AS BIGINT) AS m_4,
+         CAST(sum(e[6]) AS BIGINT) AS m_5,
+         CAST(sum(e[7]) AS BIGINT) AS m_6,
+         CAST(sum(e[8]) AS BIGINT) AS m_7,
+         CAST(sum(e[1] * e[1]) AS BIGINT) AS s_0_0,
+         CAST(sum(e[1] * e[2]) AS BIGINT) AS s_0_1,
+         CAST(sum(e[1] * e[3]) AS BIGINT) AS s_0_2,
+         CAST(sum(e[1] * e[4]) AS BIGINT) AS s_0_3,
+         CAST(sum(e[1] * e[5]) AS BIGINT) AS s_0_4,
+         CAST(sum(e[1] * e[6]) AS BIGINT) AS s_0_5,
+         CAST(sum(e[1] * e[7]) AS BIGINT) AS s_0_6,
+         CAST(sum(e[1] * e[8]) AS BIGINT) AS s_0_7,
+         CAST(sum(e[2] * e[2]) AS BIGINT) AS s_1_1,
+         CAST(sum(e[2] * e[3]) AS BIGINT) AS s_1_2,
+         CAST(sum(e[2] * e[4]) AS BIGINT) AS s_1_3,
+         CAST(sum(e[2] * e[5]) AS BIGINT) AS s_1_4,
+         CAST(sum(e[2] * e[6]) AS BIGINT) AS s_1_5,
+         CAST(sum(e[2] * e[7]) AS BIGINT) AS s_1_6,
+         CAST(sum(e[2] * e[8]) AS BIGINT) AS s_1_7,
+         CAST(sum(e[3] * e[3]) AS BIGINT) AS s_2_2,
+         CAST(sum(e[3] * e[4]) AS BIGINT) AS s_2_3,
+         CAST(sum(e[3] * e[5]) AS BIGINT) AS s_2_4,
+         CAST(sum(e[3] * e[6]) AS BIGINT) AS s_2_5,
+         CAST(sum(e[3] * e[7]) AS BIGINT) AS s_2_6,
+         CAST(sum(e[3] * e[8]) AS BIGINT) AS s_2_7,
+         CAST(sum(e[4] * e[4]) AS BIGINT) AS s_3_3,
+         CAST(sum(e[4] * e[5]) AS BIGINT) AS s_3_4,
+         CAST(sum(e[4] * e[6]) AS BIGINT) AS s_3_5,
+         CAST(sum(e[4] * e[7]) AS BIGINT) AS s_3_6,
+         CAST(sum(e[4] * e[8]) AS BIGINT) AS s_3_7,
+         CAST(sum(e[5] * e[5]) AS BIGINT) AS s_4_4,
+         CAST(sum(e[5] * e[6]) AS BIGINT) AS s_4_5,
+         CAST(sum(e[5] * e[7]) AS BIGINT) AS s_4_6,
+         CAST(sum(e[5] * e[8]) AS BIGINT) AS s_4_7,
+         CAST(sum(e[6] * e[6]) AS BIGINT) AS s_5_5,
+         CAST(sum(e[6] * e[7]) AS BIGINT) AS s_5_6,
+         CAST(sum(e[6] * e[8]) AS BIGINT) AS s_5_7,
+         CAST(sum(e[7] * e[7]) AS BIGINT) AS s_6_6,
+         CAST(sum(e[7] * e[8]) AS BIGINT) AS s_6_7,
+         CAST(sum(e[8] * e[8]) AS BIGINT) AS s_7_7
+  FROM emb
+)
+SELECT i, j, CAST(n AS BIGINT) AS n, CAST(cov_num AS BIGINT) AS cov_num
+FROM (
+  SELECT 0 AS i, 0 AS j, n * s_0_0 - m_0 * m_0 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 1 AS j, n * s_0_1 - m_0 * m_1 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 2 AS j, n * s_0_2 - m_0 * m_2 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 3 AS j, n * s_0_3 - m_0 * m_3 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 4 AS j, n * s_0_4 - m_0 * m_4 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 5 AS j, n * s_0_5 - m_0 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 6 AS j, n * s_0_6 - m_0 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 0 AS i, 7 AS j, n * s_0_7 - m_0 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 1 AS j, n * s_1_1 - m_1 * m_1 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 2 AS j, n * s_1_2 - m_1 * m_2 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 3 AS j, n * s_1_3 - m_1 * m_3 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 4 AS j, n * s_1_4 - m_1 * m_4 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 5 AS j, n * s_1_5 - m_1 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 6 AS j, n * s_1_6 - m_1 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 1 AS i, 7 AS j, n * s_1_7 - m_1 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 2 AS j, n * s_2_2 - m_2 * m_2 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 3 AS j, n * s_2_3 - m_2 * m_3 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 4 AS j, n * s_2_4 - m_2 * m_4 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 5 AS j, n * s_2_5 - m_2 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 6 AS j, n * s_2_6 - m_2 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 2 AS i, 7 AS j, n * s_2_7 - m_2 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 3 AS i, 3 AS j, n * s_3_3 - m_3 * m_3 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 3 AS i, 4 AS j, n * s_3_4 - m_3 * m_4 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 3 AS i, 5 AS j, n * s_3_5 - m_3 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 3 AS i, 6 AS j, n * s_3_6 - m_3 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 3 AS i, 7 AS j, n * s_3_7 - m_3 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 4 AS i, 4 AS j, n * s_4_4 - m_4 * m_4 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 4 AS i, 5 AS j, n * s_4_5 - m_4 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 4 AS i, 6 AS j, n * s_4_6 - m_4 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 4 AS i, 7 AS j, n * s_4_7 - m_4 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 5 AS i, 5 AS j, n * s_5_5 - m_5 * m_5 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 5 AS i, 6 AS j, n * s_5_6 - m_5 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 5 AS i, 7 AS j, n * s_5_7 - m_5 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 6 AS i, 6 AS j, n * s_6_6 - m_6 * m_6 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 6 AS i, 7 AS j, n * s_6_7 - m_6 * m_7 AS cov_num, n FROM m
+  UNION ALL
+  SELECT 7 AS i, 7 AS j, n * s_7_7 - m_7 * m_7 AS cov_num, n FROM m
+)
+ORDER BY i, j
+"""
+
+
 QUERIES = {
     "ml_fold_assignment": ml_fold_assignment,
     "ml_feature_stats": ml_feature_stats,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
     "ml_group_ols_trend": ml_group_ols_trend,
+    "embedding_covariance_pca": embedding_covariance_pca,
 }
 
 ORACLES = {
@@ -295,4 +547,5 @@ ORACLES = {
     "ml_feature_stats": _STATS_SQL,
     "kmeans_lloyd_embeddings": _KMEANS_SQL,
     "ml_group_ols_trend": _OLS_SQL,
+    "embedding_covariance_pca": _COV_SQL,
 }
