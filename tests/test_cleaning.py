@@ -297,3 +297,51 @@ def test_dq_expectations_unknown_check_raises(spark):
         DqExpectations({"checks": [{"type": "nope"}]}).transform(df)
     with _pytest.raises(ValueError, match="non-empty"):
         DqExpectations({"checks": []}).transform(df)
+
+
+def test_parity_against_reference_cleaner(spark):
+    """Run the REFERENCE's own DataCleaningTransformer (imported
+    unmodified, skipped if the checkout is absent) and our data_cleaning
+    transform with the identical config on the same messy frame; the
+    surviving row multisets must match exactly."""
+    import pathlib
+    import sys
+
+    import pytest as _pytest
+
+    if not pathlib.Path("/root/reference/src").exists():
+        _pytest.skip("reference checkout not mounted")
+    sys.path.insert(0, "/root/reference/src")
+    import pandas as pd
+
+    from data_extractor.transformers.data_cleaning import DataCleaningTransformer
+
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    mess = pd.DataFrame(
+        {
+            "Name": ["  Alice ", "Bob", "Bob", None, " Carol"],
+            "City": [" NYC", None, None, "LA ", "SF"],
+            "Amount": ["10.5", "bad", "bad", "3", None],
+        }
+    )
+    cfg = {
+        "lowercase_columns": True,
+        "strip_whitespace": True,
+        "fill_nulls": {"city": "unknown"},
+        "deduplicate": True,
+        "cast_types": {"amount": "float"},
+    }
+    ref = DataCleaningTransformer(dict(cfg)).transform(mess.copy())
+    # reference cast is column-atomic (any failing value keeps the whole
+    # column); select the matching mode on our side
+    cfg["cast_mode"] = "column_atomic"
+    ours = (
+        TRANSFORMS.get("data_cleaning")(dict(cfg))
+        .transform(spark.createDataFrame(mess))
+        .toPandas()
+    )
+    key = lambda df: sorted(
+        map(tuple, df[["name", "city", "amount"]].fillna("<null>").astype(str).values)
+    )
+    assert key(ref) == key(ours)
