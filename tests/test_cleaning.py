@@ -345,3 +345,41 @@ def test_parity_against_reference_cleaner(spark):
         map(tuple, df[["name", "city", "amount"]].fillna("<null>").astype(str).values)
     )
     assert key(ref) == key(ours)
+
+
+def test_parity_against_reference_validator(spark):
+    """Run the REFERENCE's own PydanticValidationTransformer (its
+    TodoItem schema, imported unmodified) against our predicate-compiled
+    validate transform on the same frame; surviving id sets must match."""
+    import pathlib
+    import sys
+
+    import pytest as _pytest
+
+    if not pathlib.Path("/root/reference/src").exists():
+        _pytest.skip("reference checkout not mounted")
+    sys.path.insert(0, "/root/reference/src")
+    import pandas as pd
+
+    from data_extractor.transformers.pydantic_validation import (
+        PydanticValidationTransformer,
+    )
+
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    rows = pd.DataFrame(
+        {
+            "userId": [1, 0, 3, 2, -5, 4],
+            "id": [1, 2, 0, 4, 5, 6],
+            "title": ["a", "b", "c", "", "e", "f"],
+            "completed": [True, False, True, True, False, True],
+        }
+    )
+    cfg = {"model": "data_extractor.schemas.todo.TodoItem"}
+    ref = PydanticValidationTransformer(dict(cfg)).transform(rows.copy())
+    ours = (
+        TRANSFORMS.get("pydantic_validation")(dict(cfg))
+        .transform(spark.createDataFrame(rows))
+        .toPandas()
+    )
+    assert sorted(ref["id"]) == sorted(ours["id"]) == [1, 6]
