@@ -162,6 +162,44 @@ def main() -> None:
     }
     print("cleaning:", results["cleaning"], flush=True)
 
+    # ── validation leg ──────────────────────────────────────────────
+    from data_extractor.transformers.pydantic_validation import (
+        PydanticValidationTransformer,
+    )
+
+    n_val = 20_000 if SMALL else 1_000_000
+    rng = np.random.default_rng(3)
+    vdf = pd.DataFrame(
+        {
+            "userId": rng.integers(-1, 50, n_val),
+            "id": rng.integers(0, 10**6, n_val),
+            "title": rng.choice(["task", "", "chore"], n_val),
+            "completed": rng.integers(0, 2, n_val).astype(bool),
+        }
+    )
+    vcfg = {"model": "data_extractor.schemas.todo.TodoItem"}
+    t4 = time.perf_counter()
+    ref_valid = PydanticValidationTransformer(dict(vcfg)).transform(vdf)
+    ref_v_sec = time.perf_counter() - t4
+
+    svdf = spark.createDataFrame(vdf).repartition(64).persist()
+    svdf.count()
+    t5 = time.perf_counter()
+    vres = TRANSFORMS.get("pydantic_validation")(dict(vcfg)).transform(svdf)
+    vagg = vres.agg(
+        F.count("*").alias("n"), F.sum("userId").alias("s")
+    ).collect()[0]
+    spark_v_sec = time.perf_counter() - t5
+    assert vagg["n"] == len(ref_valid), (vagg["n"], len(ref_valid))
+    results["validation"] = {
+        "rows_in": n_val,
+        "rows_out": int(vagg["n"]),
+        "reference_pandas_sec": round(ref_v_sec, 2),
+        "spark_local32_sec": round(spark_v_sec, 2),
+        "speedup": round(ref_v_sec / spark_v_sec, 2),
+    }
+    print("validation:", results["validation"], flush=True)
+
     out = REPO / "REF_COMPARE.json"
     out.write_text(json.dumps(
         {"workload": {"symbols": N_SYMBOLS, "days": N_DAYS, "clean_rows": N_CLEAN},
