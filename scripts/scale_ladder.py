@@ -57,6 +57,14 @@ QUERIES = [
     # round-5 fourth session
     "kmeans_lloyd_embeddings",
     "ml_group_ols_trend",
+    "forecast_holt_events",
+    "changepoint_cusum_events",
+    "drift_psi_events",
+    "markov_transitions_events",
+    "anomaly_mad_events",
+    "hist_equidepth_prices",
+    "hybrid_search_rrf",
+    "privacy_k_anonymity",
 ]
 
 
