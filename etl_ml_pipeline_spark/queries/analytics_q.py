@@ -953,12 +953,82 @@ ORDER BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# path_top_sequences — session path mining: the 10 most common opening
+# paths (first 3 event types of each 30-minute-gap session), the
+# navigation-analysis staple. Sessions come from the sessionize
+# operator (lag-gap + running flag sum — one shuffle on user_id);
+# per-session ordering is made deterministic by sorting structs of
+# (ts, event_id, event_type), so collect_list order can never vary
+# across partitions or engines. The final count is a |distinct paths|
+# aggregation; top-10 tie-breaks on the path string.
+# ---------------------------------------------------------------------------
+
+
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.sessionize import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 30.0, order_cols=["ts", "event_id"])
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_seq,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+  FROM numbered GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
     "drift_psi_events": drift_psi_events,
     "markov_transitions_events": markov_transitions_events,
     "anomaly_mad_events": anomaly_mad_events,
+    "path_top_sequences": path_top_sequences,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -974,6 +1044,7 @@ ORACLES = {
     "drift_psi_events": _PSI_SQL,
     "markov_transitions_events": _MARKOV_SQL,
     "anomaly_mad_events": _MAD_SQL,
+    "path_top_sequences": _PATHS_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,

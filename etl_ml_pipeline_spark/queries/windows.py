@@ -328,7 +328,70 @@ ORDER BY o_orderpriority, month
 """
 
 
+# ---------------------------------------------------------------------------
+# window_activity_streaks — gaps-and-islands: longest run of CONSECUTIVE
+# active days per user (the retention-streak metric), via the classic
+# day_ordinal - row_number island key. Everything is integer day
+# arithmetic; one shuffle on user_id, per-user windows over the
+# distinct-day grid (|active days| rows, never |events|).
+# ---------------------------------------------------------------------------
+
+
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("od"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("od")
+    islands = days.withColumn(
+        "grp", F.col("od") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od
+  FROM events WHERE user_id < 200
+),
+islands AS (
+  SELECT user_id, od,
+         od - row_number() OVER (PARTITION BY user_id ORDER BY od) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "window_activity_streaks": window_activity_streaks,
     "window_dist_functions": window_dist_functions,
     "window_mom_revenue_growth": window_mom_revenue_growth,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
@@ -340,6 +403,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_activity_streaks": _STREAKS_SQL,
     "window_dist_functions": _DIST_SQL,
     "window_mom_revenue_growth": _MOM_SQL,
     "window_topk_orders_per_customer": _TOPK_SQL,
