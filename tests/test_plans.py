@@ -481,3 +481,60 @@ def test_new_vs_returning_day_grain_window_only(spark, sf_dir):
     # its input cannot carry user_id.
     wins = [ln for ln in plan.splitlines() if "Window" in ln]
     assert wins and all("user_id" not in ln for ln in wins)
+
+
+def test_psi_no_python_no_cartesian_rows(spark, sf_dir):
+    """PSI is pure JVM: binning/smoothing/ln all run as expressions; the
+    only nested-loop join is the broadcast of the 1-row split point."""
+    from etl_ml_pipeline_spark.queries.analytics_q import drift_psi_events
+
+    plan = _plan(drift_psi_events(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_histogram_no_python_single_scan_shape(spark, sf_dir):
+    """Equi-depth bounds come from the |distinct cents| grid and the
+    bucket assignment is a broadcast comparison sum — no Python, no
+    cartesian, no global sort of the raw rows."""
+    from etl_ml_pipeline_spark.queries.relational import hist_equidepth_prices
+
+    plan = _plan(hist_equidepth_prices(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_streaks_windows_partitioned_by_user(spark, sf_dir):
+    """Gaps-and-islands must never fall into a global (unpartitioned)
+    window: every WindowExec carries the user_id partition key."""
+    from etl_ml_pipeline_spark.queries.windows import window_activity_streaks
+
+    plan = _plan(window_activity_streaks(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "user_id" in line, line
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_single_user_window_then_bounded_aggs(spark, sf_dir):
+    from etl_ml_pipeline_spark.queries.analytics_q import (
+        markov_transitions_events,
+    )
+
+    plan = _plan(markov_transitions_events(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "user_id" in line, line
+
+
+def test_ols_trend_single_aggregation_no_window(spark, sf_dir):
+    """The per-group OLS fit is pure aggregation — no window, no Python,
+    map-side partial aggregation present."""
+    from etl_ml_pipeline_spark.queries.ml_q import ml_group_ols_trend
+
+    plan = _plan(ml_group_ols_trend(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "WindowExec" not in plan and "Window " not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
