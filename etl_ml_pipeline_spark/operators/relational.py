@@ -412,6 +412,44 @@ def incremental_agg_refresh(
     )
 
 
+def group_ols(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS (y ~ x) from algebraic moments in ONE
+    map-side-combined aggregation — fit millions of per-entity models
+    with no per-group Python and no iteration.
+
+    ``x_col``/``y_col`` should be integer-grid columns (epoch days,
+    cents) so the five moments are exact int64 and the slope/intercept
+    doubles are reduction-order-free. Returns one row per key group:
+    (*keys, n, slope, intercept). Degenerate groups (constant x) get
+    null slope/intercept via the 0-denominator division.
+    """
+    m = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(x_col).alias("__sx"),
+        F.sum(y_col).alias("__sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("__sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("__sxy"),
+    )
+    num = (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    slope = F.when(den != 0, num / den)
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
 def nearest_rank_percentiles(
     df: DataFrame,
     keys: list[str],

@@ -233,24 +233,14 @@ def ml_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    m = daily.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
+    from etl_ml_pipeline_spark.operators.relational import group_ols
+
+    m = group_ols(daily, ["event_type"], "x", "y")
     return m.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(slope, 6).alias("slope_cents_per_day"),
-        F.round(intercept, 2).alias("intercept_cents"),
+        F.round("slope", 6).alias("slope_cents_per_day"),
+        F.round("intercept", 2).alias("intercept_cents"),
     ).orderBy("event_type")
 
 

@@ -90,3 +90,17 @@ def test_nearest_rank_percentiles_property(spark):
         for name, (num, den) in pcts.items():
             expect = ordered[max(0, math.ceil(num * n / den) - 1)]
             assert got[f"g{i}"][name] == expect, (i, name)
+
+
+def test_group_ols_operator_exact_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import group_ols
+
+    rows = [("a", x, 3 * x + 7) for x in range(1, 31)] + [("b", 5, 9)] * 4
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r["k"]: r for r in group_ols(df, ["k"], "x", "y").collect()}
+    assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 7.0
+    # constant-x group: undefined fit -> nulls, never a crash
+    assert got["b"]["slope"] is None and got["b"]["intercept"] is None
+    assert got["b"]["n"] == 4
