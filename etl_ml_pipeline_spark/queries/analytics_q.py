@@ -1022,6 +1022,122 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# assoc_pairs_events — association-rule mining over sessions: support
+# counts and lift for every event-type pair co-occurring in a
+# 30-minute-gap session. Pair generation is JOIN-FREE on the Spark
+# side: each session's distinct item set (bounded by |event types|)
+# expands to its i<j pairs with one indexed-lambda array comprehension
+# — no self-join, no cartesian; the oracle uses the equivalent
+# relational self-join formulation. Lift is exact integer arithmetic
+# (floor(n_ab * n_sessions * 1e6 / (n_a * n_b))), so no float ratio
+# can split across engines.
+# ---------------------------------------------------------------------------
+
+
+def assoc_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.sessionize import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 30.0, order_cols=["ts", "event_id"])
+    items = sess.groupBy("user_id", "session_seq").agg(
+        F.sort_array(F.collect_set("event_type")).alias("items")
+    )
+    items = items.persist()
+    n_sessions = items.count()
+    pairs = (
+        items.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("items"),
+                                i + 2,
+                                F.size(F.col("items")),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    singles = (
+        items.select(F.explode("items").alias("e"))
+        .groupBy("e")
+        .agg(F.count("*").alias("n_e"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("e").alias("a"), F.col("n_e").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("e").alias("b"), F.col("n_e").alias("n_b"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.expr(f"n_ab * {n_sessions} * 1000000 div (n_a * n_b)")
+                / 1000000.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "a", "b")
+        .limit(15)
+    )
+
+
+_ASSOC_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+items AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM numbered
+),
+n_sess AS (
+  SELECT count(*) AS ns FROM (SELECT DISTINCT user_id, session_seq FROM items)
+),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+  FROM items x JOIN items y
+    ON x.user_id = y.user_id AND x.session_seq = y.session_seq
+   AND x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+singles AS (
+  SELECT event_type AS e, count(*) AS n_e FROM items GROUP BY 1
+)
+SELECT p.a, p.b, p.n_ab, sa.n_e AS n_a, sb.n_e AS n_b,
+       (p.n_ab * ns * 1000000 // (sa.n_e * sb.n_e)) / 1000000.0 AS lift
+FROM pairs p
+JOIN singles sa ON sa.e = p.a
+JOIN singles sb ON sb.e = p.b
+CROSS JOIN n_sess
+ORDER BY n_ab DESC, a, b
+LIMIT 15
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -1029,6 +1145,7 @@ QUERIES = {
     "markov_transitions_events": markov_transitions_events,
     "anomaly_mad_events": anomaly_mad_events,
     "path_top_sequences": path_top_sequences,
+    "assoc_pairs_events": assoc_pairs_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -1045,6 +1162,7 @@ ORACLES = {
     "markov_transitions_events": _MARKOV_SQL,
     "anomaly_mad_events": _MAD_SQL,
     "path_top_sequences": _PATHS_SQL,
+    "assoc_pairs_events": _ASSOC_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
