@@ -1138,6 +1138,70 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# retention_curve_events — the survival/retention curve: for each day
+# offset d since a user's FIRST activity, the fraction of all users
+# active exactly d days later (the day-N retention table behind every
+# growth dashboard). Pure integer day arithmetic; the curve fraction
+# floor-truncates at 1e-6 via integer division so no ratio can split
+# across engines. Scale: one shuffle for first-day per user, an
+# equi-join back on user_id, a distinct on (user, offset) bounded by
+# users x horizon, and a 14-row aggregate.
+# ---------------------------------------------------------------------------
+
+_RET_HORIZON = 14
+
+
+def retention_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("od"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("od").alias("od0"))
+    n_users = first.count()
+    offsets = (
+        ev.join(first, "user_id")
+        .select("user_id", (F.col("od") - F.col("od0")).alias("offset"))
+        .filter(F.col("offset") < _RET_HORIZON)
+        .distinct()
+    )
+    return (
+        offsets.groupBy("offset")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "offset",
+            "n_active",
+            (
+                F.expr(f"n_active * 1000000 div {n_users}") / 1000000.0
+            ).alias("retained_frac"),
+        )
+        .orderBy("offset")
+    )
+
+
+_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od
+  FROM events
+),
+first AS (SELECT user_id, min(od) AS od0 FROM ev GROUP BY 1),
+n_u AS (SELECT count(*) AS nu FROM first),
+offsets AS (
+  SELECT DISTINCT e.user_id, e.od - f.od0 AS "offset"
+  FROM ev e JOIN first f USING (user_id)
+  WHERE e.od - f.od0 < {_RET_HORIZON}
+)
+SELECT "offset", CAST(count(*) AS BIGINT) AS n_active,
+       (count(*) * 1000000 // nu) / 1000000.0 AS retained_frac
+FROM offsets CROSS JOIN n_u
+GROUP BY "offset", nu
+ORDER BY "offset"
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -1146,6 +1210,7 @@ QUERIES = {
     "anomaly_mad_events": anomaly_mad_events,
     "path_top_sequences": path_top_sequences,
     "assoc_pairs_events": assoc_pairs_events,
+    "retention_curve_events": retention_curve_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -1163,6 +1228,7 @@ ORACLES = {
     "anomaly_mad_events": _MAD_SQL,
     "path_top_sequences": _PATHS_SQL,
     "assoc_pairs_events": _ASSOC_SQL,
+    "retention_curve_events": _RETENTION_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
