@@ -1202,6 +1202,92 @@ ORDER BY "offset"
 """
 
 
+# ---------------------------------------------------------------------------
+# ab_test_events — the experimentation battery: users split into two
+# deterministic arms (user_id parity — stand-in for the assignment
+# hash), per event type both arms' n/mean/variance from EXACT integer
+# cent moments (S, Q int64; one map-side-combined aggregation), then
+# the Welch t statistic and absolute effect computed with the identical
+# expression tree on both engines and floor-truncated at 1e-4 — the
+# anomaly_zscore display pattern. Scale: one bounded aggregation over
+# |type x arm|, everything else is per-row projection.
+# ---------------------------------------------------------------------------
+
+
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    m = ev.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    a = m.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("q").alias("q0"),
+    )
+    b = m.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1"),
+    )
+    j = a.join(b, "event_type")
+    mean0 = F.col("s0").cast("double") / F.col("n0")
+    mean1 = F.col("s1").cast("double") / F.col("n1")
+    var0 = (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0")).cast(
+        "double"
+    ) / (F.col("n0").cast("double") * (F.col("n0") - 1))
+    var1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1").cast("double") * (F.col("n1") - 1))
+    tstat = (mean1 - mean0) / F.sqrt(var1 / F.col("n1") + var0 / F.col("n0"))
+    return j.select(
+        "event_type",
+        "n0",
+        "n1",
+        (F.floor(mean0 * 100) / 10000).alias("mean0"),
+        (F.floor(mean1 * 100) / 10000).alias("mean1"),
+        (F.floor((mean1 - mean0) * 100) / 10000).alias("effect"),
+        (F.floor(tstat * 10000) / 10000).alias("welch_t"),
+    ).orderBy("event_type")
+
+
+_AB_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, arm, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+  FROM ev GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n0, a.s AS s0, a.q AS q0,
+         b.n AS n1, b.s AS s1, b.q AS q1
+  FROM m a JOIN m b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n0, n1,
+       floor((CAST(s0 AS DOUBLE) / n0) * 100) / 10000 AS mean0,
+       floor((CAST(s1 AS DOUBLE) / n1) * 100) / 10000 AS mean1,
+       floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) * 100) / 10000
+         AS effect,
+       floor(((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+              / sqrt(CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+                     + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                       / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0))
+             * 10000) / 10000 AS welch_t
+FROM j
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -1211,6 +1297,7 @@ QUERIES = {
     "path_top_sequences": path_top_sequences,
     "assoc_pairs_events": assoc_pairs_events,
     "retention_curve_events": retention_curve_events,
+    "ab_test_events": ab_test_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -1229,6 +1316,7 @@ ORACLES = {
     "path_top_sequences": _PATHS_SQL,
     "assoc_pairs_events": _ASSOC_SQL,
     "retention_curve_events": _RETENTION_SQL,
+    "ab_test_events": _AB_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
