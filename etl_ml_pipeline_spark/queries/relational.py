@@ -1469,6 +1469,73 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# recon_order_totals — financial reconciliation: does each order
+# header's o_totalprice equal the sum of its line items'
+# extendedprice*(1-discount)*(1+tax)? The audit every billing pipeline
+# runs. Both sides land on the exact cent grid (line charges floor at
+# the 6-decimal true grid then round to cents, header scales once), so
+# the mismatch flag is pure integer comparison. One join-shuffle on
+# o_orderkey, per-status rollup.
+# ---------------------------------------------------------------------------
+
+
+def recon_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    line_cents = F.round(
+        _exact_micro_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        )
+        / _micro()
+        * 100,
+        0,
+    ).cast("long")
+    li_sum = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        line_cents.alias("li_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("hdr_cents"),
+    ).join(li_sum, "o_orderkey")
+    diff = F.abs(F.col("hdr_cents") - F.col("li_cents"))
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((diff > 1).cast("long")).alias("n_mismatched"),
+            F.max(diff).alias("max_abs_diff_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_RECON_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * (1 + l_tax) * 1e6 + 0.5) AS DECIMAL(18,0))) AS DECIMAL(28,0))
+                / CAST(1000000 AS DECIMAL(7,0)) * 100, 0) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS hdr_cents,
+         li.li_cents
+  FROM orders o JOIN li USING (o_orderkey)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN abs(hdr_cents - li_cents) > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(max(abs(hdr_cents - li_cents)) AS BIGINT) AS max_abs_diff_cents
+FROM j
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "cdc_current_orders": cdc_current_orders,
@@ -1479,6 +1546,7 @@ QUERIES = {
     "versioned_time_travel": versioned_time_travel,
     "hist_order_prices": hist_order_prices,
     "hist_equidepth_prices": hist_equidepth_prices,
+    "recon_order_totals": recon_order_totals,
     "agg_percentile_prices": agg_percentile_prices,
     "agg_stats_battery": agg_stats_battery,
     "agg_approx_percentile_prices": agg_approx_percentile_prices,
@@ -1510,6 +1578,7 @@ ORACLES = {
     "versioned_time_travel": _TIME_TRAVEL_SQL,
     "hist_order_prices": _HIST_SQL,
     "hist_equidepth_prices": _EQUIDEPTH_SQL,
+    "recon_order_totals": _RECON_SQL,
     "agg_percentile_prices": _PERCENTILE_SQL,
     "agg_stats_battery": _STATS_SQL,
     "agg_approx_percentile_prices": _APPROX_PERCENTILE_SQL,
