@@ -1288,6 +1288,58 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonality_weekday_events — the weekly seasonality profile: each
+# weekday's share of revenue vs a flat week (index 1.0 = no
+# seasonality), the decomposition input for staffing/capacity models.
+# Pure integer arithmetic: day revenues stay in cents, the index is
+# floor(day_cents * 7 * 1e6 / total_cents) — no float ratio anywhere.
+# One map-side-combined aggregation to 7 rows.
+# ---------------------------------------------------------------------------
+
+
+def seasonality_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        # ISO weekday 1-7 (Monday=1) agrees across engines
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    per = ev.groupBy("dow").agg(
+        F.count("*").alias("n_events"), F.sum("c").alias("cents")
+    )
+    tot = per.agg(F.sum("cents").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_events",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (
+                F.expr("cents * 7 * 1000000 div total") / 1000000.0
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+_SEASONALITY_SQL = """
+WITH ev AS (
+  SELECT CAST(isodow(ts) AS INT) AS dow,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+per AS (
+  SELECT dow, count(*) AS n_events, CAST(sum(c) AS BIGINT) AS cents
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per)
+SELECT dow, n_events, cents / 100.0 AS revenue,
+       (cents * 7 * 1000000 // total) / 1000000.0 AS seasonal_index
+FROM per CROSS JOIN tot
+ORDER BY dow
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -1298,6 +1350,7 @@ QUERIES = {
     "assoc_pairs_events": assoc_pairs_events,
     "retention_curve_events": retention_curve_events,
     "ab_test_events": ab_test_events,
+    "seasonality_weekday_events": seasonality_weekday_events,
     "dq_expectations_orders": dq_expectations_orders,
     "layout_partition_prune_stats": layout_partition_prune_stats,
     "window_new_vs_returning": window_new_vs_returning,
@@ -1317,6 +1370,7 @@ ORACLES = {
     "assoc_pairs_events": _ASSOC_SQL,
     "retention_curve_events": _RETENTION_SQL,
     "ab_test_events": _AB_SQL,
+    "seasonality_weekday_events": _SEASONALITY_SQL,
     "dq_expectations_orders": _DQ_SQL,
     "layout_partition_prune_stats": _PRUNE_STATS_SQL,
     "window_new_vs_returning": _NEW_RETURNING_SQL,
