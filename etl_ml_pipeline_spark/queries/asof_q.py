@@ -184,7 +184,115 @@ ORDER BY p.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# attribution_linear_events — linear multi-touch attribution: each
+# purchase's value splits equally across the user's clicks in the
+# preceding 24 hours; per click-day we report touches, credited
+# revenue, and the undistributed remainder. Exactness: the split is
+# integer micro-cents (cents * 1e6 div n_touches) so credits are
+# bit-stable and the remainder (cents*1e6 - n*credit) accounts for
+# every micro-cent — credited + remainder == total by construction.
+# Scale: one per-user interval join (purchase x its bounded 24h click
+# window — the range_join_purchase_context shape), then a day rollup.
+# ---------------------------------------------------------------------------
+
+
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    per_p = touched.groupBy("p_id", "p_ts", "cents").agg(
+        F.count("*").alias("n_touches")
+    )
+    credit = F.expr("cents * 1000000 div n_touches")
+    credited = touched.join(
+        per_p.select("p_id", "n_touches"), "p_id"
+    ).select(
+        F.to_date("click_ts").cast("string").alias("day"),
+        credit.alias("credit_micro"),
+    )
+    leftover = per_p.select(
+        F.to_date("p_ts").cast("string").alias("day"),
+        (
+            F.col("cents") * 1000000 - F.col("n_touches") * credit
+        ).alias("rem_micro"),
+    )
+    return (
+        credited.groupBy("day")
+        .agg(
+            F.count("*").alias("n_touches"),
+            (F.sum("credit_micro") / 100000000.0).alias("credited_revenue"),
+        )
+        .join(
+            leftover.groupBy("day").agg(
+                (F.sum("rem_micro") / 100000000.0).alias("remainder_revenue")
+            ),
+            "day",
+            "full_outer",
+        )
+        .fillna({"n_touches": 0, "credited_revenue": 0.0, "remainder_revenue": 0.0})
+        .orderBy("day")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touched AS (
+  SELECT p.p_id, p.p_ts, p.cents, c.click_ts
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.click_ts <= p.p_ts AND c.click_ts > p.p_ts - INTERVAL 24 HOURS
+),
+per_p AS (
+  SELECT p_id, p_ts, cents, count(*) AS n_touches
+  FROM touched GROUP BY 1, 2, 3
+),
+credited AS (
+  SELECT CAST(CAST(t.click_ts AS DATE) AS VARCHAR) AS day,
+         p.cents * 1000000 // p.n_touches AS credit_micro
+  FROM touched t JOIN per_p p USING (p_id)
+),
+leftover AS (
+  SELECT CAST(CAST(p_ts AS DATE) AS VARCHAR) AS day,
+         cents * 1000000 - n_touches * (cents * 1000000 // n_touches)
+           AS rem_micro
+  FROM per_p
+)
+SELECT coalesce(c.day, l.day) AS day,
+       coalesce(c.n_touches, 0) AS n_touches,
+       coalesce(c.credited_revenue, 0.0) AS credited_revenue,
+       coalesce(l.remainder_revenue, 0.0) AS remainder_revenue
+FROM (SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(sum(credit_micro) AS DOUBLE) / 100000000.0
+               AS credited_revenue
+      FROM credited GROUP BY day) c
+FULL OUTER JOIN (SELECT day, CAST(sum(rem_micro) AS DOUBLE) / 100000000.0
+                        AS remainder_revenue
+                 FROM leftover GROUP BY day) l
+  ON c.day = l.day
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "attribution_linear_events": attribution_linear_events,
     "asof_click_purchase": asof_click_purchase,
     "range_join_purchase_context": range_join_purchase_context,
     "asof_tolerance_counts": asof_tolerance_counts,
@@ -192,6 +300,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_linear_events": _ATTRIBUTION_SQL,
     "asof_click_purchase": _ASOF_SQL,
     "range_join_purchase_context": _RANGE_JOIN_SQL,
     "asof_tolerance_counts": _ASOF_TOL_SQL,
