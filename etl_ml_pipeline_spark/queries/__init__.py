@@ -142,6 +142,9 @@ _FLAGSHIP_NEW = {
     "hist_equidepth_prices", "q12_shipmode_priority",
     "text_bpe_train_merges", "ann_recall_contract",
     "sample_source_cap_documents",
+    # fifth-session families
+    "ab_test_events", "recon_order_totals", "retention_curve_events",
+    "attribution_linear_events",
 }
 
 
