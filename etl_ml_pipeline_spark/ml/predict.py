@@ -53,13 +53,32 @@ DEFAULT_FEATURES = [
 # which WindowExec executes as a SINGLE task holding every row. The
 # single-partition path stays for the reference's degenerate case (one
 # stock's 51-row timeline), where the two extra exchanges cost more
-# than they save. Counting the input to decide is one column-pruned
-# scan — noise next to the model fits these feeders exist for.
+# than they save.
 GLOBAL_WINDOW_ROW_THRESHOLD = 1_000_000
 
 
-def _route_distributed(df: DataFrame, row_threshold: int | None) -> bool:
-    return row_threshold is not None and df.count() > row_threshold
+def _route_distributed(
+    df: DataFrame, row_threshold: int | None, rows_hint: int | None = None
+) -> bool:
+    """Decide the global-ordering strategy WITHOUT an extra action when
+    possible (VERDICT r05 #6): caller rows-hint first, then Catalyst
+    plan statistics (exact rowCount when provable; otherwise rows <=
+    sizeInBytes, since a row occupies at least one byte, settles the
+    small side for free), and only then a column-pruned ``count()``."""
+    if row_threshold is None:
+        return False
+    if rows_hint is not None:
+        return rows_hint > row_threshold
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get())) > row_threshold
+        if int(str(stats.sizeInBytes())) <= row_threshold:
+            return False
+    except Exception:  # stats are an optimization, never a correctness gate
+        pass
+    return df.count() > row_threshold
 
 
 def create_target(
@@ -68,6 +87,7 @@ def create_target(
     order_col: str = "date",
     target_col: str = "target_return",
     row_threshold: int | None = GLOBAL_WINDOW_ROW_THRESHOLD,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Next-day % return; final row (no next day) dropped (predict.py:39-44).
 
@@ -76,7 +96,7 @@ def create_target(
     on ``rn + 1`` (an equi-shuffle on a dense unique integer — balanced
     at any scale). Pass ``row_threshold=None`` to force the naive window.
     """
-    if _route_distributed(df, row_threshold):
+    if _route_distributed(df, row_threshold, rows_hint):
         from etl_ml_pipeline_spark.operators.relational import global_row_number
 
         rn_df = global_row_number(df, [order_col], out_col="__tgt_rn")
@@ -113,6 +133,7 @@ def expanding_folds(
     n_splits: int = 5,
     order_col: str = "date",
     row_threshold: int | None = GLOBAL_WINDOW_ROW_THRESHOLD,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Tag rows with ``_rn`` (1-based time order) for TimeSeriesSplit folds.
 
@@ -127,7 +148,7 @@ def expanding_folds(
     timeline — thousands of rows). Pass ``row_threshold=None`` to force
     the naive window.
     """
-    if _route_distributed(df, row_threshold):
+    if _route_distributed(df, row_threshold, rows_hint):
         from etl_ml_pipeline_spark.operators.relational import global_row_number
 
         return global_row_number(df, [order_col], out_col="_rn")

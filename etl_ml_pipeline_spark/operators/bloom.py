@@ -49,16 +49,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Driver-footprint cap for the collected word array (VERDICT r05 #3).
+# 16 MiB of packed bits ≈ 13.4M keys at 10 bits/key — far beyond any
+# dimension worth Bloom-pruning (a bigger dim's filter stops fitting in
+# the task broadcast sweet spot anyway). Above the cap ``bloom_build``
+# raises and ``bloom_prune_join`` degrades to the plain exact join the
+# rewrite is result-identical to, instead of OOMing the driver.
+DEFAULT_MAX_FILTER_MB = 16.0
 
-def bloom_build(dim: DataFrame, key: str, bits_per_key: int = 10, k: int = 7) -> tuple[list[int], int, int]:
+
+class BloomFilterTooLarge(ValueError):
+    """ndv * bits_per_key exceeds the configured driver-side cap."""
+
+
+def bloom_build(
+    dim: DataFrame,
+    key: str,
+    bits_per_key: int = 10,
+    k: int = 7,
+    max_filter_mb: float = DEFAULT_MAX_FILTER_MB,
+) -> tuple[list[int], int, int]:
     """Build a Bloom filter over ``dim[key]``; returns (words, m_bits, k).
 
     One distributed aggregation; the collect returns m/64 rows (filter
     size, independent of dim row count). m is sized from the exact
     distinct key count — callers pruning against a dimension they just
-    filtered already pay a scan, and the count shares it.
+    filtered already pay a scan, and the count shares it. Raises
+    :class:`BloomFilterTooLarge` if the packed filter would exceed
+    ``max_filter_mb`` on the driver (the collect is the only unbounded
+    driver cost in this operator; everything else is m-independent).
     """
     ndv = dim.select(key).distinct().count()
+    if ndv * bits_per_key > max_filter_mb * 8 * 1024 * 1024:
+        raise BloomFilterTooLarge(
+            f"Bloom filter for ndv={ndv} at {bits_per_key} bits/key is "
+            f"{ndv * bits_per_key / 8 / 1024 / 1024:.1f} MiB "
+            f"(cap {max_filter_mb} MiB); use a shuffle join instead"
+        )
     m = max(64, ndv * bits_per_key)
     m += (-m) % 64  # round up to whole words
     pos = F.explode(F.array(*_probe_positions(F.col(key), m, k)))
@@ -112,6 +139,7 @@ def bloom_prune_join(
     bits_per_key: int = 10,
     k: int = 7,
     how: str = "inner",
+    max_filter_mb: float = DEFAULT_MAX_FILTER_MB,
 ) -> DataFrame:
     """Exact equi-join with a Bloom pre-filter on the fact side.
 
@@ -119,10 +147,17 @@ def bloom_prune_join(
     left_semi joins (false positives are eliminated by the exact join);
     the Bloom filter prunes the fact side BEFORE its shuffle. For
     ``how="left_semi"`` the dim side still shuffles only its keys.
+
+    If the dim's distinct keys would pack to more than ``max_filter_mb``
+    on the driver, the pre-filter is skipped and the plain exact join
+    runs — same result, graceful degradation instead of a driver OOM.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_prune_join preserves semantics only for inner/left_semi, got {how!r}")
-    words, m, kk = bloom_build(dim, key, bits_per_key, k)
+    try:
+        words, m, kk = bloom_build(dim, key, bits_per_key, k, max_filter_mb)
+    except BloomFilterTooLarge:
+        return fact.join(dim, key, how)
     pruned = fact.filter(might_contain(F.col(key), words, m, kk))
     return pruned.join(dim, key, how)
 
@@ -151,4 +186,7 @@ class BloomPruneJoin(BaseTransform):
             bits_per_key=int(self.config.get("bits_per_key", 10)),
             k=int(self.config.get("k", 7)),
             how=self.config.get("how", "inner"),
+            max_filter_mb=float(
+                self.config.get("max_filter_mb", DEFAULT_MAX_FILTER_MB)
+            ),
         )

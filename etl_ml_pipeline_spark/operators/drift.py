@@ -26,14 +26,6 @@ from etl_ml_pipeline_spark.operators.base import BaseTransform
 from etl_ml_pipeline_spark.registry import register_transform
 
 
-def _bin_counts(
-    df: DataFrame, keys: list[str], value_col: str, bins: int, out: str
-) -> DataFrame:
-    return df.groupBy(*keys, F.col(value_col).alias("__bin")).agg(
-        F.count("*").alias(out)
-    )
-
-
 def psi(
     ref: DataFrame,
     cur: DataFrame,

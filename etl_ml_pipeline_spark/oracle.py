@@ -32,8 +32,8 @@ def duckdb_connect(sf_dir: str):
 
 
 def _canon_value(v: Any) -> str:
-    if v is None:
-        return "<null>"
+    if v is None or v is pd.NA:
+        return "<null>"  # pd.NA is missingness, not a float nan
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
@@ -72,6 +72,18 @@ def _canon_series(s: pd.Series) -> pd.Series:
 
     kind = s.dtype.kind
     if kind in "iu":
+        # Fast path is only safe for plain numpy int dtypes within
+        # int64 range: pandas nullable Int64 carrying pd.NA raises on
+        # astype('int64'), and uint64 values above 2^63 would silently
+        # wrap. Route those to the exact scalar path (ADVICE r05).
+        if not isinstance(s.dtype, np.dtype):
+            # astype(object) preserves pd.NA (Series.map would coerce
+            # it to float nan before the callable sees it)
+            return s.astype(object).map(_canon_value)
+        if kind == "u" and s.dtype.itemsize == 8 and len(s) and bool(
+            (s.to_numpy() > np.iinfo("int64").max).any()
+        ):
+            return s.map(_canon_value)
         return s.astype("int64").astype(str)
     if kind == "b":
         return s.astype(str)

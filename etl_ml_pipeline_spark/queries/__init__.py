@@ -38,30 +38,17 @@ _MODULES = (
 )
 
 # Latest round in which the driver recorded a correctness row for each
-# query (static snapshot of CORRECTNESS_r01..r04; every latest record is
-# green as of r04). The driver records only a ~50-entry wall-clock
-# prefix of ``queries()`` in emission order, so emission is triage:
-# LEAST-recently-recorded first. Round 5 added ~47 never-recorded
-# queries — more than the prefix minus the r01/r02 backlog — so the
-# triage slots them at priority 2.5: the STALEST driver rows (r01+r02,
-# 23 queries, last recorded before the round-4 tie-semantics and loader
-# changes) re-verify first, the round-5 additions fill the remaining
-# prefix, and whatever overflows rotates into the next round's prefix
-# (the ordering is self-correcting as this map is refreshed per round).
+# query (static snapshot of CORRECTNESS_r01..r05; every latest record is
+# green as of r05 — the r01/r02 backlog was fully re-recorded in r05).
+# The driver records only a ~50-entry wall-clock prefix of ``queries()``
+# in emission order, so emission is triage: never-recorded first, then
+# least-recently-recorded. Round 6 puts the 36 never-recorded queries
+# (stream replays, sketches, funnel/cohort, triangle counts, time
+# travel, ...) at the head so the driver union covers them, then any
+# queries added this round, then the r03-stale retrieval/text/dedup
+# rows; whatever overflows the prefix rotates into round 7.
 _LAST_RECORDED = {
-    # --- round 1 ---
-    "sma_events": 1, "validate_drop_customers": 1, "validate_flag_summary": 1,
-    # --- round 2 ---
-    "clean_dedup_keep_first": 2, "clean_pipeline_customer": 2,
-    "clean_standardize_cast": 2, "q10_returned_revenue": 2,
-    "q11_important_value": 2, "q13_order_histogram": 2, "q15_top_supplier": 2,
-    "q16_supplier_cnt": 2, "q20_dominant_supplier": 2,
-    "q21_waiting_supplier": 2, "q7_nation_volume": 2, "q8_market_share": 2,
-    "q9_product_profit": 2, "window_dist_functions": 2,
-    "window_first_last": 2, "window_lag_lead_orders": 2,
-    "window_quartile_stats": 2, "window_rank_suppliers": 2,
-    "window_running_total": 2, "window_topk_orders_per_customer": 2,
-    # --- round 3 ---
+    # --- round 3 (latest record) ---
     "ann_bruteforce_topk": 3, "ann_ivf_topk": 3, "ann_ivfpq_topk": 3,
     "ann_lsh_topk": 3, "ann_pq_adc_topk": 3, "cube_status_priority": 3,
     "dedup_cluster_canonical": 3, "dedup_exact_documents": 3,
@@ -76,7 +63,7 @@ _LAST_RECORDED = {
     "text_langid_confusion": 3, "text_model_quality_score": 3,
     "text_pii_scrub": 3, "text_quality_docs": 3, "text_repetition_stats": 3,
     "text_token_stats": 3, "text_vocab_topk": 3, "text_winnow_sketch": 3,
-    # --- round 4 ---
+    # --- round 4 (latest record) ---
     "agg_approx_distinct_parts": 4, "agg_approx_percentile_prices": 4,
     "agg_distinct_parts": 4, "agg_percentile_prices": 4,
     "agg_stats_battery": 4, "ann_ivf_sqrtn_topk": 4,
@@ -92,14 +79,39 @@ _LAST_RECORDED = {
     "q14_promo_share": 4, "q17_small_qty_revenue": 4, "q18_large_orders": 4,
     "q19_disjunctive_revenue": 4, "q1_pricing_summary": 4,
     "q22_idle_big_balance": 4, "q2_min_cost_supplier": 4, "q3_top_orders": 4,
-    "q4_priority_exists": 4, "q5_region_revenue": 4, "q6_forecast_revenue": 4,
-    "range_join_purchase_context": 4, "rollup_order_stats": 4,
-    "rsi_macd_events": 4, "scalar_function_battery": 4,
-    "scd2_order_history": 4, "scd2_point_in_time_join": 4,
-    "sessionize_events": 4, "set_lapsed_customers": 4,
-    "set_repeat_customers": 4, "set_union_high_low": 4,
-    "skew_salted_agg_events": 4, "skew_salted_join_events": 4,
-    "tumble_hourly_events": 4,
+    "q4_priority_exists": 4, "q5_region_revenue": 4,
+    "q6_forecast_revenue": 4, "range_join_purchase_context": 4,
+    "rollup_order_stats": 4, "rsi_macd_events": 4,
+    "scalar_function_battery": 4, "scd2_order_history": 4,
+    "scd2_point_in_time_join": 4, "sessionize_events": 4,
+    "set_lapsed_customers": 4, "set_repeat_customers": 4,
+    "set_union_high_low": 4, "skew_salted_agg_events": 4,
+    "skew_salted_join_events": 4, "tumble_hourly_events": 4,
+    # --- round 5 (latest record) ---
+    "ab_test_events": 5, "ann_recall_contract": 5, "anomaly_mad_events": 5,
+    "attribution_linear_events": 5, "bloom_prune_brand_revenue": 5,
+    "changepoint_cusum_events": 5, "clean_dedup_keep_first": 5,
+    "clean_pipeline_customer": 5, "clean_standardize_cast": 5,
+    "dedup_segments_documents": 5, "drift_psi_events": 5,
+    "embedding_covariance_pca": 5, "forecast_holt_events": 5,
+    "hist_equidepth_prices": 5, "hybrid_search_rrf": 5,
+    "kmeans_lloyd_embeddings": 5, "layout_zorder_prune_stats": 5,
+    "markov_transitions_events": 5, "ml_group_ols_trend": 5,
+    "multimodal_video_frames": 5, "path_top_sequences": 5,
+    "privacy_k_anonymity": 5, "q10_returned_revenue": 5,
+    "q11_important_value": 5, "q12_shipmode_priority": 5,
+    "q13_order_histogram": 5, "q15_top_supplier": 5, "q16_supplier_cnt": 5,
+    "q20_dominant_supplier": 5, "q21_waiting_supplier": 5,
+    "q7_nation_volume": 5, "q8_market_share": 5, "q9_product_profit": 5,
+    "recon_order_totals": 5, "retention_curve_events": 5,
+    "sample_source_cap_documents": 5, "sma_events": 5,
+    "split_leakage_safe_documents": 5, "stream_cusum_replay": 5,
+    "text_bpe_train_merges": 5, "validate_drop_customers": 5,
+    "validate_flag_summary": 5, "window_activity_streaks": 5,
+    "window_dist_functions": 5, "window_first_last": 5,
+    "window_lag_lead_orders": 5, "window_quartile_stats": 5,
+    "window_rank_suppliers": 5, "window_running_total": 5,
+    "window_topk_orders_per_customer": 5,
 }
 
 
@@ -111,40 +123,43 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in out:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
-    # Least-recently-recorded first (stable within each round group) so a
-    # prefix-truncated correctness run refreshes the stalest entries;
-    # never-recorded queries slot after the r01/r02 backlog (see above),
-    # with the round-5 flagship demos (full-iteration oracle replays,
-    # the new monitor/privacy/layout families) ahead of the rest of the
-    # never-recorded pool so the driver record covers them first.
+    # Triage order (stable within each tier): the pre-round-6 never-
+    # recorded backlog first (tier 0), then queries added after the r05
+    # snapshot (tier 0.5 — never recorded either, but the 36-name
+    # backlog must clear this round), then stale driver rows oldest
+    # first (r03 before r04 before r05).
     names = sorted(
         out,
         key=lambda k: _LAST_RECORDED.get(
-            k, 2.4 if k in _FLAGSHIP_NEW else 2.5
+            k, 0 if k in _BACKLOG_R06 else 0.5
         ),
     )
     return {k: out[k] for k in names}
 
 
-# Round-5 queries whose driver record matters most: exact iterative
-# replays (k-means, BPE, Holt, CUSUM incl. the streaming twin), the
-# monitoring/privacy/sequence families, the layout/pruning rewrites,
-# and the retrieval/ANN contracts.
-_FLAGSHIP_NEW = {
-    "kmeans_lloyd_embeddings", "embedding_covariance_pca",
-    "ml_group_ols_trend", "drift_psi_events", "markov_transitions_events",
-    "anomaly_mad_events", "privacy_k_anonymity", "path_top_sequences",
-    "multimodal_video_frames", "layout_zorder_prune_stats",
-    "bloom_prune_brand_revenue", "dedup_segments_documents",
-    "split_leakage_safe_documents", "hybrid_search_rrf",
-    "forecast_holt_events", "changepoint_cusum_events",
-    "stream_cusum_replay", "window_activity_streaks",
-    "hist_equidepth_prices", "q12_shipmode_priority",
-    "text_bpe_train_merges", "ann_recall_contract",
-    "sample_source_cap_documents",
-    # fifth-session families
-    "ab_test_events", "recon_order_totals", "retention_curve_events",
-    "attribution_linear_events",
+# The 36 catalog queries that had never appeared in a driver
+# CORRECTNESS record as of round 5 (VERDICT r05 "Next round" #1).
+# Fixed list, not computed, so the emission order is deterministic and
+# auditable against CORRECTNESS_r06.json.
+_BACKLOG_R06 = {
+    "agg_incremental_refresh", "versioned_time_travel",
+    "unpivot_order_metrics", "window_mom_revenue_growth",
+    "stream_sessionize_replay", "stream_tumble_replay",
+    "stream_running_totals_replay", "stream_dedup_replay",
+    "stream_slide_replay", "stream_session_window_replay",
+    "stream_interval_join_replay", "stream_cdc_view_replay",
+    "stream_static_join_replay", "sketch_rolling_distinct_users",
+    "resample_gapfill_events", "text_novelty_trigram",
+    "sketch_heavy_hitters_terms", "sketch_cms_frequency",
+    "text_novelty_surprise", "dedup_fuzzy_ed1_names",
+    "graph_triangle_counts", "ann_ivfpq_rerank_topk",
+    "multimodal_audio_features", "split_assign_documents",
+    "sample_weighted_priority_documents", "sample_temperature_lang",
+    "feature_winsorize_events", "assoc_pairs_events",
+    "seasonality_weekday_events", "dq_expectations_orders",
+    "layout_partition_prune_stats", "window_new_vs_returning",
+    "window_rolling_autocorr_events", "anomaly_zscore_events",
+    "funnel_events", "cohort_retention_events",
 }
 
 

