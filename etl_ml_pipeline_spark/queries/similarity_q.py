@@ -1176,8 +1176,69 @@ SELECT 10 AS k, 10 AS n_queries,
     )
 
 
+# ---------------------------------------------------------------------------
+# ann_recall_battery — recall@5 of EVERY ANN index vs the exact
+# brute-force top-5, one row per index (VERDICT r05 #4: the contract
+# covered only sqrt(N)-IVF). Each index pipeline is the exact catalog
+# query above (same 10 queries, same k, same parameters), so the
+# oracle reuses each proven per-index SQL verbatim as a derived table
+# and intersects with the brute-force top-5 — the recall VALUES
+# hash-compare cross-engine, and the per-index floor rides along as a
+# boolean the oracle pins to literal TRUE (the
+# agg_approx_distinct_parts bound pattern). Floors are set well under
+# the measured recalls (sf0.01 / sf0.1: lsh .26/.22, ivf_p1 .44/.40,
+# ivf_sqrtn_p2 .60/.46, pq_adc .28/.30, ivfpq .28/.30, rerank
+# .86/.56) — they assert "the index is not broken", not a tuning fact.
+# Scale: the battery is a measurement harness over the 10-query block;
+# each index remains its bucketed/banded candidate generation.
+# ---------------------------------------------------------------------------
+
+_BATTERY = [
+    # (row name, catalog query fn, oracle SQL thunk, recall floor)
+    ("ivf_p1", ann_ivf_topk, lambda: _IVF_SQL, 0.20),
+    ("ivf_sqrtn_p2", ann_ivf_sqrtn_topk, lambda: _IVF_SQRTN_SQL, 0.25),
+    ("ivfpq", ann_ivfpq_topk, lambda: _ivfpq_oracle(), 0.10),
+    ("ivfpq_rerank", ann_ivfpq_rerank_topk, lambda: _ivfpq_rerank_oracle(), 0.30),
+    ("lsh", ann_lsh_topk, lambda: _lsh_oracle(), 0.10),
+    ("pq_adc", ann_pq_adc_topk, lambda: _pq_oracle(), 0.10),
+]
+
+
+def ann_recall_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    rows = []
+    for name, fn, _sql, floor in _BATTERY:
+        idx = fn(spark, sf_dir).select("q_id", "c_id")
+        rows.append(
+            bf.join(idx, ["q_id", "c_id"]).agg(
+                F.lit(name).alias("index_name"),
+                F.lit(5).alias("k"),
+                F.lit(10).alias("n_queries"),
+                (F.count("*") / F.lit(50.0)).alias("recall"),
+                ((F.count("*") / F.lit(50.0)) >= F.lit(floor)).alias("floor_ok"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("index_name")
+
+
+def _battery_oracle() -> str:
+    parts = []
+    for name, _fn, sql, _floor in _BATTERY:
+        parts.append(
+            f"""
+SELECT '{name}' AS index_name, 5 AS k, 10 AS n_queries,
+       (SELECT count(*) FROM ({sql()}) i
+        JOIN ({_BRUTE_SQL}) b USING (q_id, c_id)) / 50.0 AS recall,
+       TRUE AS floor_ok"""
+        )
+    return " UNION ALL ".join(parts) + "\nORDER BY index_name"
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_recall_battery": ann_recall_battery,
     "ann_recall_contract": ann_recall_contract,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1196,6 +1257,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "ann_recall_battery": _battery_oracle(),
     "ann_recall_contract": _recall_oracle(),
     "ann_pq_adc_topk": _pq_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),

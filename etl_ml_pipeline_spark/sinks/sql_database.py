@@ -316,13 +316,19 @@ class SqlDatabaseSink(BaseSink):
             return
         target = DeltaTable.forPath(spark, path)
         cond = " AND ".join(f"t.{quote_ident(k)} = s.{quote_ident(k)}" for k in pks)
-        (
+        builder = (
             target.alias("t")
             .merge(df.alias("s"), cond)
             .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
-            .execute()
         )
+        if self.config.get("delta_schema_evolution"):
+            # Delta's fluent schema-evolution opt-in: source columns
+            # absent from the target are ADDED by the merge instead of
+            # raising an analysis error (the per-statement equivalent of
+            # spark.databricks.delta.schema.autoMerge.enabled).
+            builder = builder.withSchemaEvolution()
+        builder.execute()
 
     def _load_distributed(self, df: DataFrame, sql: str, batch_size: int) -> None:
         """foreachPartition concurrent writers (server DBs; SURVEY §2.3/L3)."""

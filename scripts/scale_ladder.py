@@ -65,6 +65,9 @@ QUERIES = [
     "hist_equidepth_prices",
     "hybrid_search_rrf",
     "privacy_k_anonymity",
+    # round-6: the last round-5 family missing from the ladder
+    # (VERDICT r05 #5) — micro-cent multi-touch attribution
+    "attribution_linear_events",
 ]
 
 

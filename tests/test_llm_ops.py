@@ -854,3 +854,27 @@ def test_fvid_roundtrip_and_errors(spark):
     # frame 1 = frame 0 + 12 everywhere -> motion exactly 12
     assert rows[0]["motion"] == -1.0 and rows[1]["motion"] == 12.0
     assert rows[0]["mean_luma"] == float(frames[0].mean())
+
+
+def test_hybrid_search_dense_index_parity(spark, sf_dir):
+    """hybrid_search_rrf(dense_index='ivf') with full probing (n_probe
+    covers every inverted list at demo scale) must return exactly the
+    brute-force fusion; a partial probe still returns the contracted
+    shape. Pins the scale swap as code, not prose (VERDICT r05 #8)."""
+    import pytest as _pytest
+
+    from etl_ml_pipeline_spark.queries.text_q import hybrid_search_rrf
+
+    brute = hybrid_search_rrf(spark, sf_dir).collect()
+    ivf_full = hybrid_search_rrf(
+        spark, sf_dir, dense_index="ivf", n_probe=4
+    ).collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, ivf_full))
+
+    partial = hybrid_search_rrf(spark, sf_dir, dense_index="ivf", n_probe=1)
+    rows = partial.collect()
+    assert partial.columns == ["q_id", "rank", "c_id", "lex_rank", "vec_rank", "rrf"]
+    assert 0 < len(rows) <= len(brute)
+
+    with _pytest.raises(ValueError, match="dense_index"):
+        hybrid_search_rrf(spark, sf_dir, dense_index="hnsw")

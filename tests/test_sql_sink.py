@@ -245,6 +245,10 @@ def test_delta_merge_branch_with_stubbed_api(spark, db, monkeypatch, tmp_path):
             calls.setdefault("chain", []).append("whenNotMatchedInsertAll")
             return self
 
+        def withSchemaEvolution(self):
+            calls.setdefault("chain", []).append("withSchemaEvolution")
+            return self
+
         def execute(self):
             calls.setdefault("chain", []).append("execute")
 
@@ -307,6 +311,29 @@ def test_delta_merge_branch_with_stubbed_api(spark, db, monkeypatch, tmp_path):
     assert calls["source_is_df"]
     assert calls["chain"] == [
         "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+    ]
+
+    # second append against the existing table with a WIDER source
+    # schema: delta_schema_evolution=true must thread the fluent
+    # withSchemaEvolution() call between the clause builders and
+    # execute (Delta's per-statement autoMerge opt-in); without the
+    # flag the chain stays evolution-free (asserted above).
+    calls["chain"] = []
+    wide = _df(
+        spark,
+        [(1, "x", "a", 7)],
+        "id long, region string, name string, extra long",
+    )
+    monkeypatch.setattr(type(wide), "write", property(lambda self: FakeWriter()))
+    cfg_evo = dict(cfg, delta_schema_evolution=True)
+    sink_evo = SqlDatabaseSink(spark, cfg_evo)
+    sink_evo.load(wide)
+    sink_evo.disconnect()
+    assert calls["chain"] == [
+        "whenMatchedUpdateAll",
+        "whenNotMatchedInsertAll",
+        "withSchemaEvolution",
+        "execute",
     ]
 
 
