@@ -62,6 +62,10 @@ HEADLINE = [
     # rounds) and two-leg fused retrieval — the widest new plan shapes.
     "kmeans_lloyd_embeddings",
     "hybrid_search_rrf",
+    # round-6: the deterministic epoch shuffle — a pure global-
+    # permutation pipeline (range-repartition + broadcast offsets),
+    # the training-order materialization shape.
+    "shuffle_epoch_documents",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

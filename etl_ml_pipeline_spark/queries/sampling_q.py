@@ -693,8 +693,64 @@ ORDER BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# shuffle_epoch_documents — the deterministic epoch shuffle every
+# training run needs: a reproducible global permutation of the corpus
+# per epoch, seeded by the epoch number, so a resumed/re-run job reads
+# the SAME order and different epochs read DIFFERENT orders. Sort key =
+# 60-bit md5 hash of "ep{epoch}:{doc_id}" (identical across engines,
+# uncorrelated between epochs). Scale: the permutation is assigned with
+# the two-phase distributed rank (operators/relational.py
+# global_row_number — range-repartition on the hash, local row_number,
+# broadcast offsets), NEVER a single-task global window; each epoch is
+# one such pass, exactly how a 100 TB corpus gets its epoch order
+# materialized (epochs are processed sequentially in training anyway).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_EPOCHS = 2
+
+
+def shuffle_epoch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from etl_ml_pipeline_spark.operators.relational import global_row_number
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for ep in range(1, _SHUFFLE_EPOCHS + 1):
+        h = token_hash60(
+            F.concat(F.lit(f"ep{ep}:"), F.col("doc_id").cast("string"))
+        )
+        ranked = global_row_number(
+            docs.withColumn("__h", h), ["__h", "doc_id"], out_col="position"
+        )
+        parts.append(
+            ranked.select(F.lit(ep).alias("epoch"), "position", "doc_id")
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
+        "epoch", "position"
+    )
+
+
+_SHUFFLE_EPOCH_SQL = f"""
+WITH eps AS (SELECT unnest(range(1, {_SHUFFLE_EPOCHS} + 1)) AS epoch),
+hashed AS (
+  SELECT e.epoch, d.doc_id,
+         ('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM documents d CROSS JOIN eps e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       row_number() OVER (PARTITION BY epoch ORDER BY hh, doc_id) AS position,
+       doc_id
+FROM hashed
+ORDER BY epoch, position
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "shuffle_epoch_documents": shuffle_epoch_documents,
     "sample_source_cap_documents": sample_source_cap_documents,
     "split_assign_documents": split_assign_documents,
     "split_leakage_safe_documents": split_leakage_safe_documents,
@@ -708,6 +764,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "shuffle_epoch_documents": _SHUFFLE_EPOCH_SQL,
     "sample_source_cap_documents": _SOURCE_CAP_SQL,
     "split_assign_documents": _SPLIT_SQL,
     "split_leakage_safe_documents": _split_leakage_oracle(),

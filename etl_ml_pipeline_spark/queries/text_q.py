@@ -1338,7 +1338,88 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_stats_battery — the one-row dataset card every corpus release
+# ships: volume (docs, chars), diversity (languages, sources), hygiene
+# (exact-duplicate rate), and central tendency (mean + exact median
+# length). All integer-exact: the dup rate is parts-per-million by
+# integer division, the mean is milli-chars by integer division, and
+# the median is the NEAREST-RANK p50 computed by a cumulative-frequency
+# walk over the distinct length grid (the verify-skill pattern —
+# interpolated percentiles are not oracle-safe). Scale: two bounded
+# aggregations (corpus scalars; length grid |distinct n_chars| rows) —
+# the only window runs over the length grid, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scalars = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+    )
+    grid = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum))
+    # nearest-rank p50: the smallest length whose cumulative frequency
+    # reaches ceil(n/2) = (n+1) div 2
+    p50 = (
+        cum.crossJoin(F.broadcast(scalars.select("n_docs")))
+        .filter(F.col("cum") >= (F.col("n_docs") + 1) / 2)
+        .agg(F.min("n_chars").alias("p50_chars"))
+    )
+    return scalars.crossJoin(F.broadcast(p50)).select(
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "n_sources",
+        F.expr("(n_docs - n_distinct_texts) * 1000000 DIV n_docs").alias(
+            "dup_ppm"
+        ),
+        F.expr("total_chars * 1000 DIV n_docs").alias("mean_chars_milli"),
+        "p50_chars",
+    )
+
+
+_CORPUS_STATS_SQL = """
+WITH scalars AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+  FROM documents
+),
+grid AS (
+  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM grid
+),
+p50 AS (
+  SELECT CAST(min(n_chars) AS BIGINT) AS p50_chars
+  FROM cum CROSS JOIN scalars
+  WHERE cum >= (n_docs + 1) / 2
+)
+SELECT n_docs, total_chars, n_langs, n_sources,
+       (n_docs - n_distinct_texts) * 1000000 // n_docs AS dup_ppm,
+       total_chars * 1000 // n_docs AS mean_chars_milli,
+       p50_chars
+FROM scalars CROSS JOIN p50
+"""
+
+
 QUERIES = {
+    "corpus_stats_battery": corpus_stats_battery,
     "text_token_stats": text_token_stats,
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_bpe_train_merges": text_bpe_train_merges,
@@ -1362,6 +1443,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_stats_battery": _CORPUS_STATS_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),
     "text_token_stats": _TOKEN_STATS_SQL,

@@ -878,3 +878,24 @@ def test_hybrid_search_dense_index_parity(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="dense_index"):
         hybrid_search_rrf(spark, sf_dir, dense_index="hnsw")
+
+
+def test_shuffle_epoch_is_decorrelated_permutation(spark, sf_dir):
+    """Each epoch must be a COMPLETE permutation (positions 1..n exactly
+    once), reproducible across invocations, and decorrelated between
+    epochs (the whole point of reshuffling per epoch)."""
+    from etl_ml_pipeline_spark.queries.sampling_q import shuffle_epoch_documents
+
+    out = shuffle_epoch_documents(spark, sf_dir).toPandas()
+    n = out[out.epoch == 1].shape[0]
+    for ep in (1, 2):
+        pos = sorted(out[out.epoch == ep]["position"])
+        assert pos == list(range(1, n + 1))
+    # determinism: a second invocation is bit-identical
+    again = shuffle_epoch_documents(spark, sf_dir).toPandas()
+    assert out.equals(again)
+    # decorrelation: the two epoch orders agree on almost no positions
+    # (expected matches for a random permutation pair ~= 1)
+    e1 = out[out.epoch == 1].set_index("doc_id")["position"]
+    e2 = out[out.epoch == 2].set_index("doc_id")["position"]
+    assert (e1 == e2.reindex(e1.index)).sum() <= max(3, n // 50)
