@@ -35,6 +35,7 @@ _MODULES = (
     "skew_q",
     "prune_q",
     "analytics_q",
+    "batteries",
 )
 
 # Latest round in which the driver recorded a correctness row for each
