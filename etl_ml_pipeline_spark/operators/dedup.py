@@ -460,6 +460,81 @@ def segment_dedup(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Strip boilerplate segments: any ``seg_words``-word segment that
+    appears in MORE than ``max_df`` distinct documents is template text
+    (headers, footers, cookie banners in web corpora) and is removed
+    from every document that carries it — unlike segment dedup, no copy
+    survives, because boilerplate is noise, not content.
+
+    Returns one row per document that keeps >= 1 segment:
+    (id, n_segs, n_boiler, clean_text).
+
+    Scale: same shape as :func:`segment_dedup` — segmentation is
+    per-row JVM HOFs; the document-frequency table is ONE aggregation
+    on the segment key (count of distinct docs, map-side combinable
+    after the per-doc distinct); the strip is a left_anti equi-join on
+    that key; reassembly is one shuffle back to the document. The df
+    table is Zipf-shaped, so the anti-join's build side stays tiny
+    after ``HAVING df > max_df``.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+    boiler = (
+        exploded.select("seg", id_col)
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("seg")
+    )
+    w_doc = Window.partitionBy(id_col)
+    counted = exploded.withColumn("n_segs", F.count("*").over(w_doc))
+    kept = counted.join(boiler, "seg", "left_anti")
+    return (
+        kept.groupBy(id_col, "n_segs")
+        .agg(
+            (F.col("n_segs") - F.count("*")).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_segs", "n_boiler", "clean_text")
+    )
+
+
+@register_transform("boilerplate_strip")
+class BoilerplateStrip(BaseTransform):
+    """Pipeline form. Config: ``text_col``, ``id_col``, ``seg_words``,
+    ``max_df``."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return boilerplate_strip(
+            df,
+            text_col=self.config.get("text_col", "text"),
+            id_col=self.config.get("id_col", "doc_id"),
+            seg_words=int(self.config.get("seg_words", 10)),
+            max_df=int(self.config.get("max_df", 2)),
+        )
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

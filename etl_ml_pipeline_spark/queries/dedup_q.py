@@ -430,8 +430,61 @@ GROUP BY doc_id, n_segs
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate_strip_documents — template-text removal, the web-corpus
+# stage BETWEEN raw text and dedup: any 10-word segment present in
+# more than 2 distinct documents of the dup'd corpus is boilerplate
+# and is stripped from EVERY carrier (segment dedup keeps one copy;
+# boilerplate keeps none). One segment-key aggregation builds the
+# document-frequency table, a left_anti join strips, one shuffle
+# reassembles — no pairwise comparison anywhere (operators/dedup.py
+# boilerplate_strip). clean_text is emitted as md5 + length.
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import boilerplate_strip
+
+    out = boilerplate_strip(_dup_corpus(spark, sf_dir), seg_words=10, max_df=2)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_boiler",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_chars"),
+    )
+
+
+_BOILER_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+segs AS (
+  SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    u.i * 10 + 1, u.i * 10 + 10), ' ') AS seg
+  FROM corpus,
+       UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT))) AS u(i)
+),
+boiler AS (
+  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+  WHERE df > 2
+),
+counted AS (
+  SELECT s.*, count(*) OVER (PARTITION BY doc_id) AS n_segs FROM segs s
+)
+SELECT doc_id,
+       CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_segs - count(*) AS BIGINT) AS n_boiler,
+       md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5,
+       CAST(len(string_agg(seg, ' ' ORDER BY seg_idx)) AS INT) AS clean_chars
+FROM counted
+WHERE seg NOT IN (SELECT seg FROM boiler)
+GROUP BY doc_id, n_segs
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "boilerplate_strip_documents": boilerplate_strip_documents,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
@@ -442,6 +495,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": _EXACT_SQL,
+    "boilerplate_strip_documents": _BOILER_SQL,
     "dedup_cluster_canonical": _CLUSTER_SQL,
     "dedup_minhash_documents": _minhash_oracle(),
     "dedup_simhash_documents": _simhash_oracle(),

@@ -1418,8 +1418,84 @@ FROM scalars CROSS JOIN p50
 """
 
 
+# ---------------------------------------------------------------------------
+# phrase_search_documents — positional phrase match, the exact-phrase
+# leg a search stack runs next to BM25: the corpus' top-3 bigrams (by
+# frequency, lexicographic tiebreak) are located in every document
+# with match counts and first hit position. The bigram stream is a
+# per-row HOF projection (transform over sequence — no window, no
+# Python); the top-3 selection is one aggregation + TakeOrdered; the
+# match scan is a broadcast semi-join of the 3-phrase set against the
+# bigram stream. At 100 TB the same plan serves ad-hoc phrase queries:
+# broadcast the (tiny) phrase list, aggregate per (phrase, doc).
+# ---------------------------------------------------------------------------
+
+
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    )
+    big = (
+        docs.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("a"), i), F.element_at(F.col("a"), i + 1)
+                    ),
+                )
+            ).alias("pos0", "bigram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "bigram")
+    )
+    top3 = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("corpus_freq"))
+        .orderBy(F.desc("corpus_freq"), "bigram")
+        .limit(3)
+    )
+    return (
+        big.join(F.broadcast(top3), "bigram")
+        .groupBy(F.col("bigram").alias("phrase"), "doc_id", "corpus_freq")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+        .select("phrase", "doc_id", "n_matches", "first_pos", "corpus_freq")
+        .orderBy("phrase", "doc_id")
+    )
+
+
+_PHRASE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS a FROM documents
+),
+big AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, a[u.i] || ' ' || a[u.i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(a))) AS u(i)
+  WHERE len(a) >= 2
+),
+top3 AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS corpus_freq
+  FROM big GROUP BY 1
+  ORDER BY corpus_freq DESC, bigram
+  LIMIT 3
+)
+SELECT b.bigram AS phrase, b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(b.pos) AS INT) AS first_pos,
+       t.corpus_freq
+FROM big b JOIN top3 t USING (bigram)
+GROUP BY 1, 2, t.corpus_freq
+ORDER BY phrase, doc_id
+"""
+
+
 QUERIES = {
     "corpus_stats_battery": corpus_stats_battery,
+    "phrase_search_documents": phrase_search_documents,
     "text_token_stats": text_token_stats,
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_bpe_train_merges": text_bpe_train_merges,
@@ -1443,6 +1519,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "phrase_search_documents": _PHRASE_SQL,
     "corpus_stats_battery": _CORPUS_STATS_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),

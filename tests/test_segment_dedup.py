@@ -61,3 +61,44 @@ def test_registry_transform_segments(spark):
     out = TRANSFORMS.get("dedup_segments")({"seg_words": 2})(df)
     rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
     assert rows == {1: "a b c d", 3: "x y"}
+
+
+def test_boilerplate_strip_removes_every_copy(spark):
+    """A segment in > max_df distinct docs disappears from ALL carriers
+    (segment dedup would keep the first); content below the threshold
+    survives untouched; fully-boilerplate docs drop out."""
+    from etl_ml_pipeline_spark.operators.dedup import boilerplate_strip
+
+    df = spark.createDataFrame(
+        [
+            (1, "hdr one hdr two body one"),
+            (2, "hdr one hdr two body two"),
+            (3, "hdr one hdr two body three"),
+            (4, "hdr one hdr two"),  # nothing but boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(df, seg_words=2, max_df=2).collect()}
+    # "hdr one"/"hdr two" appear in 4 > 2 docs -> stripped everywhere
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "body one"
+    assert out[2]["clean_text"] == "body two"
+    assert out[1]["n_segs"] == 3 and out[1]["n_boiler"] == 2
+    # dup within ONE doc does not inflate the document frequency
+    solo = spark.createDataFrame(
+        [(1, "rep rep rep rep body one"), (2, "other text here yes")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_strip(solo, seg_words=2, max_df=1).collect()}
+    assert rows[1]["n_boiler"] == 0  # "rep rep" df=1 despite 2 copies in doc 1
+
+
+def test_registry_transform_boilerplate(spark):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b z w")], ["doc_id", "text"]
+    )
+    out = TRANSFORMS.get("boilerplate_strip")({"seg_words": 2, "max_df": 2})(df)
+    rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert rows == {1: "c d", 2: "x y", 3: "z w"}
