@@ -198,6 +198,26 @@ SHOWCASE = [
         "before the mapInPandas recursion sees a single row of state "
         "per day — the Python stage runs on the reduced series only.",
     ),
+    (
+        "shuffle_epoch_documents",
+        "Deterministic epoch shuffle: per epoch ONE RangePartitioning "
+        "exchange on the seeded hash + per-range local row_number + "
+        "broadcast offsets — the global training-order permutation "
+        "without a single-task global window.",
+    ),
+    (
+        "phrase_search_documents",
+        "Positional phrase match: HOF bigram stream (no Python), "
+        "TakeOrdered top-3 phrase selection, BroadcastHashJoin probe of "
+        "the 3-phrase set against the stream — the ad-hoc phrase-query "
+        "plan at any corpus size.",
+    ),
+    (
+        "boilerplate_strip_documents",
+        "Template removal: segment document-frequency table from one "
+        "segment-key aggregation, LeftAnti equi-join strips every "
+        "carrier, one shuffle reassembles — no pairwise comparison.",
+    ),
 ]
 
 

