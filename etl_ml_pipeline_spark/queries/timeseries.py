@@ -597,6 +597,45 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# stream_topk_replay — the streaming leaderboard: per event_type, the
+# top-5 users by cumulative value cents maintained as stateful state
+# (streaming/windows.stateful_topk, applyInPandasWithState UPDATE
+# mode), replayed over the bounded stream. The single micro-batch's
+# final emission must equal the batch groupBy + rank — same integer
+# cents (HALF_UP per event), same (total desc, user asc) tie order.
+# Scale: exact per-key member map while member cardinality is bounded;
+# the docstring names the SpaceSaving swap for open-world keys.
+# ---------------------------------------------------------------------------
+
+
+def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.streaming.windows import stateful_topk
+
+    board = stateful_topk(_events_stream(spark, sf_dir), k=5)
+    return _replay(board, "update").orderBy("event_type", "rank")
+
+
+_STREAM_TOPK_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, total_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_cents DESC, user_id ASC) AS rank
+  FROM totals
+)
+SELECT event_type, CAST(rank AS INT) AS rank, user_id, total_cents
+FROM ranked
+WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream_dedup_replay — bounded-state streaming dedup
 # (dropDuplicatesWithinWatermark) replayed over the events stream
 # UNIONED WITH ITSELF, so every event arrives (at least) twice across
@@ -1220,6 +1259,7 @@ QUERIES = {
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
+    "stream_topk_replay": stream_topk_replay,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_slide_replay": stream_slide_replay,
     "stream_session_window_replay": stream_session_window_replay,
@@ -1243,6 +1283,7 @@ ORACLES = {
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
+    "stream_topk_replay": _STREAM_TOPK_SQL,
     "stream_dedup_replay": _STREAM_DEDUP_SQL,
     "stream_slide_replay": _STREAM_SLIDE_SQL,
     "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,

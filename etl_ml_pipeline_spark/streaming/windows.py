@@ -166,6 +166,60 @@ def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def stateful_topk(
+    df: DataFrame,
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+    value_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Streaming per-key top-k leaderboard: per ``key_col``, the ``k``
+    members with the highest cumulative ``value_col`` (exact integer
+    cents; ties break to the lower member id), re-emitted each trigger
+    in UPDATE mode.
+
+    State is the full member->cents map per key — exact, the right
+    call while |members per key| stays bounded (dashboards over
+    product areas, tenants, shards). At open-world cardinality swap
+    the state for a SpaceSaving/Misra-Gries summary (the CMS/heavy-
+    hitter sketch family in queries/text_q.py is the batch shape); the
+    emit contract (k rows per key, rank by total desc, id asc) stays
+    the same, which is what the replay oracle pins.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        totals: dict[int, int] = (
+            dict(zip(*state.get)) if state.exists else {}
+        )
+        for pdf in pdfs:
+            cents = _cents_half_up(pdf[value_col])
+            for m, c in zip(pdf[member_col], cents):
+                m = int(m)
+                totals[m] = totals.get(m, 0) + int(c)
+        state.update((list(totals.keys()), [int(v) for v in totals.values()]))
+        top = sorted(totals.items(), key=lambda mc: (-mc[1], mc[0]))[:k]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                "rank": [i + 1 for i in range(len(top))],
+                member_col: [m for m, _ in top],
+                "total_cents": [c for _, c in top],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, rank int, {member_col} bigint, "
+        "total_cents bigint",
+        stateStructType="members array<bigint>, cents array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _cents_half_up(values) -> "object":
     """value -> integer cents with HALF_UP (away-from-zero) ties,
     matching Spark ``F.round(x*100, 0)`` and DuckDB ``round`` in the
