@@ -133,7 +133,14 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(data: bytes) -> tuple[int, int, float]:
-    """Stdlib PNG decode -> (width, height, mean_luma in [0, 1]).
+    """Stdlib PNG decode -> (width, height, mean_luma in [0, 1])."""
+    luma = _png_luma(data)
+    h, w = luma.shape
+    return int(w), int(h), float(luma.mean() / 255.0)
+
+
+def _png_luma(data: bytes) -> "np.ndarray":
+    """Stdlib PNG decode -> (height, width) float64 luma grid in [0, 255].
 
     Supports non-interlaced 8-bit gray (0), RGB (2), palette (3),
     gray+alpha (4), RGBA (6). Alpha is ignored for luma (features, not
@@ -179,7 +186,23 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
         luma = _LUMA_R * f[:, :, 0] + _LUMA_G * f[:, :, 1] + _LUMA_B * f[:, :, 2]
     else:  # gray / gray+alpha: channel 0 IS luma
         luma = px[:, :, 0].astype(np.float64)
-    return int(width), int(height), float(luma.mean() / 255.0)
+    return luma
+
+
+def ahash_bits(luma: "np.ndarray", grid: int = 8) -> str:
+    """Average-hash (aHash) of a luma grid as a ``grid*grid``-char bit
+    string: nearest-neighbor downsample to grid x grid, threshold each
+    sample against the SAMPLE mean (the standard aHash recipe).
+    Brightness-invariant for uniform shifts: adding a constant to every
+    pixel moves samples and mean together, so the bits — and therefore
+    the dedup groups — are unchanged. Emitted as a '0'/'1' string so
+    the value is engine-portable without 64-bit sign games."""
+    h, w = luma.shape
+    rows = (np.arange(grid) * h) // grid
+    cols = (np.arange(grid) * w) // grid
+    s = luma[np.ix_(rows, cols)]
+    m = s.sum() / (grid * grid)  # exact for integer-valued luma
+    return "".join("1" if v > m else "0" for v in s.ravel())
 
 
 def _decode_ppm(data: bytes) -> tuple[int, int, float]:

@@ -1349,9 +1349,81 @@ ORDER BY dow
 """
 
 
+# ---------------------------------------------------------------------------
+# privacy_erasure_audit — the right-to-be-forgotten pipeline with its
+# audit trail: a deterministic erasure list (user_id % 97 == 0 stands
+# in for the request table) is removed from events via a BROADCAST
+# left_anti join (erasure lists are tiny next to the fact — a map-side
+# filter at any fact size, no fact shuffle), and the audit emits
+# per-type before/after/erased counts plus the distinct users actually
+# affected. The contract n_before = n_after + n_erased rides along as
+# a boolean the oracle pins literally TRUE.
+# ---------------------------------------------------------------------------
+
+
+def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    requests = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % 97 == 0)
+        .distinct()
+    )
+    kept = ev.join(F.broadcast(requests), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_before"),
+        F.countDistinct(
+            F.when(F.col("user_id") % 97 == 0, F.col("user_id"))
+        ).alias("users_erased"),
+        # independent per-type count of request-user events: the
+        # balance check below compares it against the anti-join delta
+        F.sum(
+            F.when(F.col("user_id") % 97 == 0, 1).otherwise(0)
+        ).alias("__n_req_events"),
+    )
+    after = kept.groupBy("event_type").agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, "event_type")
+        .select(
+            "event_type",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_erased"),
+            "users_erased",
+            # the anti-join removed EXACTLY the requested users' events
+            # (no over- or under-deletion) — not a tautology: it pits
+            # the physical deletion against an independent count
+            (F.col("n_before") - F.col("n_after") == F.col("__n_req_events")).alias(
+                "balance_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ERASURE_SQL = """
+WITH ev AS (SELECT event_type, user_id FROM events),
+per AS (
+  SELECT event_type,
+         count(*) AS n_before,
+         CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+              AS BIGINT) AS users_erased,
+         CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_erased
+  FROM ev GROUP BY 1
+)
+SELECT event_type, n_before,
+       n_before - n_erased AS n_after,
+       n_erased, users_erased,
+       TRUE AS balance_ok
+FROM per
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_erasure_audit": privacy_erasure_audit,
     "drift_psi_events": drift_psi_events,
     "markov_transitions_events": markov_transitions_events,
     "anomaly_mad_events": anomaly_mad_events,
@@ -1372,6 +1444,7 @@ QUERIES = {
 ORACLES = {
     "feature_winsorize_events": _WINSORIZE_SQL,
     "privacy_k_anonymity": _K_ANON_SQL,
+    "privacy_erasure_audit": _ERASURE_SQL,
     "drift_psi_events": _PSI_SQL,
     "markov_transitions_events": _MARKOV_SQL,
     "anomaly_mad_events": _MAD_SQL,

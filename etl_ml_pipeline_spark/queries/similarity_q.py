@@ -398,6 +398,94 @@ ORDER BY canonical_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_image_ahash_dedup — PERCEPTUAL near-dup on the decode
+# path: the same synthetic gradient images as multimodal_image_dedup,
+# but grouped by average-hash (8x8 nearest-neighbor downsample of the
+# REAL decoded luma grid, thresholded at the sample mean). aHash is
+# invariant to uniform brightness shifts, so the 5 luma-offset
+# variants that exact feature dedup keeps apart collapse into one
+# perceptual group per (w, h) shape — n_brightness_variants proves it.
+# The oracle derives the same bit string analytically (the gradient's
+# sampled value is row_idx + col_idx + offset; the offset cancels
+# against the mean), so any decode or downsample bug breaks the hash.
+# Scale: blobs stay in Arrow batches; only the 64-char hash shuffles.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        _png_luma,
+        ahash_bits,
+        encode_png,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    def gen_hash(batches):
+        for pdf in batches:
+            hashes, lumas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 1 + 2 * (d % 4), 1 + 2 * (d % 3)
+                px = (np.add.outer(np.arange(h), np.arange(w)) + d % 5).astype(
+                    np.uint8
+                )
+                luma = _png_luma(encode_png(px, color_type=0))  # real round-trip
+                hashes.append(ahash_bits(luma))
+                lumas.append(float(luma.mean() / 255.0))
+            pdf = pdf.copy()
+            pdf["ahash"] = hashes
+            pdf["mean_luma"] = lumas
+            yield pdf
+
+    hashed = docs.mapInPandas(
+        gen_hash, schema="doc_id: long, ahash: string, mean_luma: double"
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("mean_luma").alias("n_brightness_variants"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+_AHASH_SQL = """
+WITH imgs AS (
+  SELECT doc_id,
+         1 + 2 * (doc_id % 4) AS w, 1 + 2 * (doc_id % 3) AS h,
+         ((doc_id % 5) + (doc_id % 4) + (doc_id % 3)) / 255.0 AS mean_luma
+  FROM documents WHERE doc_id < 300
+),
+cells AS (
+  SELECT i.w, i.h, r.r, c.c,
+         CAST((r.r * i.h) // 8 + (c.c * i.w) // 8 AS DOUBLE) AS s
+  FROM (SELECT DISTINCT w, h FROM imgs) i,
+       UNNEST(range(8)) AS r(r), UNNEST(range(8)) AS c(c)
+),
+hashes AS (
+  SELECT w, h,
+         string_agg(CASE WHEN s > avg_s THEN '1' ELSE '0' END, ''
+                    ORDER BY r, c) AS ahash
+  FROM (SELECT *, avg(s) OVER (PARTITION BY w, h) AS avg_s FROM cells)
+  GROUP BY w, h
+)
+SELECT ahash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT mean_luma) AS BIGINT) AS n_brightness_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM imgs JOIN hashes USING (w, h)
+GROUP BY ahash
+ORDER BY canonical_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_audio_features — the audio leg of the media plumbing:
 # deterministic int8 PCM synthesized executor-side into the FPCM
 # container (magic + length header), then parsed back through the
@@ -1326,6 +1414,7 @@ QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_image_dedup": multimodal_image_dedup,
+    "multimodal_image_ahash_dedup": multimodal_image_ahash_dedup,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
 }
@@ -1346,6 +1435,7 @@ ORACLES = {
     "multimodal_image_features": _MULTIMODAL_SQL,
     "multimodal_png_decode": _PNG_DECODE_SQL,
     "multimodal_image_dedup": _IMAGE_DEDUP_SQL,
+    "multimodal_image_ahash_dedup": _AHASH_SQL,
     "multimodal_audio_features": _AUDIO_SQL,
     "multimodal_video_frames": _VIDEO_SQL,
 }

@@ -189,3 +189,28 @@ def test_decode_audio_features_spark(spark):
     }
     assert got[0]["n_samples"] == 3 and got[0]["zero_crossings"] == 2
     assert got[1]["n_samples"] is None
+
+
+def test_ahash_brightness_invariance_and_roundtrip():
+    """aHash must be invariant to uniform brightness shifts (samples and
+    mean move together) but sensitive to structure; and hashing the
+    REAL PNG round-trip must equal hashing the source pixels."""
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        _png_luma,
+        ahash_bits,
+        encode_png,
+    )
+
+    base = np.add.outer(np.arange(9), np.arange(11)).astype(np.float64)
+    shifted = base + 37.0
+    assert ahash_bits(base) == ahash_bits(shifted)
+    # structural change flips bits
+    structured = base.copy()
+    structured[0:4, :] += 100.0
+    assert ahash_bits(structured) != ahash_bits(base)
+    # decode round-trip preserves the hash bit-for-bit
+    blob = encode_png(base.astype(np.uint8), color_type=0)
+    assert ahash_bits(_png_luma(blob)) == ahash_bits(base)
+    assert len(ahash_bits(base)) == 64 and set(ahash_bits(base)) <= {"0", "1"}
