@@ -615,6 +615,55 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(board, "update").orderBy("event_type", "rank")
 
 
+# ---------------------------------------------------------------------------
+# window_time_range_rolling — event-TIME range frame, not a row frame:
+# per user, the trailing-3600-second count and cent sum at every event
+# (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds).
+# Distinct from every ROWS-frame query in the catalog: the frame width
+# varies with event density, and RANGE includes all ORDER-BY peers —
+# identical peer semantics in both engines, so ties on the timestamp
+# are safe by construction (no tiebreak column needed or allowed).
+# Scale: one shuffle on user_id; frame state is bounded by the time
+# horizon — the batch shape of a Flink-style sliding time window.
+# ---------------------------------------------------------------------------
+
+
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("n_1h", F.count("*").over(w))
+        .withColumn("cents_1h", F.sum("c").over(w))
+        .select("user_id", "event_id", "epoch_s", "n_1h", "cents_1h")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_TIME_RANGE_SQL = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(c) OVER w AS BIGINT) AS cents_1h
+FROM (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 _STREAM_TOPK_SQL = """
 WITH totals AS (
   SELECT event_type, user_id,
@@ -1260,6 +1309,7 @@ QUERIES = {
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
     "stream_topk_replay": stream_topk_replay,
+    "window_time_range_rolling": window_time_range_rolling,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_slide_replay": stream_slide_replay,
     "stream_session_window_replay": stream_session_window_replay,
@@ -1284,6 +1334,7 @@ ORACLES = {
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
     "stream_topk_replay": _STREAM_TOPK_SQL,
+    "window_time_range_rolling": _TIME_RANGE_SQL,
     "stream_dedup_replay": _STREAM_DEDUP_SQL,
     "stream_slide_replay": _STREAM_SLIDE_SQL,
     "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,
