@@ -181,14 +181,85 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# null_semantics_battery — the null-handling contract, pinned: nulls
+# are injected deterministically (every 7th customer's balance, every
+# 5th segment), then the battery asserts aggregate null-skipping
+# (count(col) vs count(*), sum/avg/min over nulls, count(DISTINCT)),
+# null-safe equality (Spark <=> == DuckDB IS NOT DISTINCT FROM),
+# conditional fallbacks (coalesce/nullif/nvl2 shape), and group-by
+# treating NULL as a real key. Engine DEFAULTS for null sort order
+# differ (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — the battery
+# therefore spells ordering out explicitly, which is also the
+# portability lesson it encodes.
+# ---------------------------------------------------------------------------
+
+
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_mktsegment")).alias("seg"),
+    )
+    return (
+        c.groupBy("seg")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("bal").alias("n_bal"),  # null-skipping count
+            F.round(F.sum("bal"), 2).alias("sum_bal"),  # sum skips nulls
+            F.round(F.avg("bal"), 4).alias("avg_bal"),  # avg divides by n_bal
+            F.min("bal").alias("min_bal"),  # min ignores nulls
+            F.countDistinct("seg").alias("n_distinct_seg"),  # 0 for null group
+            F.sum(
+                F.col("seg").eqNullSafe(F.col("c_mktsegment")).cast("long")
+            ).alias("n_nullsafe_eq"),
+            F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))), 2).alias(
+                "sum_coalesced"
+            ),
+            F.sum(F.nullif(F.col("seg"), F.lit("BUILDING")).isNull().cast("long")).alias(
+                "n_nullified"
+            ),
+        )
+        .orderBy(F.col("seg").asc_nulls_last())
+    )
+
+
+_NULL_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS bal,
+         CASE WHEN c_custkey % 5 <> 0 THEN c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg,
+       count(*) AS n_rows,
+       CAST(count(bal) AS BIGINT) AS n_bal,
+       round(sum(bal), 2) AS sum_bal,
+       round(avg(bal), 4) AS avg_bal,
+       min(bal) AS min_bal,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_distinct_seg,
+       CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM c_mktsegment
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       round(sum(coalesce(bal, 0.0)), 2) AS sum_coalesced,
+       CAST(sum(CASE WHEN nullif(seg, 'BUILDING') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullified
+FROM c
+GROUP BY seg
+ORDER BY seg ASC NULLS LAST
+"""
+
+
 QUERIES = {
     "array_function_battery": array_function_battery,
     "regexp_function_battery": regexp_function_battery,
     "datetime_function_battery": datetime_function_battery,
+    "null_semantics_battery": null_semantics_battery,
 }
 
 ORACLES = {
     "array_function_battery": _ARRAY_SQL,
     "regexp_function_battery": _REGEXP_SQL,
     "datetime_function_battery": _DATETIME_SQL,
+    "null_semantics_battery": _NULL_SQL,
 }
