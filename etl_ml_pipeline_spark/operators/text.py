@@ -514,6 +514,40 @@ def bpe_train_merges(
     Production trainers amortize passes by taking the top-M pairs per
     round; rounds here are the catalog's k=4.
     """
+    _, tops = _bpe_schedule(words, word_col, rounds)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def bpe_word_tokens(
+    words: "DataFrame", word_col: str = "w", rounds: int = 4
+) -> "DataFrame":
+    """BPE tokenizer APPLICATION: train the first ``rounds`` merges on
+    the word corpus (identical schedule to :func:`bpe_train_merges`),
+    then return the post-merge token count for every DISTINCT word —
+    the word -> n_tokens dictionary an encoder joins against.
+
+    Returns (``word_col``, n_tokens). Encoding a document is then a
+    word-level equi-join against this dictionary plus a per-doc sum —
+    the dictionary is vocabulary-sized, so at 100 TB the join is a
+    broadcast (or a dict-sized shuffle) while the merge loop itself
+    never touches the raw token stream, exactly like production
+    tokenizer training + apply.
+    """
+    corpus, _ = _bpe_schedule(words, word_col, rounds)
+    return corpus.select(
+        F.col(word_col),
+        F.size(F.split(F.col("seq"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _bpe_schedule(
+    words: "DataFrame", word_col: str, rounds: int
+) -> tuple["DataFrame", list["DataFrame"]]:
+    """Shared BPE merge loop: returns the final corpus state (word,
+    seq, freq) and the per-round winning-merge DataFrames."""
     seq = F.array_join(
         F.transform(
             F.split(F.col(word_col), ""),
@@ -525,7 +559,7 @@ def bpe_train_merges(
         words.filter(F.col(word_col) != "")
         .groupBy(word_col)
         .agg(F.count("*").alias("freq"))
-        .select(seq.alias("seq"), "freq")
+        .select(F.col(word_col), seq.alias("seq"), "freq")
     )
 
     tops = []
@@ -556,11 +590,9 @@ def bpe_train_merges(
         )
         tops.append(top)
         corpus = corpus.crossJoin(F.broadcast(top.select("pair", "merged"))).select(
+            F.col(word_col),
             F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias("seq"),
             "freq",
         )
 
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionByName(t)
-    return out
+    return corpus, tops

@@ -132,10 +132,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = sorted(
         out,
         key=lambda k: _LAST_RECORDED.get(
-            k, 0 if k in _BACKLOG_R06 else 0.5
+            k, 0 if k in _BACKLOG_R06 else (0.75 if k in _ADDED_R06_LATE else 0.5)
         ),
     )
     return {k: out[k] for k in names}
+
+
+# Queries added late in round 6, AFTER the 36-name backlog + the
+# round-6 additions already filled the ~50-entry driver prefix. They
+# sort after both (tier 0.75) so they cannot displace the backlog
+# clearing, and still ahead of the r03-stale rotation.
+_ADDED_R06_LATE = {
+    "text_bpe_encode_stats",
+}
 
 
 # The 36 catalog queries that had never appeared in a driver

@@ -1119,6 +1119,109 @@ seq{r} AS (
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_encode_stats — tokenizer APPLICATION with a compression
+# contract: train the same 4-round merge schedule as
+# text_bpe_train_merges, materialize the word -> post-merge token-count
+# dictionary, and encode the corpus by joining every document word
+# against it — per language: word/char/BPE-token totals, the
+# chars-per-token compression ratio (floored to 4 decimals), and a
+# boolean `compresses` contract (merges can only shrink, so BPE tokens
+# <= chars must hold). The oracle UNROLLS train + apply: a green row
+# proves the full train-then-encode composition — merge schedule,
+# dictionary, join, per-lang sums — is bit-identical across engines.
+#
+# Scale: the merge loop runs over the vocabulary (one word-count
+# shuffle up front, then dict-sized rounds); encoding is a
+# vocabulary-sized broadcast join against the raw word stream plus one
+# per-lang aggregate — the production tokenizer-apply shape, nothing
+# per-token reaches the driver.
+# ---------------------------------------------------------------------------
+
+
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import bpe_word_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = bpe_word_tokens(
+        docs.select(F.explode(F.split("text", " ")).alias("w")),
+        "w",
+        rounds=_BPE_ROUNDS,
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+            (
+                F.floor(F.sum(F.length("w")) / F.sum("n_tokens") * 10000)
+                / 10000
+            ).alias("chars_per_token"),
+            (F.sum("n_tokens") <= F.sum(F.length("w"))).alias("compresses"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    parts = ["""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+seq0 AS (
+  SELECT w,
+         array_to_string(
+           list_transform(string_split(w, ''), c -> '·' || c || '·'),
+           ' ') AS seq,
+         freq
+  FROM words
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair, sum(freq) AS n
+  FROM (SELECT string_split(seq, ' ') AS t, freq FROM seq{r - 1}),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1
+),
+top{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+seq{r} AS (
+  SELECT w,
+         replace(seq, (SELECT pair FROM top{r}),
+                 (SELECT replace(pair, '· ·', '') FROM top{r})) AS seq,
+         freq
+  FROM seq{r - 1}
+)""")
+    parts.append(f""",
+vocab AS (
+  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens
+  FROM seq{rounds}
+),
+docwords AS (
+  SELECT lang, w
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       floor(sum(length(d.w)) / sum(n_tokens) * 10000) / 10000
+         AS chars_per_token,
+       sum(n_tokens) <= sum(length(d.w)) AS compresses
+FROM docwords d JOIN vocab USING (w)
+GROUP BY lang
+ORDER BY lang""")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # hybrid_search_rrf — hybrid retrieval with reciprocal-rank fusion, the
 # standard RAG/corpus-search composition: a lexical ranking (BM25 over
 # each query doc's top-3 salient terms — "more-like-this") and a dense
@@ -1499,6 +1602,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_bpe_train_merges": text_bpe_train_merges,
+    "text_bpe_encode_stats": text_bpe_encode_stats,
     "text_novelty_trigram": text_novelty_trigram,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
     "sketch_cms_frequency": sketch_cms_frequency,
@@ -1523,6 +1627,7 @@ ORACLES = {
     "corpus_stats_battery": _CORPUS_STATS_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),
+    "text_bpe_encode_stats": _bpe_encode_oracle(),
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_novelty_trigram": _TRIGRAM_NOVELTY_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,

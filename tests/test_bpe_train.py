@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from etl_ml_pipeline_spark.operators.text import bpe_train_merges
+from etl_ml_pipeline_spark.operators.text import bpe_train_merges, bpe_word_tokens
 
 
 def test_known_merge_sequence(spark):
@@ -20,6 +20,18 @@ def test_known_merge_sequence(spark):
     assert rows[3]["pair"] == "·ewe· ·s·" and rows[3]["merged"] == "·ewes·"
     # round 4: newest is now n/ewes/t; "·ewes· ·t·" wins the tie
     assert rows[4]["pair"] == "·ewes· ·t·" and rows[4]["merged"] == "·ewest·"
+
+
+def test_word_tokens_after_schedule(spark):
+    # Same toy corpus; merges learned above are we, ewe, ewes, ewest:
+    #   low    -> l o w            (3, untouched)
+    #   lower  -> l o we r         (4, round 1 only)
+    #   newest -> n ewest          (2, all four rounds apply)
+    words = spark.createDataFrame(
+        [("low",)] * 2 + [("lower",)] * 1 + [("newest",)] * 3, ["w"]
+    )
+    toks = {r["w"]: r["n_tokens"] for r in bpe_word_tokens(words, "w", rounds=4).collect()}
+    assert toks == {"low": 3, "lower": 4, "newest": 2}
 
 
 def test_single_char_words_produce_no_pairs(spark):
