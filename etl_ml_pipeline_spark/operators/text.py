@@ -543,6 +543,34 @@ def bpe_word_tokens(
     )
 
 
+def bpe_word_dict(
+    words: "DataFrame", word_col: str = "w", rounds: int = 4
+) -> "DataFrame":
+    """:func:`bpe_word_tokens` plus the DECODE leg: ``decoded`` strips
+    the symbol markers and separators from the post-merge sequence.
+    BPE merges are pure re-groupings of the character stream, so
+    ``decoded == word`` must hold for every word (the tokenizer
+    round-trip contract; the catalog's text_bpe_roundtrip pins it
+    per-language). The one documented exception: a word that itself
+    contains the marker character ``·`` decodes lossily — both engines
+    compute the identical flag, so the differential still pins it.
+
+    Returns (``word_col``, n_tokens, decoded). Same plan shape as
+    bpe_word_tokens — the decode is two map-side literal replaces on
+    the vocabulary-sized dictionary, nothing touches the raw stream.
+    """
+    corpus, _ = _bpe_schedule(words, word_col, rounds)
+    return corpus.select(
+        F.col(word_col),
+        F.size(F.split(F.col("seq"), " ")).cast("bigint").alias("n_tokens"),
+        F.replace(
+            F.replace(F.col("seq"), F.lit(" "), F.lit("")),
+            F.lit("·"),
+            F.lit(""),
+        ).alias("decoded"),
+    )
+
+
 def _bpe_schedule(
     words: "DataFrame", word_col: str, rounds: int
 ) -> tuple["DataFrame", list["DataFrame"]]:

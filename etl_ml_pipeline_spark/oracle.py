@@ -86,6 +86,12 @@ def _canon_series(s: pd.Series) -> pd.Series:
             return s.map(_canon_value)
         return s.astype("int64").astype(str)
     if kind == "b":
+        if not isinstance(s.dtype, np.dtype):
+            # pandas nullable BooleanDtype also reports kind 'b', but
+            # astype(str) renders pd.NA as '<NA>' instead of the scalar
+            # path's '<null>' — same extension-dtype hazard as the int
+            # path above, guarded the same way.
+            return s.astype(object).map(_canon_value)
         return s.astype(str)
     if kind == "f":
         # float32 widens to float64 first, matching the scalar path's

@@ -39,15 +39,13 @@ _MODULES = (
 )
 
 # Latest round in which the driver recorded a correctness row for each
-# query (static snapshot of CORRECTNESS_r01..r05; every latest record is
-# green as of r05 — the r01/r02 backlog was fully re-recorded in r05).
-# The driver records only a ~50-entry wall-clock prefix of ``queries()``
-# in emission order, so emission is triage: never-recorded first, then
-# least-recently-recorded. Round 6 puts the 36 never-recorded queries
-# (stream replays, sketches, funnel/cohort, triangle counts, time
-# travel, ...) at the head so the driver union covers them, then any
-# queries added this round, then the r03-stale retrieval/text/dedup
-# rows; whatever overflows the prefix rotates into round 7.
+# query (static snapshot of CORRECTNESS_r01..r06; every latest record is
+# green as of r06). The driver records only a ~50-entry wall-clock
+# prefix of ``queries()`` in emission order, so emission is triage:
+# never-recorded first (round-7 additions + text_bpe_encode_stats,
+# which landed after round 6's prefix filled), then stale driver rows
+# oldest-first — the 32 r03-stale retrieval/text/dedup/sample names
+# lead that rotation per VERDICT r06 ask #2, then r04/r05/r06.
 _LAST_RECORDED = {
     # --- round 3 (latest record) ---
     "ann_bruteforce_topk": 3, "ann_ivf_topk": 3, "ann_ivfpq_topk": 3,
@@ -115,6 +113,38 @@ _LAST_RECORDED = {
     "window_topk_orders_per_customer": 5,
 }
 
+# Round 6 driver records (the exact key set of CORRECTNESS_r06.json —
+# the 36-name backlog cleared plus the round-6 additions).
+_RECORDED_R06 = {
+    "agg_incremental_refresh", "ann_ivfpq_rerank_topk",
+    "ann_recall_battery", "anomaly_zscore_events",
+    "array_function_battery", "assoc_pairs_events",
+    "boilerplate_strip_documents", "cohort_retention_events",
+    "corpus_stats_battery", "datetime_function_battery",
+    "dedup_fuzzy_ed1_names", "dq_expectations_orders",
+    "feature_winsorize_events", "funnel_events", "graph_triangle_counts",
+    "layout_partition_prune_stats", "multimodal_audio_features",
+    "multimodal_image_ahash_dedup", "multimodal_image_dedup",
+    "null_semantics_battery", "phrase_search_documents",
+    "privacy_erasure_audit", "regexp_function_battery",
+    "resample_gapfill_events", "sample_temperature_lang",
+    "sample_weighted_priority_documents", "seasonality_weekday_events",
+    "shuffle_epoch_documents", "sketch_cms_frequency",
+    "sketch_heavy_hitters_terms", "sketch_rolling_distinct_users",
+    "split_assign_documents", "stream_cdc_view_replay",
+    "stream_dedup_replay", "stream_interval_join_replay",
+    "stream_running_totals_replay", "stream_session_window_replay",
+    "stream_sessionize_replay", "stream_slide_replay",
+    "stream_static_join_replay", "stream_topk_replay",
+    "stream_tumble_replay", "text_novelty_surprise",
+    "text_novelty_trigram", "unpivot_order_metrics",
+    "versioned_time_travel", "window_mom_revenue_growth",
+    "window_new_vs_returning", "window_rolling_autocorr_events",
+    "window_time_range_rolling",
+}
+for _n in _RECORDED_R06:
+    _LAST_RECORDED[_n] = 6
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -124,53 +154,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in out:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
-    # Triage order (stable within each tier): the pre-round-6 never-
-    # recorded backlog first (tier 0), then queries added after the r05
-    # snapshot (tier 0.5 — never recorded either, but the 36-name
-    # backlog must clear this round), then stale driver rows oldest
-    # first (r03 before r04 before r05).
-    names = sorted(
-        out,
-        key=lambda k: _LAST_RECORDED.get(
-            k, 0 if k in _BACKLOG_R06 else (0.75 if k in _ADDED_R06_LATE else 0.5)
-        ),
-    )
+    # Triage order (stable within each tier): never-recorded queries
+    # first (tier 0 — anything added this round, plus
+    # text_bpe_encode_stats which landed after round 6's prefix
+    # filled), then stale driver rows oldest first (r03 < r04 < r05 <
+    # r06). The 1 + 32 tier-0/tier-3 names fit the ~50-entry prefix
+    # with room for round-7 additions.
+    names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 0))
     return {k: out[k] for k in names}
-
-
-# Queries added late in round 6, AFTER the 36-name backlog + the
-# round-6 additions already filled the ~50-entry driver prefix. They
-# sort after both (tier 0.75) so they cannot displace the backlog
-# clearing, and still ahead of the r03-stale rotation.
-_ADDED_R06_LATE = {
-    "text_bpe_encode_stats",
-}
-
-
-# The 36 catalog queries that had never appeared in a driver
-# CORRECTNESS record as of round 5 (VERDICT r05 "Next round" #1).
-# Fixed list, not computed, so the emission order is deterministic and
-# auditable against CORRECTNESS_r06.json.
-_BACKLOG_R06 = {
-    "agg_incremental_refresh", "versioned_time_travel",
-    "unpivot_order_metrics", "window_mom_revenue_growth",
-    "stream_sessionize_replay", "stream_tumble_replay",
-    "stream_running_totals_replay", "stream_dedup_replay",
-    "stream_slide_replay", "stream_session_window_replay",
-    "stream_interval_join_replay", "stream_cdc_view_replay",
-    "stream_static_join_replay", "sketch_rolling_distinct_users",
-    "resample_gapfill_events", "text_novelty_trigram",
-    "sketch_heavy_hitters_terms", "sketch_cms_frequency",
-    "text_novelty_surprise", "dedup_fuzzy_ed1_names",
-    "graph_triangle_counts", "ann_ivfpq_rerank_topk",
-    "multimodal_audio_features", "split_assign_documents",
-    "sample_weighted_priority_documents", "sample_temperature_lang",
-    "feature_winsorize_events", "assoc_pairs_events",
-    "seasonality_weekday_events", "dq_expectations_orders",
-    "layout_partition_prune_stats", "window_new_vs_returning",
-    "window_rolling_autocorr_events", "anomaly_zscore_events",
-    "funnel_events", "cohort_retention_events",
-}
 
 
 def all_oracles() -> dict[str, str]:

@@ -6,8 +6,14 @@ The reference engine has none of these (SURVEY.md §2.6); they are the
 queries a training-data/ops pipeline runs daily. Every query is
 expressed declaratively and oracle-checked; the anomaly detector's
 threshold predicate is EXACT integer-grid arithmetic so borderline
-rows can never split across engines (see gotcha notes in
-.claude/skills/verify/SKILL.md about float tie-breaking).
+rows can never split across engines.
+
+Gotcha (float tie-breaking): any predicate of the form
+``metric > mean + k*std`` over doubles can disagree between Spark and
+DuckDB on rows that land exactly at the boundary, because the two
+engines may order the floating-point reduction differently. Keep
+thresholds on an integer grid (counts, scaled-integer cents) or add a
+strict epsilon margin so no input row can sit on the fence.
 """
 
 from __future__ import annotations
@@ -1381,8 +1387,13 @@ def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__n_req_events"),
     )
     after = kept.groupBy("event_type").agg(F.count("*").alias("n_after"))
+    # LEFT join + coalesce(0): an event_type whose events ALL belong to
+    # erased users has no post-deletion rows, but the audit must still
+    # emit it with n_after = 0 — full deletion is exactly the case the
+    # audit exists to prove.
     return (
-        before.join(after, "event_type")
+        before.join(after, "event_type", "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)))
         .select(
             "event_type",
             "n_before",

@@ -1167,6 +1167,82 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text_bpe_roundtrip — the tokenizer ROUND-TRIP contract (VERDICT r06
+# ask #4, the reference's test_finance_transformer.py-style invariant
+# discipline applied to the tokenizer): decode(encode(word)) == word
+# for every vocabulary word, plus a per-language compression-ratio
+# bound. Merges are pure re-groupings of the character stream, so the
+# decode leg (strip markers + separators) must reproduce the word
+# byte-for-byte; chars_per_token >= 1 because every token carries at
+# least one character. Both contracts ride as literal booleans the
+# oracle pins TRUE, and n_roundtrip_fail is pinned 0 — the oracle
+# unrolls the identical train+apply+decode pipeline, so a green row
+# proves the full composition is bit-identical across engines.
+#
+# Scale: same plan as text_bpe_encode_stats — dictionary-sized merge
+# loop, two map-side literal replaces for the decode, one broadcast
+# join against the word stream, one per-lang aggregate.
+# ---------------------------------------------------------------------------
+
+
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import bpe_word_dict
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = bpe_word_dict(
+        docs.select(F.explode(F.split("text", " ")).alias("w")),
+        "w",
+        rounds=_BPE_ROUNDS,
+    )
+    fail = F.sum(F.when(F.col("decoded") != F.col("w"), 1).otherwise(0))
+    ratio = F.floor(F.sum(F.length("w")) / F.sum("n_tokens") * 10000) / 10000
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            fail.cast("long").alias("n_roundtrip_fail"),
+            (fail == 0).alias("roundtrip_ok"),
+            ratio.alias("chars_per_token"),
+            (ratio >= 1.0).alias("compression_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_roundtrip_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    head = _bpe_encode_oracle(rounds)
+    # reuse the unrolled train CTEs, swap the final vocab + aggregate
+    head = head[: head.index(",\nvocab AS (")]
+    return head + f""",
+vocab AS (
+  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
+         replace(replace(seq, ' ', ''), '·', '') AS decoded
+  FROM seq{rounds}
+),
+docwords AS (
+  SELECT lang, w
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN decoded <> d.w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_fail,
+       sum(CASE WHEN decoded <> d.w THEN 1 ELSE 0 END) = 0 AS roundtrip_ok,
+       floor(sum(length(d.w)) / sum(n_tokens) * 10000) / 10000
+         AS chars_per_token,
+       floor(sum(length(d.w)) / sum(n_tokens) * 10000) / 10000 >= 1.0
+         AS compression_ok
+FROM docwords d JOIN vocab USING (w)
+GROUP BY lang
+ORDER BY lang"""
+
+
 def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
     parts = ["""
 WITH words AS (
@@ -1472,10 +1548,11 @@ def corpus_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = grid.withColumn("cum", F.sum("cnt").over(wcum))
     # nearest-rank p50: the smallest length whose cumulative frequency
-    # reaches ceil(n/2) = (n+1) div 2
+    # reaches ceil(n/2) = (n+1) div 2 — INTEGER division on both
+    # engines; float division would select the upper median for even n
     p50 = (
         cum.crossJoin(F.broadcast(scalars.select("n_docs")))
-        .filter(F.col("cum") >= (F.col("n_docs") + 1) / 2)
+        .filter(F.col("cum") >= F.expr("(n_docs + 1) DIV 2"))
         .agg(F.min("n_chars").alias("p50_chars"))
     )
     return scalars.crossJoin(F.broadcast(p50)).select(
@@ -1511,7 +1588,7 @@ cum AS (
 p50 AS (
   SELECT CAST(min(n_chars) AS BIGINT) AS p50_chars
   FROM cum CROSS JOIN scalars
-  WHERE cum >= (n_docs + 1) / 2
+  WHERE cum >= (n_docs + 1) // 2
 )
 SELECT n_docs, total_chars, n_langs, n_sources,
        (n_docs - n_distinct_texts) * 1000000 // n_docs AS dup_ppm,
@@ -1603,6 +1680,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode_stats": text_bpe_encode_stats,
+    "text_bpe_roundtrip": text_bpe_roundtrip,
     "text_novelty_trigram": text_novelty_trigram,
     "sketch_heavy_hitters_terms": sketch_heavy_hitters_terms,
     "sketch_cms_frequency": sketch_cms_frequency,
@@ -1628,6 +1706,7 @@ ORACLES = {
     "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),
     "text_bpe_encode_stats": _bpe_encode_oracle(),
+    "text_bpe_roundtrip": _bpe_roundtrip_oracle(),
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_novelty_trigram": _TRIGRAM_NOVELTY_SQL,
     "sketch_heavy_hitters_terms": _MG_SQL,

@@ -188,6 +188,19 @@ def stateful_topk(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Derive key/member field types from the input schema instead of
+    # hardcoding "string"/"bigint" — the state fold coerces members
+    # with int(), so the member column must be integral; reject
+    # anything else loudly at plan time, not as a runtime corruption
+    # deep inside a micro-batch (ADVICE r06).
+    key_type = df.schema[key_col].dataType.simpleString()
+    member_type = df.schema[member_col].dataType.simpleString()
+    if member_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"stateful_topk requires an integral member column; "
+            f"{member_col!r} is {member_type}"
+        )
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -212,8 +225,8 @@ def stateful_topk(
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, rank int, {member_col} bigint, "
-        "total_cents bigint",
+        outputStructType=f"{key_col} {key_type}, rank int, "
+        f"{member_col} {member_type}, total_cents bigint",
         stateStructType="members array<bigint>, cents array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -129,8 +129,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 182, sorted(qs)
-    assert len(oracles) == 182, sorted(oracles)
+    assert len(qs) == 184, sorted(qs)
+    assert len(oracles) == 184, sorted(oracles)
     # every catalog entry is oracle-checkable (the HLL sketch query carries
     # its error-bound contract as a boolean the oracle asserts literally)
     assert set(qs) - set(oracles) == set()
@@ -138,29 +138,28 @@ def test_query_catalog_counts():
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order, so emission is triaged: the 36-name never-
-    recorded backlog leads (tier 0), queries added after the r05
-    snapshot follow (tier 0.5), then stale driver rows oldest-first
-    (r03 < r04 < r05)."""
-    from etl_ml_pipeline_spark.queries import (
-        _BACKLOG_R06,
-        _LAST_RECORDED,
-        all_queries,
-    )
+    in emission order, so emission is triaged: never-recorded queries
+    lead (tier 0 — round-7 additions plus text_bpe_encode_stats), then
+    stale driver rows oldest-first (r03 < r04 < r05 < r06)."""
+    from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
-    tier = lambda k: _LAST_RECORDED.get(k, 0 if k in _BACKLOG_R06 else 0.5)
+    tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # the whole never-recorded backlog leads the 50-entry prefix
-    assert set(keys[: len(_BACKLOG_R06)]) == _BACKLOG_R06
-    assert _LAST_RECORDED.get(keys[-1]) == 5
+    # never-recorded names (tier 0) lead the prefix
+    never = [k for k in keys if k not in _LAST_RECORDED]
+    assert keys[: len(never)] == never
+    assert "text_bpe_encode_stats" in never
+    # the 32 r03-stale names come right after, ahead of everything newer
+    r03 = [k for k in keys if _LAST_RECORDED.get(k) == 3]
+    assert len(r03) == 32
+    assert keys[len(never) : len(never) + len(r03)] == r03
+    # never-recorded + r03-stale must fit the ~50-entry driver prefix
+    assert len(never) + len(r03) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 6
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
-    assert _BACKLOG_R06 <= set(keys)
-    # backlog and record are disjoint by construction: a recorded name
-    # must not be re-pinned to tier 0
-    assert not (_BACKLOG_R06 & set(_LAST_RECORDED))
 
 
 def test_list_modules_surfaces_unavailable(monkeypatch):
