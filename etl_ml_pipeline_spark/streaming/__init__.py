@@ -10,5 +10,7 @@ from etl_ml_pipeline_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     stateful_running_totals,
+    stateful_running_totals_ttl,
+    stateful_topk,
     tumbling_window_agg,
 )

@@ -166,6 +166,93 @@ def stateful_running_totals(df: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def stateful_running_totals_ttl(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    ttl_minutes: int = 30,
+) -> DataFrame:
+    """Running totals with EVENT-TIME STATE EVICTION: a key silent for
+    ``ttl_minutes`` past its last event (by the watermark clock) is
+    evicted — the timeout trigger emits a final tombstone row
+    (``evicted = true``) and removes the state, so a later event for
+    the same key restarts from zero. The input MUST carry a watermark
+    on ``ts_col`` (``df.withWatermark(ts_col, ...)``); Spark requires
+    one for ``EventTimeTimeout``.
+
+    Late rows: Spark does NOT pre-filter rows older than the watermark
+    for applyInPandasWithState (verified on 4.1 — a late row reaches
+    the update function), so the fold drops them explicitly against
+    ``getCurrentWatermarkMs()``; without that, a late row could also
+    compute a timeout timestamp behind the watermark, which Spark
+    rejects as INVALID_TIMEOUT_TIMESTAMP. The timeout is additionally
+    clamped to watermark+1 for exactly that reason.
+
+    This is the bounded-state variant of :func:`stateful_running_totals`
+    — at open-ended key cardinality (users come and go forever) the
+    NoTimeout version's state grows without bound; TTL eviction keeps
+    state proportional to the ACTIVE key set, which is what a 100 TB
+    stream needs. Emits (key, n, total, evicted) in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    ttl_ms = ttl_minutes * 60_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "total": [round(total, 4)],
+                    "evicted": [True],
+                }
+            )
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ms = 0
+        fresh = 0
+        for pdf in pdfs:
+            ms = pdf[ts_col].astype("int64") // 1_000_000
+            ontime = ms >= wm_ms  # drop late rows (see docstring)
+            keep = pdf[ontime]
+            if len(keep) == 0:
+                continue
+            fresh += len(keep)
+            n += len(keep)
+            total += float(keep["value"].sum())
+            last_ms = max(last_ms, int(ms[ontime].max()))
+        if fresh == 0:
+            # all rows were late: emit nothing, leave state (and its
+            # previously-armed timeout) untouched
+            return
+        state.update((n, total))
+        state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "total": [round(total, 4)],
+                "evicted": [False],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_type}, n bigint, total double, "
+        "evicted boolean",
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stateful_topk(
     df: DataFrame,
     key_col: str = "event_type",

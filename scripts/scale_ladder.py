@@ -68,6 +68,15 @@ QUERIES = [
     # round-6: the last round-5 family missing from the ladder
     # (VERDICT r05 #5) — micro-cent multi-touch attribution
     "attribution_linear_events",
+    # round-7: the round-6 families (VERDICT r06 #5) — two-phase epoch
+    # shuffle, perceptual image near-dup, event-time RANGE rolling,
+    # line-frequency boilerplate strip, and the top-k replay's stream
+    # path driven end-to-end at each rung
+    "shuffle_epoch_documents",
+    "multimodal_image_ahash_dedup",
+    "window_time_range_rolling",
+    "boilerplate_strip_documents",
+    "stream_topk_replay",
 ]
 
 

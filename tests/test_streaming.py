@@ -307,3 +307,82 @@ def test_cusum_cents_rounding_matches_spark_half_up(spark):
         .collect()
     ]
     assert got == want
+
+
+def _write_stamped(dir_path: Path, name: str, rows, order: int):
+    """Write a batch file with a DETERMINISTIC mtime: the file source
+    orders files by modification time, and same-millisecond writes make
+    trigger order nondeterministic (observed: b3 before b1)."""
+    import os
+
+    _write_events(dir_path, name, rows)
+    t = 1_700_000_000 + order * 10
+    os.utime(dir_path / name, (t, t))
+
+
+def test_stateful_ttl_eviction_across_triggers(spark, tmp_path):
+    """4 triggers, late data past the watermark, state EVICTION
+    asserted (VERDICT r06 ask #6): a key silent past its TTL by the
+    watermark clock emits an evicted=true tombstone and restarts from
+    zero on its next event, and a late row is dropped, not folded —
+    single-batch replays cannot catch timeout/eviction bugs."""
+    from etl_ml_pipeline_spark.streaming import stateful_running_totals_ttl
+
+    d = tmp_path / "ttl_in"
+    _write_stamped(d, "b1.json", [(1, "2024-01-01 10:00:00", 1.0),
+                                  (2, "2024-01-01 10:00:00", 10.0)], 1)
+    _write_stamped(d, "b2.json", [(1, "2024-01-01 12:00:00", 2.0)], 2)
+    _write_stamped(d, "b3.json", [(1, "2024-01-01 12:30:00", 4.0)], 3)
+    # b4: key2 returns after eviction; key1 sends a row 2h older than
+    # the watermark (12:30 - 1h = 11:30) that must be ignored
+    _write_stamped(d, "b4.json", [(2, "2024-01-01 12:40:00", 20.0),
+                                  (1, "2024-01-01 10:30:00", 99.0)], 4)
+    stream = read_json_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    out = stateful_running_totals_ttl(
+        stream.withWatermark("ts", "1 hour"), ttl_minutes=30
+    )
+    run_available_now(out, "ttl_out", str(tmp_path / "ckpt"), output_mode="update")
+    rows = [
+        (int(r.user_id), int(r.n), float(r.total), bool(r.evicted))
+        for r in spark.table("ttl_out").collect()
+    ]
+    assert rows == [
+        (2, 1, 10.0, False),  # b1
+        (1, 1, 1.0, False),   # b1
+        (1, 2, 3.0, False),   # b2 (watermark 09:00 — key2 TTL not passed)
+        (2, 1, 10.0, True),   # b3: watermark 11:00 > 10:30 — key2 EVICTED
+        (1, 3, 7.0, False),   # b3
+        (2, 1, 20.0, False),  # b4: key2 restarted from ZERO (state gone)
+        # and key1's late 10:30/99.0 row emitted nothing: dropped
+    ]
+
+
+def test_stateful_topk_across_triggers(spark, tmp_path):
+    """Per-key top-k leaderboard evolves across 3 micro-batches: a
+    trailing member overtakes the leader in batch 3, and every trigger
+    re-emits a full rank-1..k snapshot for the updated key."""
+    from etl_ml_pipeline_spark.streaming import stateful_topk
+
+    d = tmp_path / "topk_in"
+    _write_stamped(d, "b1.json", [(101, "2024-01-01 10:00:00", 5.0),
+                                  (102, "2024-01-01 10:01:00", 3.0)], 1)
+    _write_stamped(d, "b2.json", [(103, "2024-01-01 11:00:00", 4.0)], 2)
+    _write_stamped(d, "b3.json", [(102, "2024-01-01 12:00:00", 9.0)], 3)
+    stream = read_json_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    # single logical key: constant event_type column
+    from pyspark.sql import functions as F
+
+    out = stateful_topk(
+        stream.withColumn("event_type", F.lit("purchase")),
+        key_col="event_type", member_col="user_id", value_col="value", k=2,
+    )
+    run_available_now(out, "topk_out", str(tmp_path / "ckpt"), output_mode="update")
+    boards = [
+        (int(r.rank), int(r.user_id), int(r.total_cents))
+        for r in spark.table("topk_out").collect()
+    ]
+    assert boards == [
+        (1, 101, 500), (2, 102, 300),          # b1
+        (1, 101, 500), (2, 103, 400),          # b2: 103 displaces 102
+        (1, 102, 1200), (2, 101, 500),         # b3: 102 overtakes (3+9)
+    ]
