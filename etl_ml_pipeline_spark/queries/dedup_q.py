@@ -482,8 +482,181 @@ GROUP BY doc_id, n_segs
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters — SemDeDup (Abbas et al. 2023, public): k-means
+# cluster the embedding corpus, then prune near-duplicates INSIDE each
+# cluster only — the clustering bounds the pairwise comparison to
+# O(sum c_i^2) instead of O(N^2), which is the published scale recipe
+# for semantic dedup at web scale (k grows with N so cluster sizes stay
+# bounded; here k=8 over a bounded id slice so the DuckDB oracle can
+# replay the full composition).
+#
+# Exactness: clustering reuses the micro-integer Lloyd schedule of
+# kmeans_lloyd_embeddings (same seeds/iters — the oracle unrolls it via
+# ml_q._km_round); the near-dup test is cos >= 0.999 evaluated WITHOUT
+# floats: dot > 0 AND 1e6*dot^2 >= 998001*|a|^2*|b|^2, int128/decimal38
+# on either engine, so no pair can straddle the threshold.
+#
+# Scale: one k*d-row shuffle per Lloyd round, map-only assignment, one
+# equi-join on cluster for the pairwise stage (never a cross join), and
+# a per-cluster aggregate. Injected dups: every 5th vector re-inserted
+# as a 2x-scaled copy (cosine exactly 1, id + 100_000).
+# ---------------------------------------------------------------------------
+
+_SEM_K, _SEM_ITERS, _SEM_CAP = 8, 2, 1200
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_iterations,
+        quantize_micro,
+    )
+
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEM_CAP)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    scaled = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    q = quantize_micro(base.unionByName(scaled)).select("vec_id", "e")
+    q = q.persist()
+    cents = lloyd_iterations(q, _SEM_K, _SEM_ITERS)
+    assigned = assign_clusters(q, cents).select("vec_id", "e", "cluster")
+    nrm = assigned.withColumn(
+        "n2",
+        F.aggregate(
+            "e", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    left = nrm.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    right = nrm.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", dot.alias("dot"), "na2", "nb2")
+        .withColumn(
+            "is_dup",
+            (F.col("dot") > 0)
+            & (
+                d38(F.col("dot")) * d38(F.col("dot")) * F.lit(1_000_000)
+                >= F.lit(998_001) * d38(F.col("na2")) * d38(F.col("nb2"))
+            ),
+        )
+    )
+    mem = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    dup = (
+        pairs.filter("is_dup")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            F.countDistinct("id_b").alias("n_dups"),
+        )
+    )
+    return (
+        mem.join(dup, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (F.col("n_members") - F.coalesce("n_dups", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _semantic_oracle() -> str:
+    from etl_ml_pipeline_spark.queries.ml_q import _km_dist, _km_round
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding
+    FROM embeddings WHERE vec_id < {_SEM_CAP}
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding::DOUBLE[], x -> x * 2.0)
+    FROM embeddings WHERE vec_id < {_SEM_CAP} AND vec_id % 5 = 0
+  )
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         e AS c
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_SEM_K})
+),{_km_round('init', 1)},{_km_round('c1', 2)},
+af AS (
+  SELECT v.vec_id, v.e,
+         (SELECT i.cluster FROM c2 i
+          ORDER BY {_km_dist('v.e', 'i.c')}, i.cluster LIMIT 1) AS cluster
+  FROM emb v
+),
+nrm AS (
+  SELECT vec_id, e, cluster,
+         CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
+  FROM af
+),
+flag AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.e, b.e),
+                                      p -> p[1] * p[2])) AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM nrm a JOIN nrm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+dupes AS (
+  SELECT cluster,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         CAST(count(DISTINCT id_b) AS BIGINT) AS n_dups
+  FROM flag
+  WHERE dot > 0
+    AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000
+        >= CAST(998001 AS HUGEINT) * CAST(na2 AS HUGEINT)
+           * CAST(nb2 AS HUGEINT)
+  GROUP BY cluster
+),
+mem AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        FROM af GROUP BY cluster)
+SELECT m.cluster, n_members,
+       coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(n_dups, 0) AS n_dups,
+       n_members - coalesce(n_dups, 0) AS n_kept
+FROM mem m LEFT JOIN dupes USING (cluster)
+ORDER BY cluster
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "boilerplate_strip_documents": boilerplate_strip_documents,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_documents": dedup_minhash_documents,
@@ -495,6 +668,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": _EXACT_SQL,
+    "dedup_semantic_clusters": _semantic_oracle(),
     "boilerplate_strip_documents": _BOILER_SQL,
     "dedup_cluster_canonical": _CLUSTER_SQL,
     "dedup_minhash_documents": _minhash_oracle(),

@@ -748,8 +748,99 @@ ORDER BY epoch, position
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_dsir_weights — DSIR-style importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# public): score every document by how target-like its hashed-unigram
+# distribution is, w(doc) = sum over tokens of log(p_target(bucket) /
+# p_raw(bucket)), with Laplace smoothing. Target here = the corpus's
+# 'en' slice; raw = everything — the standard "select data that looks
+# like my high-quality target" selection signal.
+#
+# Exactness: each bucket's log-ratio is floor-truncated to integer
+# ten-thousandths BEFORE the per-doc sum (the BM25 playbook — order-
+# free integer adds, no float-reduction ambiguity). Hash buckets are
+# md5-derived (token_hash60 % 1024), identical in both engines.
+#
+# Scale: one token->bucket count shuffle (map-side combined), a 1-row
+# scalar broadcast, a bucket-table broadcast join back onto the token
+# stream, one per-doc sum, and a global top-k — the exact shape DSIR
+# runs at corpus scale, nothing driver-side.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+
+
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % _DSIR_B)
+    bc = toks.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = bc.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
+                / ((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("w4"),
+    )
+    return (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w4").cast("long").alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(20)
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+bc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM toks GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+        FROM bc),
+w AS (
+  SELECT bucket,
+         CAST(floor(ln(((ct + 1) / CAST(nt + {_DSIR_B} AS DOUBLE))
+                       / ((cr + 1) / CAST(nr + {_DSIR_B} AS DOUBLE)))
+                    * 10000) AS BIGINT) AS w4
+  FROM bc, tot
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w4) AS BIGINT) AS dsir_score
+FROM toks JOIN w USING (bucket)
+GROUP BY doc_id, lang
+ORDER BY dsir_score DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "sample_dsir_weights": sample_dsir_weights,
     "shuffle_epoch_documents": shuffle_epoch_documents,
     "sample_source_cap_documents": sample_source_cap_documents,
     "split_assign_documents": split_assign_documents,
@@ -764,6 +855,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "sample_dsir_weights": _DSIR_SQL,
     "shuffle_epoch_documents": _SHUFFLE_EPOCH_SQL,
     "sample_source_cap_documents": _SOURCE_CAP_SQL,
     "split_assign_documents": _SPLIT_SQL,

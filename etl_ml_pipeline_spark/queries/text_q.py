@@ -1673,8 +1673,192 @@ ORDER BY phrase, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_vocab_coverage — tokenizer vocabulary coverage / OOV rate: fix
+# the top-V corpus vocabulary (V=500, freq desc / token asc — fully
+# ordered so the cut is deterministic) and measure, per language, how
+# much of the token stream it covers. The question every fixed-vocab
+# tokenizer/pipeline asks before training: which slices of the mix are
+# poorly served by the vocabulary (high OOV => more fallback bytes /
+# worse compression for that language).
+#
+# Scale: one vocab count shuffle (map-side combined to |vocab| partial
+# rows), a distributed sort+limit for the cut, a broadcast join of the
+# V-row vocab against the token stream, one per-lang aggregate. OOV
+# rate emitted as integer ppm (exact integer division).
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 500
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("token"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .withColumn(
+            "oov_ppm", F.expr("n_oov * 1000000 DIV n_tokens").cast("long")
+        )
+        .orderBy("lang")
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS freq FROM toks GROUP BY token
+  ) ORDER BY freq DESC, token LIMIT {_VOCAB_V}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(count(DISTINCT CASE WHEN v.token IS NULL THEN t.token END)
+            AS BIGINT) AS n_oov_types,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_rules — the Gopher/C4-style quality-rule battery (Rae et
+# al. 2021 §A1.1; public heuristics): five named document-quality rules
+# evaluated corpus-wide, one row per rule with pass/fail counts and the
+# pass rate in ppm. All predicates are EXACT integer arithmetic
+# (cross-multiplied ratios, never float division), so no document can
+# straddle a threshold across engines.
+#
+# Rules: word count in [50, 100k]; mean word length in [3, 10];
+# >= 2 distinct common-English stopwords; symbol chars <= 5%;
+# digit chars <= 5%.
+#
+# Scale: one map-only projection per document (no explode — word counts
+# come from split sizes, char classes from regexp_replace lengths) and
+# a single 1-row aggregate unpivoted to the 5-rule report.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "of", "and", "to", "in", "is", "that")
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_words = F.size(toks)
+    sum_wlen = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    stop_hits = sum(
+        [F.array_contains(toks, s).cast("int") for s in _GOPHER_STOPS],
+        F.lit(0),
+    )
+    n_sym = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    n_dig = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    n_chars = F.length(F.col("text"))
+    per = docs.select(
+        (n_words.between(50, 100000)).alias("r_word_count"),
+        (
+            (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
+        ).alias("r_mean_word_len"),
+        (stop_hits >= 2).alias("r_stopwords"),
+        (20 * n_sym <= n_chars).alias("r_symbol_ratio"),
+        (20 * n_dig <= n_chars).alias("r_digit_ratio"),
+    )
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_stopwords",
+        "r_symbol_ratio",
+        "r_digit_ratio",
+    ]
+    agg = per.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(r), 1).otherwise(0)).alias(f"p_{r}")
+            for r in rules
+        ],
+    )
+    stack = ", ".join(f"'{r}', p_{r}" for r in rules)
+    return (
+        agg.selectExpr(
+            "n_docs", f"stack({len(rules)}, {stack}) AS (rule, n_pass)"
+        )
+        .select(
+            "rule",
+            F.col("n_pass").cast("long").alias("n_pass"),
+            (F.col("n_docs") - F.col("n_pass")).cast("long").alias("n_fail"),
+            F.expr("n_pass * 1000000 DIV n_docs").cast("long").alias(
+                "pass_ppm"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+def _gopher_oracle() -> str:
+    stops_sum = " + ".join(
+        f"CASE WHEN list_contains({_TOKS_DUCK}, '{s}') THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+    rules = {
+        "r_word_count": "n_words BETWEEN 50 AND 100000",
+        "r_mean_word_len": "3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words",
+        "r_stopwords": "stop_hits >= 2",
+        "r_symbol_ratio": "20 * n_sym <= n_chars",
+        "r_digit_ratio": "20 * n_dig <= n_chars",
+    }
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_pass, CAST(sum(CASE WHEN {p} THEN 0 ELSE 1 END) "
+        f"AS BIGINT) AS n_fail, CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) "
+        f"* 1000000 // count(*) AS BIGINT) AS pass_ppm FROM per"
+        for r, p in rules.items()
+    )
+    return f"""
+WITH per AS (
+  SELECT len({_TOKS_DUCK}) AS n_words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS sum_wlen,
+         {stops_sum} AS stop_hits,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT * FROM ({branches})
+ORDER BY rule
+"""
+
+
 QUERIES = {
     "corpus_stats_battery": corpus_stats_battery,
+    "text_vocab_coverage": text_vocab_coverage,
+    "text_gopher_rules": text_gopher_rules,
     "phrase_search_documents": phrase_search_documents,
     "text_token_stats": text_token_stats,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1703,6 +1887,8 @@ QUERIES = {
 ORACLES = {
     "phrase_search_documents": _PHRASE_SQL,
     "corpus_stats_battery": _CORPUS_STATS_SQL,
+    "text_vocab_coverage": _VOCAB_COVERAGE_SQL,
+    "text_gopher_rules": _gopher_oracle(),
     "hybrid_search_rrf": _HYBRID_SQL,
     "text_bpe_train_merges": _bpe_oracle(),
     "text_bpe_encode_stats": _bpe_encode_oracle(),
