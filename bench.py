@@ -66,6 +66,9 @@ HEADLINE = [
     # permutation pipeline (range-repartition + broadcast offsets),
     # the training-order materialization shape.
     "shuffle_epoch_documents",
+    # round-7: SemDeDup — iterative clustering feeding an intra-cluster
+    # pairwise prune (the cluster-bounded O(sum c_i^2) join shape).
+    "dedup_semantic_clusters",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

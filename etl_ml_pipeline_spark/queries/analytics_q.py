@@ -1431,8 +1431,116 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# rfm_segmentation_events — RFM customer segmentation (recency /
+# frequency / monetary), the canonical lifecycle-marketing cut, done
+# cross-engine-exact: per-user integer measures (days-since-last-event
+# vs the corpus max day, event count, cents sum with HALF_UP rounding),
+# tertile cuts per measure via nearest-rank percentiles over the
+# distinct-value grid (operators/relational.nearest_rank_percentiles —
+# interpolated percentiles are engine-defined under duplication), and
+# the 27-cell segment grid with user counts + monetary totals.
+#
+# Scale: one per-user aggregate (map-side combined), three grid-sized
+# percentile walks, three 1-row broadcast cut tables, one final
+# 27-group aggregate. No global windows over users.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segmentation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import (
+        nearest_rank_percentiles,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("long").alias("f"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor", "last_day").cast("long").alias("r"),
+            "f",
+            "m",
+        )
+        .withColumn("g", F.lit(1))
+    )
+    cuts = {}
+    for meas in ("r", "f", "m"):
+        c = nearest_rank_percentiles(
+            per_user, ["g"], meas, {f"{meas}1": (1, 3), f"{meas}2": (2, 3)}
+        ).drop("g")
+        cuts[meas] = F.broadcast(c)
+    seg = per_user
+    for meas in ("r", "f", "m"):
+        seg = seg.crossJoin(cuts[meas])
+    tier = lambda meas: (  # noqa: E731
+        (F.col(meas) > F.col(f"{meas}1")).cast("int")
+        + (F.col(meas) > F.col(f"{meas}2")).cast("int")
+    )
+    return (
+        seg.select(
+            tier("r").alias("r_tier"),
+            tier("f").alias("f_tier"),
+            tier("m").alias("m_tier"),
+            "m",
+        )
+        .groupBy("r_tier", "f_tier", "m_tier")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("m").cast("long").alias("monetary_cents"),
+        )
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )
+
+
+def _rfm_cut_sql(meas: str) -> str:
+    return f"""
+{meas}_w AS (
+  SELECT {meas} AS v,
+         sum(cnt) OVER (ORDER BY {meas} ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM (SELECT {meas}, count(*) AS cnt FROM per_user GROUP BY {meas})
+),
+{meas}_b AS (
+  SELECT min(CASE WHEN cum >= (1 * total + 2) // 3 THEN v END) AS {meas}1,
+         min(CASE WHEN cum >= (2 * total + 2) // 3 THEN v END) AS {meas}2
+  FROM {meas}_w
+)"""
+
+
+_RFM_SQL = f"""
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT a FROM anchor))
+              AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY user_id
+),{_rfm_cut_sql('r')},{_rfm_cut_sql('f')},{_rfm_cut_sql('m')}
+SELECT CASE WHEN u.r > b1.r1 THEN 1 ELSE 0 END
+         + CASE WHEN u.r > b1.r2 THEN 1 ELSE 0 END AS r_tier,
+       CASE WHEN u.f > b2.f1 THEN 1 ELSE 0 END
+         + CASE WHEN u.f > b2.f2 THEN 1 ELSE 0 END AS f_tier,
+       CASE WHEN u.m > b3.m1 THEN 1 ELSE 0 END
+         + CASE WHEN u.m > b3.m2 THEN 1 ELSE 0 END AS m_tier,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(u.m) AS BIGINT) AS monetary_cents
+FROM per_user u CROSS JOIN r_b b1 CROSS JOIN f_b b2 CROSS JOIN m_b b3
+GROUP BY 1, 2, 3
+ORDER BY r_tier, f_tier, m_tier
+"""
+
+
 QUERIES = {
     "feature_winsorize_events": feature_winsorize_events,
+    "rfm_segmentation_events": rfm_segmentation_events,
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_erasure_audit": privacy_erasure_audit,
     "drift_psi_events": drift_psi_events,
@@ -1456,6 +1564,7 @@ ORACLES = {
     "feature_winsorize_events": _WINSORIZE_SQL,
     "privacy_k_anonymity": _K_ANON_SQL,
     "privacy_erasure_audit": _ERASURE_SQL,
+    "rfm_segmentation_events": _RFM_SQL,
     "drift_psi_events": _PSI_SQL,
     "markov_transitions_events": _MARKOV_SQL,
     "anomaly_mad_events": _MAD_SQL,

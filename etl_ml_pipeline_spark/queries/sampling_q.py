@@ -838,9 +838,145 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_exact_allocation — largest-remainder (Hamilton) stratified
+# allocation: split a FIXED sample budget (100 docs) across languages
+# exactly proportionally — floor(N*n_l/n_total) each, then the leftover
+# seats go to the largest fractional remainders (ties: lang asc). The
+# complement to rate-based hash sampling (sample_stratified_lang): when
+# the contract is "exactly N rows, proportionally", rates under- or
+# over-shoot; largest-remainder is the standard exact-quota method, and
+# every step here is integer arithmetic (DIV / MOD — no float quota can
+# disagree across engines). Within each stratum the selected rows are
+# the first `alloc` in md5-hash order (deterministic, reshuffle-proof).
+#
+# Scale: stratum counts are one map-side-combined shuffle; the quota
+# table is strata-sized (broadcast); selection is a per-stratum window
+# (partitioned by lang, never global) + a broadcast semi-join.
+# ---------------------------------------------------------------------------
+
+_ALLOC_N = 100
+
+
+def sample_exact_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("nt"))
+    quota = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(f"{_ALLOC_N} * n DIV nt").alias("base"),
+        F.expr(f"({_ALLOC_N} * n) % nt").alias("rem"),
+    )
+    spare = quota.agg((F.lit(_ALLOC_N) - F.sum("base")).alias("spare"))
+    # strata-sized window (languages, not rows) — bounded cardinality
+    w_rem = W.orderBy(F.desc("rem"), "lang")
+    alloc = (
+        quota.crossJoin(F.broadcast(spare))
+        .withColumn("pos", F.row_number().over(w_rem))
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(F.col("pos") <= F.col("spare"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    w_lang = W.partitionBy("lang").orderBy(
+        token_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w_lang))
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select("lang", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+_ALLOC_SQL = f"""
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt),
+quota AS (
+  SELECT lang, ({_ALLOC_N} * n) // nt AS base, ({_ALLOC_N} * n) % nt AS rem
+  FROM cnt, tot
+),
+alloc AS (
+  SELECT lang,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                      <= {_ALLOC_N} - (SELECT sum(base) FROM quota)
+                THEN 1 ELSE 0 END AS alloc
+  FROM quota
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {_HASH_DUCK}, doc_id) AS rk
+  FROM documents
+)
+SELECT r.lang, CAST(rk AS BIGINT) AS rk, doc_id
+FROM ranked r JOIN alloc a ON r.lang = a.lang AND r.rk <= a.alloc
+ORDER BY r.lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order_documents — curriculum training order: rank the
+# whole corpus globally by a difficulty score (n_chars asc — short
+# docs first — tie: doc_id) WITHOUT a single-partition global window,
+# via the same two-phase distributed rank as shuffle_epoch_documents
+# (operators/relational.global_row_number: range-repartition, local
+# row_number, broadcast cumulative offsets). The result emits five
+# exact checkpoints (first, quartiles by ceil(k*n/4), last) — each
+# pins the precise (position, doc_id, n_chars) triple, so any error
+# anywhere in the distributed rank surfaces as a hash mismatch against
+# the oracle's naive global window.
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import global_row_number
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(docs, ["n_chars", "doc_id"], out_col="pos")
+    n1 = docs.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .filter(
+            (F.col("pos") == 1)
+            | (F.col("pos") == F.expr("(1 * n + 3) DIV 4"))
+            | (F.col("pos") == F.expr("(2 * n + 3) DIV 4"))
+            | (F.col("pos") == F.expr("(3 * n + 3) DIV 4"))
+            | (F.col("pos") == F.col("n"))
+        )
+        .select(F.col("pos").cast("long").alias("pos"), "doc_id", "n_chars")
+        .orderBy("pos")
+    )
+
+
+_CURRICULUM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS pos,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, n_chars
+FROM ranked
+WHERE pos = 1 OR pos = (1 * n + 3) // 4 OR pos = (2 * n + 3) // 4
+   OR pos = (3 * n + 3) // 4 OR pos = n
+ORDER BY pos
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_dsir_weights": sample_dsir_weights,
+    "sample_exact_allocation": sample_exact_allocation,
+    "curriculum_order_documents": curriculum_order_documents,
     "shuffle_epoch_documents": shuffle_epoch_documents,
     "sample_source_cap_documents": sample_source_cap_documents,
     "split_assign_documents": split_assign_documents,
@@ -856,6 +992,8 @@ QUERIES = {
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_dsir_weights": _DSIR_SQL,
+    "sample_exact_allocation": _ALLOC_SQL,
+    "curriculum_order_documents": _CURRICULUM_SQL,
     "shuffle_epoch_documents": _SHUFFLE_EPOCH_SQL,
     "sample_source_cap_documents": _SOURCE_CAP_SQL,
     "split_assign_documents": _SPLIT_SQL,

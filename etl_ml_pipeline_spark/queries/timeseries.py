@@ -1303,8 +1303,106 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# concurrency_peak_events — exact max concurrent sessions per day via a
+# DISTRIBUTED SWEEP LINE: sessions (30-min gap, same schedule as
+# sessionize_events) become +1/-1 boundary events; the running sum of
+# deltas in time order is the live concurrency, and its per-day max is
+# the peak. A naive running sum is a single-partition global window
+# (the classic scale-killer); here it is two-phase, the prefix-sum
+# analog of operators/relational.global_row_number:
+#   1. per-day boundary partial sums (one small aggregate),
+#   2. cumulative carry-in offset per day (window over ~#days rows),
+#   3. within-day running sum (windows partitioned by day, parallel)
+#      + broadcast carry-in — identical to the global scan.
+# Tie order (ts asc, delta desc: a session starting the instant another
+# ends counts as overlapping) is mirrored in the oracle; among equal
+# (ts, delta) rows prefix sums are order-invariant, so the per-day max
+# is deterministic.
+# ---------------------------------------------------------------------------
+
+
+def concurrency_peak_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sess = (
+        sessionize(ev, "user_id", "ts", 30.0, order_cols=["ts", "event_id"])
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sess.select(
+        F.col("s").alias("bt"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("e").alias("bt"), F.lit(-1).alias("delta")))
+    b = bounds.withColumn("day", F.to_date("bt"))
+    day_sums = b.groupBy("day").agg(F.sum("delta").alias("dsum"))
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_sums.select(
+        "day", F.coalesce(F.sum("dsum").over(w_days), F.lit(0)).alias("carry")
+    )
+    w_run = (
+        W.partitionBy("day")
+        .orderBy(F.col("bt"), F.desc("delta"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = b.withColumn("run", F.sum("delta").over(w_run)).join(
+        F.broadcast(offsets), "day"
+    )
+    return (
+        running.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+            F.max(F.col("run") + F.col("carry"))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .select(F.col("day").cast("string").alias("day"),
+                "n_sessions_started", "peak_concurrency")
+        .orderBy("day")
+    )
+
+
+_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq,
+         ts
+  FROM flagged
+),
+iv AS (SELECT min(ts) AS s, max(ts) AS e FROM sess GROUP BY user_id, session_seq),
+bounds AS (
+  SELECT s AS bt, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS bt, -1 AS delta FROM iv
+),
+run AS (
+  SELECT CAST(bt AS DATE) AS day, delta,
+         sum(delta) OVER (ORDER BY bt, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM bounds
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started,
+       CAST(max(running) AS BIGINT) AS peak_concurrency
+FROM run
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
+    "concurrency_peak_events": concurrency_peak_events,
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
@@ -1330,6 +1428,7 @@ QUERIES = {
 
 ORACLES = {
     "sma_events": _SMA_SQL,
+    "concurrency_peak_events": _CONCURRENCY_SQL,
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
