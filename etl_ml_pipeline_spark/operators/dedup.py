@@ -535,6 +535,124 @@ class BoilerplateStrip(BaseTransform):
         )
 
 
+def semantic_assignments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup stage 1: k-means cluster assignments over the
+    micro-quantized vectors. Returns (``id_col``, __e, cluster)."""
+    from etl_ml_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_iterations,
+        quantize_micro,
+    )
+
+    q = quantize_micro(df, vec_col, out_col="__e").select(id_col, "__e")
+    q = q.persist()
+    cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+    return assign_clusters(q, cents, e_col="__e").select(
+        id_col, "__e", "cluster"
+    )
+
+
+def semantic_dup_pairs(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    cos_milli: int = 999,
+) -> DataFrame:
+    """SemDeDup stage 2 (Abbas et al. 2023, public): flag, WITHIN each
+    cluster only, every (lower id, higher id) pair whose cosine clears
+    ``cos_milli``/1000. Input is :func:`semantic_assignments` output;
+    returns (cluster, id_a, id_b).
+
+    The threshold test is exact integer arithmetic: dot > 0 AND
+    1e6*dot^2 >= cos_milli^2 * |a|^2 * |b|^2 (decimal(38,0) — the micro
+    grid keeps every term inside 38 digits for dims <= ~4k), so the
+    same pairs flag on any engine. Clustering bounds the pairwise join
+    to intra-cluster candidates — O(sum c_i^2), never O(N^2); pick k
+    proportional to N to hold cluster sizes constant at scale.
+    """
+    nrm = assigned.withColumn(
+        "__n2",
+        F.aggregate("__e", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    left = nrm.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n2").alias("__na2"),
+    )
+    right = nrm.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n2").alias("__nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", dot.alias("__dot"), "__na2", "__nb2")
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                d38(F.col("__dot")) * d38(F.col("__dot")) * F.lit(1_000_000)
+                >= F.lit(cos_milli * cos_milli)
+                * d38(F.col("__na2"))
+                * d38(F.col("__nb2"))
+            )
+        )
+        .select("cluster", "id_a", "id_b")
+    )
+
+
+def semantic_dup_ids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    cos_milli: int = 999,
+) -> DataFrame:
+    """SemDeDup near-duplicate ids to DROP (keep-lowest-id convention):
+    one column ``id_col`` of every higher id flagged by
+    :func:`semantic_dup_pairs`."""
+    assigned = semantic_assignments(df, vec_col, id_col, k, iters)
+    return (
+        semantic_dup_pairs(assigned, id_col, cos_milli)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+@register_transform("dedup_semantic")
+class SemanticDedup(BaseTransform):
+    """Pipeline form of SemDeDup: drop rows whose embedding is a
+    semantic near-duplicate (cosine >= ``cos_milli``/1000) of a
+    lower-id row in the same k-means cluster. Config: ``vec_col``,
+    ``id_col``, ``k``, ``iters``, ``cos_milli``."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col = self.config.get("id_col", "vec_id")
+        dups = semantic_dup_ids(
+            df,
+            vec_col=self.config.get("vec_col", "embedding"),
+            id_col=id_col,
+            k=int(self.config.get("k", 8)),
+            iters=int(self.config.get("iters", 2)),
+            cos_milli=int(self.config.get("cos_milli", 999)),
+        )
+        return df.join(dups, id_col, "left_anti")
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

@@ -507,10 +507,9 @@ _SEM_K, _SEM_ITERS, _SEM_CAP = 8, 2, 1200
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_ml_pipeline_spark.operators.kmeans import (
-        assign_clusters,
-        lloyd_iterations,
-        quantize_micro,
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_pairs,
     )
 
     base = (
@@ -527,55 +526,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
     )
-    q = quantize_micro(base.unionByName(scaled)).select("vec_id", "e")
-    q = q.persist()
-    cents = lloyd_iterations(q, _SEM_K, _SEM_ITERS)
-    assigned = assign_clusters(q, cents).select("vec_id", "e", "cluster")
-    nrm = assigned.withColumn(
-        "n2",
-        F.aggregate(
-            "e", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ),
+    assigned = semantic_assignments(
+        base.unionByName(scaled), k=_SEM_K, iters=_SEM_ITERS
     )
-    left = nrm.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("n2").alias("na2"),
-    )
-    right = nrm.select(
-        "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("n2").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    pairs = (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cluster", "id_a", "id_b", dot.alias("dot"), "na2", "nb2")
-        .withColumn(
-            "is_dup",
-            (F.col("dot") > 0)
-            & (
-                d38(F.col("dot")) * d38(F.col("dot")) * F.lit(1_000_000)
-                >= F.lit(998_001) * d38(F.col("na2")) * d38(F.col("nb2"))
-            ),
-        )
-    )
+    pairs = semantic_dup_pairs(assigned, cos_milli=999)
     mem = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    dup = (
-        pairs.filter("is_dup")
-        .groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_dup_pairs"),
-            F.countDistinct("id_b").alias("n_dups"),
-        )
+    dup = pairs.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dups"),
     )
     return (
         mem.join(dup, "cluster", "left")

@@ -110,6 +110,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("cluster_embeddings", tmp_path / "out4"),
         ("training_data_prep_v3", tmp_path / "out5"),
         ("boilerplate_then_dedup", tmp_path / "out6"),
+        ("semantic_dedup", tmp_path / "out7"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),

@@ -899,3 +899,41 @@ def test_shuffle_epoch_is_decorrelated_permutation(spark, sf_dir):
     e1 = out[out.epoch == 1].set_index("doc_id")["position"]
     e2 = out[out.epoch == 2].set_index("doc_id")["position"]
     assert (e1 == e2.reindex(e1.index)).sum() <= max(3, n // 50)
+
+
+def test_semantic_dedup_flags_scaled_copies_only(spark):
+    """SemDeDup operator contract: a positively-scaled copy (cosine
+    exactly 1) of a lower id is flagged; near-orthogonal vectors are
+    not; the keep-lowest-id convention drops only the copy. The exact
+    integer threshold test means no float wobble can flip a verdict."""
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_ids,
+        semantic_dup_pairs,
+    )
+
+    import math
+
+    dim = 8
+    rows = []
+    # 6 well-separated unit-ish vectors (one-hot-ish with noise floor)
+    for i in range(6):
+        v = [0.01] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    # id 10: 3x-scaled copy of id 2 -> cosine 1.0, must be flagged
+    rows.append((10, [x * 3.0 for x in rows[2][1]]))
+    # id 11: 45-degree blend of ids 0 and 1 -> cosine ~0.72, must NOT
+    blend = [(a + b) / math.sqrt(2) for a, b in
+             zip(rows[0][1], rows[1][1])]
+    rows.append((11, blend))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    dups = sorted(
+        r.vec_id for r in semantic_dup_ids(df, k=2, iters=2).collect()
+    )
+    assert dups == [10]
+    # the pair itself carries the keep/drop orientation (lower id kept)
+    assigned = semantic_assignments(df, k=2, iters=2)
+    pairs = semantic_dup_pairs(assigned)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(2, 10)]
