@@ -569,48 +569,72 @@ def semantic_dup_pairs(
     returns (cluster, id_a, id_b).
 
     The threshold test is exact integer arithmetic: dot > 0 AND
-    1e6*dot^2 >= cos_milli^2 * |a|^2 * |b|^2 (decimal(38,0) — the micro
-    grid keeps every term inside 38 digits for dims <= ~4k), so the
-    same pairs flag on any engine. Clustering bounds the pairwise join
-    to intra-cluster candidates — O(sum c_i^2), never O(N^2); pick k
-    proportional to N to hold cluster sizes constant at scale.
+    1e6*dot^2 >= cos_milli^2 * |a|^2 * |b|^2, so the same pairs flag on
+    any engine (the DuckDB oracle evaluates it in HUGEINT). Clustering
+    bounds the pairwise stage to intra-cluster candidates —
+    O(sum c_i^2), never O(N^2); pick k proportional to N to hold
+    cluster sizes constant at scale.
+
+    Execution: an Arrow-batched ``applyInPandas`` kernel per cluster —
+    dots come from ONE exact-int64 numpy Gram matmul in row blocks
+    (values are micro-grid ints <= ~2e6 per dim, so every dot is far
+    inside int64), not per-element ``zip_with`` lambdas, which Spark
+    interprets per array element and which measured ~2s for ~130k
+    64-dim pairs (the kmeans ``_EXPR_PATH_MAX_TERMS`` lesson). The
+    threshold is a float prefilter with a safety margin plus an exact
+    arbitrary-precision re-check of the few borderline candidates, so
+    the emitted set is bit-identical to the all-integer formulation.
+    Memory: the kernel holds one cluster's matrix (c x d int64) and a
+    block x c Gram slab — block rows bound the slab at any c.
     """
-    nrm = assigned.withColumn(
-        "__n2",
-        F.aggregate("__e", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
-    )
-    left = nrm.select(
-        "cluster",
-        F.col(id_col).alias("id_a"),
-        F.col("__e").alias("__ea"),
-        F.col("__n2").alias("__na2"),
-    )
-    right = nrm.select(
-        "cluster",
-        F.col(id_col).alias("id_b"),
-        F.col("__e").alias("__eb"),
-        F.col("__n2").alias("__nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("__ea", "__eb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    return (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cluster", "id_a", "id_b", dot.alias("__dot"), "__na2", "__nb2")
-        .filter(
-            (F.col("__dot") > 0)
-            & (
-                d38(F.col("__dot")) * d38(F.col("__dot")) * F.lit(1_000_000)
-                >= F.lit(cos_milli * cos_milli)
-                * d38(F.col("__na2"))
-                * d38(F.col("__nb2"))
+    t2 = cos_milli * cos_milli  # threshold^2 in 1e-6 units
+
+    def pairs_of(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        E = np.stack(pdf["__e"].to_numpy()).astype("int64")
+        n2 = (E * E).sum(axis=1)  # exact int64 (dims * (2e6)^2 << 2^63)
+        out_a, out_b, out_c = [], [], []
+        cluster = int(pdf["cluster"].iloc[0])
+        block = 1024
+        n = len(ids)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            G = E[lo:hi] @ E.T  # exact int64 dots
+            # float prefilter with margin: exact test is
+            # 1e6*dot^2 >= t2*na2*nb2; floats carry ~1e-16 relative
+            # error, so anything within 1e-9 of the boundary goes to
+            # the exact big-int re-check.
+            lhs = 1e6 * G.astype("float64") ** 2
+            rhs = float(t2) * np.outer(
+                n2[lo:hi].astype("float64"), n2.astype("float64")
             )
+            cand = (G > 0) & (lhs >= rhs * (1.0 - 1e-9))
+            # strict upper triangle in GLOBAL index space
+            cols = np.arange(n)
+            cand &= cols[None, :] > (np.arange(lo, hi))[:, None]
+            for i, j in zip(*np.nonzero(cand)):
+                gi = lo + int(i)
+                j = int(j)
+                dot = int(G[i, j])
+                if 1_000_000 * dot * dot >= t2 * int(n2[gi]) * int(n2[j]):
+                    out_a.append(int(ids[gi]))
+                    out_b.append(int(ids[j]))
+                    out_c.append(cluster)
+        return pd.DataFrame(
+            {"cluster": out_c, "id_a": out_a, "id_b": out_b}
         )
-        .select("cluster", "id_a", "id_b")
+
+    renamed = assigned.select(
+        F.col(id_col).alias("__id"), "__e", "cluster"
+    )
+    return (
+        renamed.groupBy("cluster")
+        .applyInPandas(pairs_of, "cluster int, id_a long, id_b long")
+        .orderBy("cluster", "id_a", "id_b")
     )
 
 

@@ -218,6 +218,27 @@ SHOWCASE = [
         "segment-key aggregation, LeftAnti equi-join strips every "
         "carrier, one shuffle reassembles — no pairwise comparison.",
     ),
+    (
+        "dedup_semantic_clusters",
+        "SemDeDup cluster-then-prune: the pairwise stage is a hash "
+        "equi-join ON CLUSTER (never a CartesianProduct against the "
+        "corpus); the cosine threshold folds into the same stage as "
+        "exact decimal arithmetic — no Python, no float comparisons.",
+    ),
+    (
+        "concurrency_peak_events",
+        "Distributed sweep line: per-day boundary partials + a "
+        "broadcast carry-in join; the only unpartitioned window runs "
+        "over day-cardinality rows — the global running sum never "
+        "lands in one task.",
+    ),
+    (
+        "sketch_theta_audience_overlap",
+        "Mergeable theta sketches: one sketch aggregate per segment, "
+        "then ALL pairwise overlap estimates come from combining "
+        "segment-cardinality sketch rows — the raw (type,user) pairs "
+        "shuffle once; the exact-side check is the only distinct pass.",
+    ),
 ]
 
 

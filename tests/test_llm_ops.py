@@ -937,3 +937,44 @@ def test_semantic_dedup_flags_scaled_copies_only(spark):
     assigned = semantic_assignments(df, k=2, iters=2)
     pairs = semantic_dup_pairs(assigned)
     assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(2, 10)]
+
+
+def test_exact_allocation_quota_invariants(spark, tmp_path):
+    """Largest-remainder allocation contract on a synthetic skewed
+    corpus: allocations sum EXACTLY to the budget, every stratum's
+    allocation is within 1 of its real-valued quota (the Hamilton
+    method's defining property), and strata never allocate more rows
+    than they have when the budget <= corpus size."""
+    import pandas as pd
+
+    from etl_ml_pipeline_spark.queries.sampling_q import (
+        _ALLOC_N,
+        sample_exact_allocation,
+    )
+
+    # skewed strata: 7/13/41/139/300 docs (total 500 > budget 100)
+    sizes = {"aa": 7, "bb": 13, "cc": 41, "dd": 139, "ee": 300}
+    rows, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, "src", 10))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "alloc_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    out = sample_exact_allocation(spark, str(sf_dir)).toPandas()
+    per = out.groupby("lang").size().to_dict()
+    assert sum(per.values()) == _ALLOC_N
+    total = sum(sizes.values())
+    for lang, n in sizes.items():
+        quota = _ALLOC_N * n / total
+        got = per.get(lang, 0)
+        assert abs(got - quota) < 1.0 + 1e-9, (lang, got, quota)
+        assert got <= n
+    # per-stratum ranks are contiguous 1..alloc (the hash-order prefix)
+    for lang, grp in out.groupby("lang"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
