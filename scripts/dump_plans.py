@@ -220,10 +220,11 @@ SHOWCASE = [
     ),
     (
         "dedup_semantic_clusters",
-        "SemDeDup cluster-then-prune: the pairwise stage is a hash "
-        "equi-join ON CLUSTER (never a CartesianProduct against the "
-        "corpus); the cosine threshold folds into the same stage as "
-        "exact decimal arithmetic — no Python, no float comparisons.",
+        "SemDeDup cluster-then-prune: ONE exchange on cluster feeds an "
+        "Arrow-batched FlatMapGroupsInPandas kernel (exact-int64 numpy "
+        "Gram matmul per cluster, never a CartesianProduct or "
+        "per-element lambda); assignment itself is a map over the "
+        "cached quantized corpus.",
     ),
     (
         "concurrency_peak_events",
