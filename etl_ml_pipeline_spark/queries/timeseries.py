@@ -1400,9 +1400,203 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_ttl_eviction_replay — MULTI-micro-batch streaming replay with
+# real state EVICTION, driver-recorded: a sparse slice of events
+# (event_id % 37) is re-materialized as THREE mtime-ordered parquet
+# files split at min(ts)+10d/+20d, streamed with maxFilesPerTrigger=1
+# (3 genuine triggers), watermark 1 day, through
+# streaming/windows.stateful_running_totals_ttl (TTL 3 days). Keys
+# silent past their TTL by the watermark clock emit evicted=true
+# tombstones and restart from zero — the timeout/eviction semantics a
+# single-batch replay can NEVER exercise (VERDICT r06 #6, now under
+# the driver's correctness gate, not just pytest).
+#
+# The oracle UNROLLS the 3-batch schedule in SQL — per-batch
+# watermarks (monotonic from 0, max event-ms minus delay), late-row
+# drops against the PREVIOUS batch's watermark, per-key cumulative
+# integer-cent state, the timeout arm max(last_ms+ttl, wm+1), the
+# eviction condition wm > timeout evaluated only in no-presence
+# batches (a batch where a key's rows are ALL late still shields it
+# from timeout processing — Spark calls the function with data, so
+# hasTimedOut stays false), and post-eviction restart. Every emission
+# row (update mode) is re-derived, so a green hash proves the full
+# cross-batch state machine matches Spark's execution bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_TTL_MS = 3 * 24 * 3600 * 1000
+_TTL_DELAY_MS = 24 * 3600 * 1000
+
+
+def stream_ttl_eviction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from etl_ml_pipeline_spark.streaming.windows import (
+        stateful_running_totals_ttl,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 37 == 0)
+        .select("user_id", "ts", "value")
+    )
+    # bounded driver materialization: 1/37 of events (~27k rows at sf1)
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    t0 = pdf["ts"].min()
+    cuts = (t0 + pd.Timedelta(days=10), t0 + pd.Timedelta(days=20))
+    root = f"{_replay_ckpt_root()}/ttl_in_{uuid.uuid4().hex}"
+    os.makedirs(root)
+    parts = (
+        pdf[pdf["ts"] < cuts[0]],
+        pdf[(pdf["ts"] >= cuts[0]) & (pdf["ts"] < cuts[1])],
+        pdf[pdf["ts"] >= cuts[1]],
+    )
+    for i, p in enumerate(parts, 1):
+        path = f"{root}/b{i}.parquet"
+        p.to_parquet(path, index=False)
+        # the file source orders triggers by mtime; same-ms writes
+        # reorder nondeterministically (see tests/test_streaming.py)
+        stamp = 1_700_000_000 + i * 10
+        os.utime(path, (stamp, stamp))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = stateful_running_totals_ttl(
+        stream.withWatermark("ts", "1 day"),
+        ttl_minutes=_TTL_MS // 60000,
+    )
+    return (
+        _replay(out, "update")
+        .select(
+            "user_id", "n", F.round("total", 2).alias("total"), "evicted"
+        )
+        .orderBy("user_id", "n", "evicted", "total")
+    )
+
+
+_TTL_REPLAY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_id % 37 = 0
+),
+c AS (SELECT min(ts) + INTERVAL 10 DAY AS c1,
+             min(ts) + INTERVAL 20 DAY AS c2 FROM ev),
+b AS (
+  SELECT ev.*, CASE WHEN ts < c1 THEN 1 WHEN ts < c2 THEN 2 ELSE 3 END AS bat
+  FROM ev, c
+),
+wm AS (  -- watermark BEFORE batches 2/3/4 (monotonic from 0); "batch 4"
+         -- is the extra no-data trigger availableNow runs after the
+         -- last file because the watermark advanced — end-of-stream
+         -- timeout processing happens there (verified: without it the
+         -- replay under-counts exactly the final tombstones)
+  SELECT greatest(0, coalesce((SELECT max(ms) FROM b WHERE bat = 1), 0)
+                     - {_TTL_DELAY_MS}) AS w1,
+         greatest(0, coalesce((SELECT max(ms) FROM b WHERE bat <= 2), 0)
+                     - {_TTL_DELAY_MS}) AS w2,
+         greatest(0, coalesce((SELECT max(ms) FROM b), 0)
+                     - {_TTL_DELAY_MS}) AS w3
+),
+ot AS (  -- late rows dropped against the PREVIOUS batch's watermark
+  SELECT b.*,
+         CASE bat WHEN 1 THEN TRUE
+                  WHEN 2 THEN ms >= w1
+                  ELSE ms >= w2 END AS ontime
+  FROM b, wm
+),
+pk AS (
+  SELECT user_id, bat,
+         count(*) AS n_any,
+         CAST(sum(CASE WHEN ontime THEN 1 ELSE 0 END) AS BIGINT) AS n_ot,
+         CAST(sum(CASE WHEN ontime THEN cents ELSE 0 END) AS BIGINT) AS c_ot,
+         max(CASE WHEN ontime THEN ms END) AS last_ms
+  FROM ot GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+    coalesce(max(CASE WHEN bat = 1 THEN n_any END), 0) AS any1,
+    coalesce(max(CASE WHEN bat = 2 THEN n_any END), 0) AS any2,
+    coalesce(max(CASE WHEN bat = 3 THEN n_any END), 0) AS any3,
+    coalesce(max(CASE WHEN bat = 1 THEN n_ot END), 0) AS n1,
+    coalesce(max(CASE WHEN bat = 2 THEN n_ot END), 0) AS n2,
+    coalesce(max(CASE WHEN bat = 3 THEN n_ot END), 0) AS n3,
+    coalesce(max(CASE WHEN bat = 1 THEN c_ot END), 0) AS cc1,
+    coalesce(max(CASE WHEN bat = 2 THEN c_ot END), 0) AS cc2,
+    coalesce(max(CASE WHEN bat = 3 THEN c_ot END), 0) AS cc3,
+    max(CASE WHEN bat = 1 THEN last_ms END) AS lm1,
+    max(CASE WHEN bat = 2 THEN last_ms END) AS lm2,
+    max(CASE WHEN bat = 3 THEN last_ms END) AS lm3
+  FROM pk GROUP BY user_id
+),
+st AS (
+  SELECT u.*, w1, w2, w3,
+    CASE WHEN n1 > 0 THEN greatest(lm1 + {_TTL_MS}, 1) END AS to1,
+    CASE WHEN n2 > 0 THEN greatest(lm2 + {_TTL_MS}, w1 + 1) END AS to2,
+    CASE WHEN n3 > 0 THEN greatest(lm3 + {_TTL_MS}, w2 + 1) END AS to3
+  FROM u, wm
+),
+flags AS (
+  SELECT *,
+    (any2 = 0 AND n1 > 0 AND w1 > to1) AS evict2,
+    -- at batch 3: key absent, not already evicted, live state, and the
+    -- effective timeout (re-armed by a batch-2 update when there was
+    -- one, else the batch-1 arm) has fallen behind the watermark
+    (any3 = 0
+     AND NOT (any2 = 0 AND n1 > 0 AND w1 > to1)
+     AND (n1 > 0 OR n2 > 0)
+     AND w2 > coalesce(to2, to1)) AS evict3
+  FROM st
+),
+flags4 AS (
+  SELECT *,
+    -- end-of-stream batch 4 (no data, every live key timeout-checked):
+    -- a key that evicted at 2 and restarted at 3 carries (n3, cc3) with
+    -- the batch-3 arm; an unevicted key carries the full cumulative
+    (NOT evict2 AND NOT evict3 AND (n1 + n2 + n3) > 0
+     AND w3 > coalesce(to3, to2, to1)) AS evict4_full,
+    (evict2 AND n3 > 0 AND w3 > to3) AS evict4_restart
+  FROM flags
+)
+SELECT user_id, n, round(total, 2) AS total, evicted FROM (
+  SELECT user_id, n1 AS n, cc1 / 100.0 AS total, FALSE AS evicted
+  FROM flags4 WHERE n1 > 0
+  UNION ALL
+  SELECT user_id, n1 + n2, (cc1 + cc2) / 100.0, FALSE
+  FROM flags4 WHERE n2 > 0
+  UNION ALL  -- batch-2 tombstone carries the batch-1 state
+  SELECT user_id, n1, cc1 / 100.0, TRUE
+  FROM flags4 WHERE evict2
+  UNION ALL  -- batch-3 update: restart from zero after an eviction
+  SELECT user_id,
+         CASE WHEN evict2 THEN n3 ELSE n1 + n2 + n3 END,
+         CASE WHEN evict2 THEN cc3 ELSE cc1 + cc2 + cc3 END / 100.0,
+         FALSE
+  FROM flags4 WHERE n3 > 0
+  UNION ALL  -- batch-3 tombstone carries the pre-silence state
+  SELECT user_id, n1 + n2, (cc1 + cc2) / 100.0, TRUE
+  FROM flags4 WHERE evict3
+  UNION ALL  -- end-of-stream tombstones (the extra no-data trigger)
+  SELECT user_id, n1 + n2 + n3, (cc1 + cc2 + cc3) / 100.0, TRUE
+  FROM flags4 WHERE evict4_full
+  UNION ALL
+  SELECT user_id, n3, cc3 / 100.0, TRUE
+  FROM flags4 WHERE evict4_restart
+)
+ORDER BY user_id, n, evicted, total
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "concurrency_peak_events": concurrency_peak_events,
+    "stream_ttl_eviction_replay": stream_ttl_eviction_replay,
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
@@ -1429,6 +1623,7 @@ QUERIES = {
 ORACLES = {
     "sma_events": _SMA_SQL,
     "concurrency_peak_events": _CONCURRENCY_SQL,
+    "stream_ttl_eviction_replay": _TTL_REPLAY_SQL,
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,

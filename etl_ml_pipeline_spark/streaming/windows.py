@@ -203,42 +203,45 @@ def stateful_running_totals_ttl(
         import pandas as pd
 
         if state.hasTimedOut:
-            n, total = state.get
+            n, cents = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     key_col: [key[0]],
                     "n": [n],
-                    "total": [round(total, 4)],
+                    "total": [cents / 100.0],
                     "evicted": [True],
                 }
             )
             return
         wm_ms = state.getCurrentWatermarkMs()
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         last_ms = 0
         fresh = 0
         for pdf in pdfs:
             ms = pdf[ts_col].astype("int64") // 1_000_000
-            ontime = ms >= wm_ms  # drop late rows (see docstring)
+            ontime = (ms >= wm_ms).to_numpy()  # drop late rows (docstring)
             keep = pdf[ontime]
             if len(keep) == 0:
                 continue
             fresh += len(keep)
             n += len(keep)
-            total += float(keep["value"].sum())
+            # exact integer cents (HALF_UP like the batch twin) — the
+            # cross-batch accumulation must be order-free so the replay
+            # oracle can re-derive it with SQL sums
+            cents += int(_cents_half_up(keep["value"]).sum())
             last_ms = max(last_ms, int(ms[ontime].max()))
         if fresh == 0:
             # all rows were late: emit nothing, leave state (and its
             # previously-armed timeout) untouched
             return
-        state.update((n, total))
+        state.update((n, cents))
         state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
                 "n": [n],
-                "total": [round(total, 4)],
+                "total": [cents / 100.0],
                 "evicted": [False],
             }
         )
@@ -247,7 +250,7 @@ def stateful_running_totals_ttl(
         update,
         outputStructType=f"{key_col} {key_type}, n bigint, total double, "
         "evicted boolean",
-        stateStructType=_STATE_SCHEMA,
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

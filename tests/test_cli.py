@@ -130,8 +130,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 194, sorted(qs)
-    assert len(oracles) == 194, sorted(oracles)
+    assert len(qs) == 195, sorted(qs)
+    assert len(oracles) == 195, sorted(oracles)
     # every catalog entry is oracle-checkable (the HLL sketch query carries
     # its error-bound contract as a boolean the oracle asserts literally)
     assert set(qs) - set(oracles) == set()
