@@ -978,3 +978,55 @@ def test_exact_allocation_quota_invariants(spark, tmp_path):
     # per-stratum ranks are contiguous 1..alloc (the hash-order prefix)
     for lang, grp in out.groupby("lang"):
         assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+
+
+def test_semantic_pair_kernel_matches_bigint_reference(spark):
+    """The Arrow kernel's float-prefilter + exact re-check must emit
+    EXACTLY the pairs the pure big-int predicate defines — including
+    vectors engineered to sit near the 0.999 threshold where a
+    float-only comparison could flip."""
+    import itertools
+    import random
+
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    for i in range(40):
+        if i % 4 == 0:
+            # near-collinear perturbations of base: cosines cluster
+            # right around the threshold
+            eps = (i // 4) * 0.004
+            v = [b + rng.uniform(-eps, eps) for b in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = semantic_assignments(df, k=2, iters=1)
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(assigned, cos_milli=999).collect()
+    }
+
+    # pure-python big-int reference over the same quantized assignment
+    rows_q = assigned.collect()
+    by_cluster = {}
+    for r in rows_q:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], list(r["__e"]))
+        )
+    want = set()
+    for members in by_cluster.values():
+        members.sort()
+        for (ia, ea), (ib, eb) in itertools.combinations(members, 2):
+            dot = sum(x * y for x, y in zip(ea, eb))
+            na2 = sum(x * x for x in ea)
+            nb2 = sum(x * x for x in eb)
+            if dot > 0 and 10**6 * dot * dot >= 998001 * na2 * nb2:
+                want.add((ia, ib))
+    assert got == want
