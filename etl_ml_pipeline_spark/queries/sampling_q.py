@@ -772,7 +772,13 @@ _DSIR_B = 1024
 
 
 def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # heavy=True: the md5-per-token hashing is compute-bound per row, and
+    # a single-file scan otherwise runs it on too few partitions
+    # (measured at the synthetic sf1: 9.4s single-file vs the rebalanced
+    # path — sf1 was SLOWER than sf10 purely from scan parallelism)
+    docs = t(spark, sf_dir, "documents", heavy=True).select(
+        "doc_id", "lang", "text"
+    )
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
