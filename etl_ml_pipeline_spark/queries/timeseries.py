@@ -1593,10 +1593,102 @@ ORDER BY user_id, n, evicted, total
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_topk_multibatch_replay — the streaming leaderboard across THREE
+# genuine micro-batches: same 3-file mtime-ordered construction as
+# stream_ttl_eviction_replay (min(ts)+10d/+20d cuts over the event_id%7
+# slice), driven through streaming/windows.stateful_topk in update
+# mode. Each trigger re-emits, for every key that received data, the
+# top-5 members by CUMULATIVE cents — so the oracle re-derives every
+# emission as the top-5 over the batch PREFIX (totals through batch i,
+# ranked cents desc / member asc, emitted only for (key, batch) pairs
+# with data). The single-batch stream_topk_replay pins the final state;
+# this one pins the full cross-batch emission sequence — intermediate
+# leaderboards, rank churn, and the data-presence emission rule.
+# ---------------------------------------------------------------------------
+
+
+def stream_topk_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from etl_ml_pipeline_spark.streaming.windows import stateful_topk
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_type", "user_id", "ts", "value")
+    )
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    t0 = pdf["ts"].min()
+    cuts = (t0 + pd.Timedelta(days=10), t0 + pd.Timedelta(days=20))
+    root = f"{_replay_ckpt_root()}/topk_in_{uuid.uuid4().hex}"
+    os.makedirs(root)
+    parts = (
+        pdf[pdf["ts"] < cuts[0]],
+        pdf[(pdf["ts"] >= cuts[0]) & (pdf["ts"] < cuts[1])],
+        pdf[pdf["ts"] >= cuts[1]],
+    )
+    for i, p in enumerate(parts, 1):
+        path = f"{root}/b{i}.parquet"
+        p.to_parquet(path, index=False)
+        stamp = 1_700_000_000 + i * 10
+        os.utime(path, (stamp, stamp))
+    stream = (
+        spark.readStream.schema(
+            "event_type string, user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = stateful_topk(stream, k=5)
+    return (
+        _replay(out, "update")
+        .select("event_type", "rank", "user_id", "total_cents")
+        .orderBy("event_type", "rank", "total_cents", "user_id")
+    )
+
+
+_TOPK_MULTIBATCH_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_id % 7 = 0
+),
+c AS (SELECT min(ts) + INTERVAL 10 DAY AS c1,
+             min(ts) + INTERVAL 20 DAY AS c2 FROM ev),
+b AS (
+  SELECT ev.*, CASE WHEN ts < c1 THEN 1 WHEN ts < c2 THEN 2 ELSE 3 END AS bat
+  FROM ev, c
+),
+pres AS (SELECT DISTINCT event_type, bat FROM b),
+cum AS (  -- per emission batch i: totals through the batch prefix
+  SELECT p.event_type, p.bat AS i, m.user_id,
+         CAST(sum(m.cents) AS BIGINT) AS total_cents
+  FROM pres p JOIN b m ON m.event_type = p.event_type AND m.bat <= p.bat
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT event_type, i, user_id, total_cents,
+         CAST(row_number() OVER (PARTITION BY event_type, i
+                                 ORDER BY total_cents DESC, user_id)
+              AS INT) AS rank
+  FROM cum
+)
+SELECT event_type, rank, user_id, total_cents
+FROM ranked WHERE rank <= 5
+ORDER BY event_type, rank, total_cents, user_id
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "concurrency_peak_events": concurrency_peak_events,
     "stream_ttl_eviction_replay": stream_ttl_eviction_replay,
+    "stream_topk_multibatch_replay": stream_topk_multibatch_replay,
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_tumble_replay": stream_tumble_replay,
     "stream_running_totals_replay": stream_running_totals_replay,
@@ -1624,6 +1716,7 @@ ORACLES = {
     "sma_events": _SMA_SQL,
     "concurrency_peak_events": _CONCURRENCY_SQL,
     "stream_ttl_eviction_replay": _TTL_REPLAY_SQL,
+    "stream_topk_multibatch_replay": _TOPK_MULTIBATCH_SQL,
     "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     "stream_tumble_replay": _STREAM_TUMBLE_SQL,
     "stream_running_totals_replay": _STREAM_TOTALS_SQL,
