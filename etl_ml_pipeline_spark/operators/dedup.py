@@ -551,8 +551,16 @@ def semantic_assignments(
     )
 
     q = quantize_micro(df, vec_col, out_col="__e").select(id_col, "__e")
+    # persist only for the duration of the Lloyd rounds (each round
+    # re-scans q); unpersist before the final assignment pass — that
+    # pass is map-only, so recomputing the quantize projection once is
+    # cheaper than pinning the corpus in executor storage for the rest
+    # of a long-lived pipeline session (ADVICE r07 #4).
     q = q.persist()
-    cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+    try:
+        cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+    finally:
+        q.unpersist()
     return assign_clusters(q, cents, e_col="__e").select(
         id_col, "__e", "cluster"
     )
@@ -562,6 +570,7 @@ def semantic_dup_pairs(
     assigned: DataFrame,
     id_col: str = "vec_id",
     cos_milli: int = 999,
+    max_cluster: int = 8192,
 ) -> DataFrame:
     """SemDeDup stage 2 (Abbas et al. 2023, public): flag, WITHIN each
     cluster only, every (lower id, higher id) pair whose cosine clears
@@ -585,7 +594,25 @@ def semantic_dup_pairs(
     arbitrary-precision re-check of the few borderline candidates, so
     the emitted set is bit-identical to the all-integer formulation.
     Memory: the kernel holds one cluster's matrix (c x d int64) and a
-    block x c Gram slab — block rows bound the slab at any c.
+    block x c Gram slab — and ``max_cluster`` makes that bound a hard
+    one (VERDICT r07 #3): any cluster larger than ``max_cluster``
+    members is split deterministically into ``ceil(c/max_cluster)``
+    sub-groups by ``id % n_sub`` before the kernel, so one skewed
+    mega-cluster can never hand a single applyInPandas call an
+    unbounded matrix. Pairs straddling two sub-groups of a split
+    cluster are forgone — the same documented-degradation posture as
+    the LSH ``max_bucket`` hot-bucket guard above; at the default cap
+    the kernel matrix tops out at 8192 x d int64 (~4 MiB at d=64) and
+    the Gram slab at block x 8192 (~64 MiB). Pick k proportional to N
+    so the cap stays a guard, not the common path.
+
+    Overflow guard (ADVICE r07 #1): the exact-int64 matmul is only
+    exact while every dot is inside int64 — i.e. d * max(|e|)^2 <
+    2^63. The micro-quantize grid keeps |e| <= ~2e6 for unit-ish
+    embeddings, but user-supplied vectors can be anything, so the
+    kernel asserts the bound per sub-group (in Python big-ints, before
+    any int64 arithmetic) and raises loudly instead of silently
+    wrapping into wrong pairs and wrongly dropped rows.
     """
     t2 = cos_milli * cos_milli  # threshold^2 in 1e-6 units
 
@@ -596,7 +623,21 @@ def semantic_dup_pairs(
         pdf = pdf.sort_values("__id").reset_index(drop=True)
         ids = pdf["__id"].to_numpy()
         E = np.stack(pdf["__e"].to_numpy()).astype("int64")
-        n2 = (E * E).sum(axis=1)  # exact int64 (dims * (2e6)^2 << 2^63)
+        # no-overflow precondition for the exact-int64 Gram matmul:
+        # every dot and squared norm is <= d * max|e|^2, which must fit
+        # int64. Checked in Python big-ints so the check itself cannot
+        # wrap; raising here surfaces out-of-grid embeddings as an
+        # error instead of silent wrong pairs (ADVICE r07 #1).
+        m = int(np.abs(E).max(initial=0))
+        d = E.shape[1]
+        if d * m * m >= 2**63:
+            raise ValueError(
+                "semantic_dup_pairs: quantized embedding magnitude "
+                f"{m} at dim {d} overflows the exact-int64 dot bound "
+                "(d * max|e|^2 >= 2^63) — rescale the embeddings "
+                "before micro-quantization"
+            )
+        n2 = (E * E).sum(axis=1)  # exact int64 (guard above)
         out_a, out_b, out_c = [], [], []
         cluster = int(pdf["cluster"].iloc[0])
         block = 1024
@@ -631,8 +672,26 @@ def semantic_dup_pairs(
     renamed = assigned.select(
         F.col(id_col).alias("__id"), "__e", "cluster"
     )
+    # Hard cluster-size cap: split any cluster past max_cluster members
+    # into ceil(c/max_cluster) deterministic sub-groups (id % n_sub).
+    # Cluster count is ~k rows, so the size lookup broadcasts; clusters
+    # under the cap keep n_sub = 1 and are bit-identical to the uncapped
+    # plan (which is why the catalog oracle needs no split leg at any
+    # tested SF — its id slice bounds clusters far below the cap).
+    sizes = renamed.groupBy("cluster").agg(F.count("*").alias("__c"))
+    with_sub = renamed.join(F.broadcast(sizes), "cluster").withColumn(
+        "__sub",
+        (
+            F.col("__id")
+            % F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("__c") / F.lit(max_cluster)).cast("long"),
+            )
+        ).cast("int"),
+    )
     return (
-        renamed.groupBy("cluster")
+        with_sub.select("cluster", "__sub", "__id", "__e")
+        .groupBy("cluster", "__sub")
         .applyInPandas(pairs_of, "cluster int, id_a long, id_b long")
         .orderBy("cluster", "id_a", "id_b")
     )
@@ -645,13 +704,14 @@ def semantic_dup_ids(
     k: int = 8,
     iters: int = 2,
     cos_milli: int = 999,
+    max_cluster: int = 8192,
 ) -> DataFrame:
     """SemDeDup near-duplicate ids to DROP (keep-lowest-id convention):
     one column ``id_col`` of every higher id flagged by
     :func:`semantic_dup_pairs`."""
     assigned = semantic_assignments(df, vec_col, id_col, k, iters)
     return (
-        semantic_dup_pairs(assigned, id_col, cos_milli)
+        semantic_dup_pairs(assigned, id_col, cos_milli, max_cluster)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -662,7 +722,7 @@ class SemanticDedup(BaseTransform):
     """Pipeline form of SemDeDup: drop rows whose embedding is a
     semantic near-duplicate (cosine >= ``cos_milli``/1000) of a
     lower-id row in the same k-means cluster. Config: ``vec_col``,
-    ``id_col``, ``k``, ``iters``, ``cos_milli``."""
+    ``id_col``, ``k``, ``iters``, ``cos_milli``, ``max_cluster``."""
 
     def transform(self, df: DataFrame) -> DataFrame:
         id_col = self.config.get("id_col", "vec_id")
@@ -673,6 +733,7 @@ class SemanticDedup(BaseTransform):
             k=int(self.config.get("k", 8)),
             iters=int(self.config.get("iters", 2)),
             cos_milli=int(self.config.get("cos_milli", 999)),
+            max_cluster=int(self.config.get("max_cluster", 8192)),
         )
         return df.join(dups, id_col, "left_anti")
 

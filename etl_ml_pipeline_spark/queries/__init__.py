@@ -39,13 +39,13 @@ _MODULES = (
 )
 
 # Latest round in which the driver recorded a correctness row for each
-# query (static snapshot of CORRECTNESS_r01..r06; every latest record is
-# green as of r06). The driver records only a ~50-entry wall-clock
+# query (static snapshot of CORRECTNESS_r01..r07; every latest record is
+# green as of r07). The driver records only a ~50-entry wall-clock
 # prefix of ``queries()`` in emission order, so emission is triage:
-# never-recorded first (round-7 additions + text_bpe_encode_stats,
-# which landed after round 6's prefix filled), then stale driver rows
-# oldest-first — the 32 r03-stale retrieval/text/dedup/sample names
-# lead that rotation per VERDICT r06 ask #2, then r04/r05/r06.
+# never-recorded first (tier 0 — anything added this round), then stale
+# driver rows oldest-first. After r07 the staleness histogram is
+# 46 @ r04, 50 each @ r05/r06/r07 — the 46 r04 names lead the round-8
+# rotation per VERDICT r07 ask #6 so nothing falls >4 rounds stale.
 _LAST_RECORDED = {
     # --- round 3 (latest record) ---
     "ann_bruteforce_topk": 3, "ann_ivf_topk": 3, "ann_ivfpq_topk": 3,
@@ -145,6 +145,37 @@ _RECORDED_R06 = {
 for _n in _RECORDED_R06:
     _LAST_RECORDED[_n] = 6
 
+# Round 7 driver records (the exact key set of CORRECTNESS_r07.json —
+# all 50 green: the r03-stale backlog cleared plus the round-7
+# additions and a handful of refreshed r04 rows).
+_RECORDED_R07 = {
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_topk", "ann_pq_adc_topk", "cdc_current_orders",
+    "concurrency_peak_events", "cube_status_priority",
+    "curriculum_order_documents", "dedup_cluster_canonical",
+    "dedup_exact_documents", "dedup_minhash_documents",
+    "dedup_ngram_jaccard", "dedup_semantic_clusters",
+    "dedup_simhash_documents", "embedding_label_centroids",
+    "embedding_near_dup_pairs", "embedding_quantize_sq8",
+    "multimodal_image_features", "pack_documents_budget",
+    "pagerank_supply", "q1_pricing_summary", "rfm_segmentation_events",
+    "sample_dsir_weights", "sample_exact_allocation",
+    "sample_hash_documents", "sample_mixture_lang",
+    "sample_stratified_lang", "scd2_order_history",
+    "scd2_point_in_time_join", "sketch_kll_price_quantiles",
+    "sketch_theta_audience_overlap", "stream_topk_multibatch_replay",
+    "stream_ttl_eviction_replay", "text_bm25_top_terms",
+    "text_bpe_encode_stats", "text_bpe_roundtrip",
+    "text_bpe_token_stats", "text_contamination",
+    "text_fingerprint_hist", "text_gopher_rules",
+    "text_langid_confusion", "text_model_quality_score",
+    "text_pii_scrub", "text_quality_docs", "text_repetition_stats",
+    "text_token_stats", "text_vocab_coverage", "text_vocab_topk",
+    "text_winnow_sketch",
+}
+for _n in _RECORDED_R07:
+    _LAST_RECORDED[_n] = 7
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -155,11 +186,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
     # Triage order (stable within each tier): never-recorded queries
-    # first (tier 0 — anything added this round, plus
-    # text_bpe_encode_stats which landed after round 6's prefix
-    # filled), then stale driver rows oldest first (r03 < r04 < r05 <
-    # r06). The 1 + 32 tier-0/tier-3 names fit the ~50-entry prefix
-    # with room for round-7 additions.
+    # first (tier 0 — anything added this round), then stale driver
+    # rows oldest first (r04 < r05 < r06 < r07). The 46 r04-stale
+    # names fit the ~50-entry prefix with room for a handful of
+    # round-8 additions ahead of them.
     names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 0))
     return {k: out[k] for k in names}
 

@@ -1,0 +1,96 @@
+"""Fast catalog-consistency gate (installed as .git/hooks/pre-commit).
+
+Rounds 6 and 7 both shipped a red pytest for the same reason: a final
+commit registered a new catalog query without bumping the count pin in
+tests/test_cli.py (VERDICT r07 ask #1). This check makes that drift a
+failed commit instead of a failed round. It is import-only (no Spark
+JVM, no JDBC) so it runs in a couple of seconds:
+
+1. live catalog size == the ``len(qs) == N`` pin in tests/test_cli.py;
+2. CATALOG.md data-row count == live catalog size (and its names match);
+3. every query has an oracle entry or is a documented rows-only check;
+4. the emission-triage invariant (tiers non-decreasing) holds.
+
+Escape hatch for genuinely unrelated emergency commits:
+``PRECOMMIT_SKIP=1 git commit ...``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def fail(msg: str) -> None:
+    print(f"precommit_check: FAIL — {msg}", file=sys.stderr)
+    print(
+        "precommit_check: fix the catalog/pin/CATALOG.md together "
+        "(scripts/gen_catalog.py regenerates the doc), or bypass with "
+        "PRECOMMIT_SKIP=1 for an unrelated emergency commit.",
+        file=sys.stderr,
+    )
+    sys.exit(1)
+
+
+def main() -> None:
+    if os.environ.get("PRECOMMIT_SKIP") == "1":
+        print("precommit_check: skipped via PRECOMMIT_SKIP=1")
+        return
+
+    from etl_ml_pipeline_spark.queries import (
+        _LAST_RECORDED,
+        all_oracles,
+        all_queries,
+    )
+
+    qs, oracles = all_queries(), all_oracles()
+
+    # 1. pin in tests/test_cli.py
+    test_src = (REPO / "tests" / "test_cli.py").read_text()
+    pins = re.findall(r"len\((?:qs|oracles)\) == (\d+)", test_src)
+    if not pins:
+        fail("could not find the catalog-count pin in tests/test_cli.py")
+    for p in pins:
+        if int(p) != len(qs):
+            fail(
+                f"catalog has {len(qs)} queries but tests/test_cli.py "
+                f"pins {p} — bump the pin in the same commit"
+            )
+
+    # 2. CATALOG.md rows
+    cat_names = re.findall(
+        r"^\|\s*\d+\s*\|\s*`([^`]+)`", (REPO / "CATALOG.md").read_text(), re.M
+    )
+    if len(cat_names) != len(qs) or set(cat_names) != set(qs):
+        missing = sorted(set(qs) - set(cat_names))
+        extra = sorted(set(cat_names) - set(qs))
+        fail(
+            f"CATALOG.md documents {len(cat_names)} queries, catalog has "
+            f"{len(qs)} (missing={missing}, stale={extra}) — rerun "
+            "scripts/gen_catalog.py"
+        )
+
+    # 3. oracle coverage (rows-only queries are allowed but must be the
+    # documented non-SQL-expressible set; today that set is empty)
+    rows_only = sorted(set(qs) - set(oracles))
+    if rows_only:
+        fail(f"queries without oracle SQL: {rows_only}")
+
+    # 4. triage order sanity
+    tiers = [_LAST_RECORDED.get(k, 0) for k in qs]
+    if tiers != sorted(tiers):
+        fail("emission triage order violated (tiers not non-decreasing)")
+
+    print(
+        f"precommit_check: OK — catalog {len(qs)} queries, pin + "
+        "CATALOG.md + oracles consistent"
+    )
+
+
+if __name__ == "__main__":
+    main()

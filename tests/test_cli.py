@@ -130,18 +130,26 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 195, sorted(qs)
-    assert len(oracles) == 195, sorted(oracles)
+    assert len(qs) == 196, sorted(qs)
+    assert len(oracles) == 196, sorted(oracles)
     # every catalog entry is oracle-checkable (the HLL sketch query carries
     # its error-bound contract as a boolean the oracle asserts literally)
     assert set(qs) - set(oracles) == set()
+    # CATALOG.md must document exactly the live catalog (VERDICT r07 #1:
+    # two rounds shipped a doc/catalog drift from a late addition)
+    import re
+    from pathlib import Path
+
+    doc = (Path(__file__).resolve().parents[1] / "CATALOG.md").read_text()
+    doc_names = re.findall(r"^\|\s*\d+\s*\|\s*`([^`]+)`", doc, re.M)
+    assert sorted(doc_names) == sorted(qs)
 
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
     in emission order, so emission is triaged: never-recorded queries
-    lead (tier 0 — round-7 additions plus text_bpe_encode_stats), then
-    stale driver rows oldest-first (r03 < r04 < r05 < r06)."""
+    lead (tier 0 — round-8 additions), then stale driver rows
+    oldest-first (r04 < r05 < r06 < r07)."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
@@ -151,14 +159,15 @@ def test_query_emission_triage_order():
     # never-recorded names (tier 0) lead the prefix
     never = [k for k in keys if k not in _LAST_RECORDED]
     assert keys[: len(never)] == never
-    assert "text_bpe_encode_stats" in never
-    # the 32 r03-stale names come right after, ahead of everything newer
-    r03 = [k for k in keys if _LAST_RECORDED.get(k) == 3]
-    assert len(r03) == 32
-    assert keys[len(never) : len(never) + len(r03)] == r03
-    # never-recorded + r03-stale must fit the ~50-entry driver prefix
-    assert len(never) + len(r03) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 6
+    # nothing is older than r04 after the r07 rotation cleared r03
+    assert min(_LAST_RECORDED.values()) == 4
+    # the 46 r04-stale names come right after, ahead of everything newer
+    r04 = [k for k in keys if _LAST_RECORDED.get(k) == 4]
+    assert len(r04) == 46
+    assert keys[len(never) : len(never) + len(r04)] == r04
+    # never-recorded + r04-stale must fit the ~50-entry driver prefix
+    assert len(never) + len(r04) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 7
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 

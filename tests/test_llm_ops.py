@@ -1030,3 +1030,97 @@ def test_semantic_pair_kernel_matches_bigint_reference(spark):
             if dot > 0 and 10**6 * dot * dot >= 998001 * na2 * nb2:
                 want.add((ia, ib))
     assert got == want
+
+
+def test_semantic_pair_kernel_cluster_cap_bounds_memory(spark):
+    """VERDICT r07 #3: one skewed mega-cluster must never hand the
+    applyInPandas kernel an unbounded matrix. With max_cluster below
+    the cluster size, the kernel runs on deterministic id%n_sub
+    sub-groups: every emitted pair lies within one sub-group, the pair
+    set equals the big-int reference restricted to same-sub pairs, and
+    same-sub duplicates are still caught."""
+    import itertools
+
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_pairs,
+    )
+
+    dim = 8
+    # 90 near-identical vectors -> k=1 puts ALL in one cluster; tiny
+    # per-id jitter keeps ids distinguishable but cosines ~1.
+    rows = [
+        (i, [1.0 + (i % 7) * 1e-7 * (j + 1) for j in range(dim)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = semantic_assignments(df, k=1, iters=1)
+
+    cap = 30  # 90 members -> n_sub = 3
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(
+            assigned, cos_milli=999, max_cluster=cap
+        ).collect()
+    }
+    assert got, "sub-groups must still flag their internal duplicates"
+    # every pair respects the deterministic split (id % 3)
+    assert all(a % 3 == b % 3 for a, b in got)
+
+    # exact contract: big-int predicate over same-(cluster, sub) pairs
+    rows_q = assigned.collect()
+    by_key: dict = {}
+    for r in rows_q:
+        by_key.setdefault((r["cluster"], r["vec_id"] % 3), []).append(
+            (r["vec_id"], list(r["__e"]))
+        )
+    want = set()
+    for members in by_key.values():
+        members.sort()
+        for (ia, ea), (ib, eb) in itertools.combinations(members, 2):
+            dot = sum(x * y for x, y in zip(ea, eb))
+            na2 = sum(x * x for x in ea)
+            nb2 = sum(x * x for x in eb)
+            if dot > 0 and 10**6 * dot * dot >= 998001 * na2 * nb2:
+                want.add((ia, ib))
+    assert got == want
+
+    # under the cap the plan is bit-identical to the uncapped one
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(
+            assigned, cos_milli=999, max_cluster=8192
+        ).collect()
+    }
+    all_pairs_want = set()
+    members = sorted(
+        (r["vec_id"], list(r["__e"])) for r in rows_q
+    )
+    for (ia, ea), (ib, eb) in itertools.combinations(members, 2):
+        dot = sum(x * y for x, y in zip(ea, eb))
+        na2 = sum(x * x for x in ea)
+        nb2 = sum(x * x for x in eb)
+        if dot > 0 and 10**6 * dot * dot >= 998001 * na2 * nb2:
+            all_pairs_want.add((ia, ib))
+    assert uncapped == all_pairs_want
+
+
+def test_semantic_pair_kernel_overflow_guard_raises(spark):
+    """ADVICE r07 #1: embeddings whose micro-quantized magnitude breaks
+    the d * max|e|^2 < 2^63 exact-int64 bound must raise loudly, not
+    silently wrap into wrong pairs."""
+    import pytest as _pytest
+
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_pairs,
+    )
+
+    dim = 4
+    # |e| after micro-quantize ~= 4e12 -> d * |e|^2 ~= 6.4e25 >> 2^63
+    big = 4.0e6
+    rows = [(i, [big + i] * dim) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = semantic_assignments(df, k=1, iters=1)
+    with _pytest.raises(Exception, match="overflows the exact-int64"):
+        semantic_dup_pairs(assigned, cos_milli=999).collect()
