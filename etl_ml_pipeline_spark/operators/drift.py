@@ -71,7 +71,13 @@ def psi(
     )
     p = (F.col("nr") + 1) / F.col("__tr")
     q = (F.col("nc") + 1) / F.col("__tc")
-    term_i = F.floor((q - p) * F.log(q / p) * 100000000).cast("long")
+    # +1e-6 nudge before floor (mirrored in the drift_psi_events
+    # oracle): JVM Math.log vs libm ln can differ by 1 ulp, so a term
+    # within ~1e-12 of an integer boundary could floor apart across
+    # engines (ADVICE r07 #2 — same posture as the DSIR weights).
+    term_i = F.floor(
+        (q - p) * F.log(q / p) * 100000000 + 1e-6
+    ).cast("long")
     return (
         counts.join(F.broadcast(tot), keys)
         .select(*keys, term_i.alias("__t"))

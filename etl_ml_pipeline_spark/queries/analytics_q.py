@@ -816,7 +816,7 @@ tot AS (
 SELECT b.event_type,
        sum(CAST(floor((CAST(nc + 1 AS DOUBLE) / tc - CAST(nr + 1 AS DOUBLE) / tr)
                  * ln((CAST(nc + 1 AS DOUBLE) / tc) / (CAST(nr + 1 AS DOUBLE) / tr))
-                 * 100000000) AS BIGINT)) / 100000000.0 AS psi
+                 * 100000000 + 1e-6) AS BIGINT)) / 100000000.0 AS psi
 FROM binned b JOIN tot USING (event_type)
 GROUP BY b.event_type
 ORDER BY b.event_type

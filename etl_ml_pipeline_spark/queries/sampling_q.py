@@ -788,6 +788,12 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
     tot = bc.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    # +1e-6 margin before floor (mirrored in the oracle): JVM Math.log
+    # and libm ln may differ by 1 ulp, so a product landing within
+    # ~1e-12 of an integer boundary could floor differently across
+    # engines; the shared nudge keeps both sides on the same side of
+    # every boundary (ADVICE r07 #2 — same float-tie posture as the
+    # analytics_q drift gotcha).
     w = bc.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.floor(
@@ -796,6 +802,7 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / ((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
             )
             * 10000
+            + 1e-6
         )
         .cast("long")
         .alias("w4"),
@@ -831,7 +838,7 @@ w AS (
   SELECT bucket,
          CAST(floor(ln(((ct + 1) / CAST(nt + {_DSIR_B} AS DOUBLE))
                        / ((cr + 1) / CAST(nr + {_DSIR_B} AS DOUBLE)))
-                    * 10000) AS BIGINT) AS w4
+                    * 10000 + 1e-6) AS BIGINT) AS w4
   FROM bc, tot
 )
 SELECT doc_id, lang,
