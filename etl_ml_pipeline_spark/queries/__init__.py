@@ -18,6 +18,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Catalog entries that are QUERIES-only by design (the driver records a
+# rows+schema check, no DuckDB value hash): outputs that a SQL engine
+# genuinely cannot reproduce. Every name here must pair with an
+# oracle-checked CONTRACT twin that pins the same operator's semantics.
+ROWS_ONLY = frozenset({
+    # theta-sketch estimates (deterministic, but not SQL-expressible);
+    # contract twin: sketch_theta_audience_overlap
+    "sketch_theta_overlap_matrix",
+})
+
 _MODULES = (
     "relational",
     "subqueries",

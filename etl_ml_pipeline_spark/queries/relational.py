@@ -910,6 +910,57 @@ def sketch_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# sketch_theta_overlap_matrix — the PRODUCTION shape of theta-sketch
+# audience overlap (VERDICT r07 #7): sketch user_id once per segment in
+# a single scan (map-side mergeable state, one |segments|-row shuffle),
+# then answer every pairwise intersection/union question purely by
+# combining the 10 sketches — NO exact-distinct ride-along, NO
+# user-level self-join anywhere in the plan. This is the plan a 100 TB
+# deployment runs daily; sketch_theta_audience_overlap above is its
+# correctness CONTRACT twin (exact leg + error-bound booleans) and
+# stays the oracle-checked member. The estimates themselves are the
+# sketch's (deterministic for fixed input, but not SQL-expressible), so
+# this entry is a documented rows-only check: the driver pins row count
+# and schema — C(T,2) pairs of the T distinct event types. Plan audit:
+# ONE parquet scan (AQE reuses the sketch exchange for both join
+# sides), map-side partial theta agg, broadcast NLJ over T-row inputs.
+# ---------------------------------------------------------------------------
+
+
+def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    est = F.theta_sketch_estimate
+    # |segments| rows per side: the cross join is segment-count-squared,
+    # never data-sized — broadcast keeps it driver-trivial.
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(est("sk_a")).cast("long").alias("est_a"),
+            F.round(est("sk_b")).cast("long").alias("est_b"),
+            F.round(est(F.theta_intersection("sk_a", "sk_b")))
+            .cast("long")
+            .alias("est_inter"),
+            F.round(est(F.theta_union("sk_a", "sk_b")))
+            .cast("long")
+            .alias("est_union"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 _THETA_OVERLAP_SQL = """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 per AS (
@@ -1707,6 +1758,7 @@ QUERIES = {
     "agg_approx_percentile_prices": agg_approx_percentile_prices,
     "agg_approx_distinct_parts": agg_approx_distinct_parts,
     "sketch_theta_audience_overlap": sketch_theta_audience_overlap,
+    "sketch_theta_overlap_matrix": sketch_theta_overlap_matrix,
     "sketch_kll_price_quantiles": sketch_kll_price_quantiles,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_top_orders": q3_top_orders,

@@ -50,17 +50,19 @@ def main() -> None:
 
     qs, oracles = all_queries(), all_oracles()
 
-    # 1. pin in tests/test_cli.py
+    # 1. pins in tests/test_cli.py (queries and oracles separately —
+    # they differ by the documented rows-only set)
     test_src = (REPO / "tests" / "test_cli.py").read_text()
-    pins = re.findall(r"len\((?:qs|oracles)\) == (\d+)", test_src)
-    if not pins:
-        fail("could not find the catalog-count pin in tests/test_cli.py")
-    for p in pins:
-        if int(p) != len(qs):
-            fail(
-                f"catalog has {len(qs)} queries but tests/test_cli.py "
-                f"pins {p} — bump the pin in the same commit"
-            )
+    for var, want in (("qs", len(qs)), ("oracles", len(oracles))):
+        pins = re.findall(rf"len\({var}\) == (\d+)", test_src)
+        if not pins:
+            fail(f"no len({var}) pin found in tests/test_cli.py")
+        for p in pins:
+            if int(p) != want:
+                fail(
+                    f"live {var} count is {want} but tests/test_cli.py "
+                    f"pins {p} — bump the pin in the same commit"
+                )
 
     # 2. CATALOG.md rows
     cat_names = re.findall(
@@ -75,11 +77,17 @@ def main() -> None:
             "scripts/gen_catalog.py"
         )
 
-    # 3. oracle coverage (rows-only queries are allowed but must be the
-    # documented non-SQL-expressible set; today that set is empty)
-    rows_only = sorted(set(qs) - set(oracles))
-    if rows_only:
-        fail(f"queries without oracle SQL: {rows_only}")
+    # 3. oracle coverage: rows-only queries are allowed ONLY when
+    # documented in queries.ROWS_ONLY (non-SQL-expressible outputs with
+    # an oracle-checked contract twin)
+    from etl_ml_pipeline_spark.queries import ROWS_ONLY
+
+    rows_only = set(qs) - set(oracles)
+    if rows_only != set(ROWS_ONLY):
+        fail(
+            f"rows-only queries {sorted(rows_only)} != documented "
+            f"ROWS_ONLY {sorted(ROWS_ONLY)}"
+        )
 
     # 4. triage order sanity
     tiers = [_LAST_RECORDED.get(k, 0) for k in qs]

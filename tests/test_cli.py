@@ -130,11 +130,14 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 196, sorted(qs)
+    assert len(qs) == 197, sorted(qs)
     assert len(oracles) == 196, sorted(oracles)
-    # every catalog entry is oracle-checkable (the HLL sketch query carries
-    # its error-bound contract as a boolean the oracle asserts literally)
-    assert set(qs) - set(oracles) == set()
+    # every catalog entry is oracle-checkable except the documented
+    # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
+    # estimates — each paired with an oracle-checked contract twin)
+    from etl_ml_pipeline_spark.queries import ROWS_ONLY
+
+    assert set(qs) - set(oracles) == set(ROWS_ONLY)
     # CATALOG.md must document exactly the live catalog (VERDICT r07 #1:
     # two rounds shipped a doc/catalog drift from a late addition)
     import re
