@@ -313,6 +313,62 @@ def global_running_sum(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact PER-GROUP running (prefix) sum in ``order_cols`` order
+    within each group — without ``Window.partitionBy(group)``'s
+    one-task-per-group sort, which serializes on the largest group
+    (a mega-source at 100 TB becomes a single straggler task).
+
+    Same two-phase shape as :func:`global_running_sum`, extended with
+    the group key: range repartition on (group, order) keeps each
+    partition's rows contiguous in group-major order, local cumsum
+    windows run per (partition, group), and the carry-in offset for a
+    (partition, group) cell is the sum of the SAME group's totals in
+    earlier partitions — a groups x partitions frame, broadcast. A
+    group spanning many partitions parallelizes across all of them.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(parts, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("__pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__lsum", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
+        .drop("__pid", "__lsum", "__off")
+    )
+
+
 def table_diff(
     left: DataFrame,
     right: DataFrame,

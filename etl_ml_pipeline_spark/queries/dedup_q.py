@@ -612,8 +612,104 @@ ORDER BY cluster
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_exact_substring — ExactSubstr-style repeated-window dedup (Lee
+# et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better", public): flag every ``_ES_W``-word window whose exact text
+# occurs >= 2 times ANYWHERE in the corpus, then summarize per document
+# (window count, duplicated-window count, and the drop verdict when
+# >= ``_ES_DROP_PCT``% of its windows are duplicated). The published
+# method uses a suffix array; the Spark-native equivalent is the
+# rolling-window hash multiset — every window md5s to a key, one
+# map-side-combined shuffle counts occurrences, one equi-join annotates
+# windows — which finds exactly the same >=W-word repeated substrings
+# (any longer shared substring is a run of shared W-windows).
+#
+# Scale: windows ~= token count, so the plan is two shuffles over
+# token-scale data (hash count, hash join-back) and a doc-level
+# aggregate — no all-pairs, no suffix sort. The dup'd corpus guarantees
+# signal: exact re-inserts share ALL windows, near re-inserts all but
+# the tail. Integer-exact output (counts + an integer-ratio boolean);
+# md5 windows reproduce bit-identically in DuckDB.
+# ---------------------------------------------------------------------------
+
+_ES_W = 10
+_ES_DROP_PCT = 50
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, heavy=True)
+    ws = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    wins = ws.filter(F.size("w") >= _ES_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_ES_W} + 1),"
+                f" i -> md5(array_join(slice(w, i, {_ES_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count("*").alias("c"))
+    perdoc = (
+        wins.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("c") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        perdoc.filter(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (
+                100 * F.col("n_dup_windows")
+                >= _ES_DROP_PCT * F.col("n_windows")
+            ).alias("drop_doc"),
+        )
+        .orderBy(F.desc("n_dup_windows"), "doc_id")
+        .limit(50)
+    )
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - {_ES_W} + 1)) AS i
+  FROM ws WHERE len(w) >= {_ES_W}
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i + {_ES_W} - 1], ' ')) AS h
+  FROM idx
+),
+counts AS (SELECT h, count(*) AS c FROM wins GROUP BY h),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM wins JOIN counts USING (h)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       100 * n_dup_windows >= {_ES_DROP_PCT} * n_windows AS drop_doc
+FROM perdoc
+WHERE n_dup_windows > 0
+ORDER BY n_dup_windows DESC, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "boilerplate_strip_documents": boilerplate_strip_documents,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -626,6 +722,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": _EXACT_SQL,
+    "dedup_exact_substring": _EXACT_SUBSTR_SQL,
     "dedup_semantic_clusters": _semantic_oracle(),
     "boilerplate_strip_documents": _BOILER_SQL,
     "dedup_cluster_canonical": _CLUSTER_SQL,

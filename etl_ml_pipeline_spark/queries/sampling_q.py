@@ -985,8 +985,144 @@ ORDER BY pos
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_token_budget_mixture — materialize a TOKEN-budget training
+# mixture: each source gets an integer token budget (largest-remainder
+# split of _MIX_BUDGET over deterministic per-source weights — the
+# Hamilton arithmetic of sample_exact_allocation, applied to tokens
+# instead of rows), then the source's selection is the prefix of its
+# docs in md5-hash order whose STARTING token offset is inside the
+# budget (the pack_documents_budget start-offset rule, so exactly one
+# doc may straddle the boundary). The per-DOC quota complement: doc
+# budgets under/over-shoot token counts; training mixes are specified
+# in tokens.
+#
+# Scale: per-source token counts are one map-side-combined shuffle; the
+# weight/budget table is |sources|-sized (broadcast); the per-source
+# cumulative token offset uses grouped_running_sum — the two-phase
+# prefix sum extended with the group key, so a mega-source spanning
+# many partitions parallelizes instead of serializing in one
+# Window.partitionBy task. Output: per-source fill summary, all
+# integer-exact.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 20_000
+
+
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_ml_pipeline_spark.operators.relational import grouped_running_sum
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    # deterministic per-source mixture weight 1..4 (stand-in for a
+    # user-supplied spec; hash-derived so both engines agree)
+    wexpr = 1 + token_hash60(F.col("source")) % 4
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs_src"))
+    weights = cnt.select("source", wexpr.alias("w"))
+    wt = weights.agg(F.sum("w").alias("wt"))
+    quota = weights.crossJoin(F.broadcast(wt)).select(
+        "source",
+        "w",
+        F.expr(f"{_MIX_BUDGET} * w DIV wt").alias("base"),
+        F.expr(f"({_MIX_BUDGET} * w) % wt").alias("rem"),
+    )
+    spare = quota.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("spare"))
+    w_rem = W.orderBy(F.desc("rem"), "source")  # |sources|-sized window
+    budget = (
+        quota.crossJoin(F.broadcast(spare))
+        .withColumn("pos", F.row_number().over(w_rem))
+        .select(
+            "source",
+            "w",
+            (
+                F.col("base")
+                + F.when(F.col("pos") <= F.col("spare"), 1).otherwise(0)
+            ).alias("budget_tok"),
+        )
+    )
+    cum = grouped_running_sum(
+        docs.withColumn("h", token_hash60(F.col("doc_id").cast("string"))),
+        "n_tok",
+        ["source"],
+        ["h", "doc_id"],
+        out_col="cum_tok",
+    )
+    picked = cum.join(F.broadcast(budget), "source").filter(
+        F.col("cum_tok") - F.col("n_tok") < F.col("budget_tok")
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.max("w").cast("long").alias("w"),
+            F.max("budget_tok").cast("long").alias("budget_tok"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+        )
+        .withColumn("filled", F.col("n_tok") >= F.col("budget_tok"))
+        .orderBy("source")
+    )
+
+
+_MIX_TOKENS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok,
+         {_HASH_DUCK} AS h
+  FROM documents
+),
+weights AS (
+  SELECT source,
+         1 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 4 AS w
+  FROM (SELECT DISTINCT source FROM docs)
+),
+wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM weights),
+quota AS (
+  SELECT source, w, ({_MIX_BUDGET} * w) // wt AS base,
+         ({_MIX_BUDGET} * w) % wt AS rem
+  FROM weights, wt
+),
+budget AS (
+  SELECT source, w,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= {_MIX_BUDGET} - (SELECT sum(base) FROM quota)
+                THEN 1 ELSE 0 END AS budget_tok
+  FROM quota
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM docs
+),
+picked AS (
+  SELECT c.source, b.w, b.budget_tok, c.n_tok
+  FROM cum c JOIN budget b ON c.source = b.source
+  WHERE c.cum_tok - c.n_tok < b.budget_tok
+)
+SELECT source,
+       CAST(max(w) AS BIGINT) AS w,
+       CAST(max(budget_tok) AS BIGINT) AS budget_tok,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       CAST(sum(n_tok) AS BIGINT) >= CAST(max(budget_tok) AS BIGINT)
+         AS filled
+FROM picked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "sample_token_budget_mixture": sample_token_budget_mixture,
     "sample_dsir_weights": sample_dsir_weights,
     "sample_exact_allocation": sample_exact_allocation,
     "curriculum_order_documents": curriculum_order_documents,
@@ -1004,6 +1140,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "sample_token_budget_mixture": _MIX_TOKENS_SQL,
     "sample_dsir_weights": _DSIR_SQL,
     "sample_exact_allocation": _ALLOC_SQL,
     "curriculum_order_documents": _CURRICULUM_SQL,

@@ -569,3 +569,38 @@ def test_round6_queries_plan_shapes(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
+    """Per-group two-phase prefix sum == the naive per-group window,
+    including when one group spans many range partitions (the skewed
+    mega-source shape it exists to parallelize)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import grouped_running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    fast = grouped_running_sum(
+        orders,
+        "o_custkey",
+        ["o_orderstatus"],
+        ["o_orderkey"],
+        "cs",
+        num_partitions=8,  # few statuses over 8 partitions -> spans
+    )
+    naive = orders.withColumn(
+        "cs",
+        F.sum("o_custkey").over(
+            W.partitionBy("o_orderstatus")
+            .orderBy("o_orderkey")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    a = {(r.o_orderkey, r.cs) for r in fast.select("o_orderkey", "cs").collect()}
+    b = {(r.o_orderkey, r.cs) for r in naive.select("o_orderkey", "cs").collect()}
+    assert a == b
+    plan = _plan(fast)
+    assert "rangepartitioning" in plan.lower()
