@@ -240,6 +240,28 @@ SHOWCASE = [
         "segment-cardinality sketch rows — the raw (type,user) pairs "
         "shuffle once; the exact-side check is the only distinct pass.",
     ),
+    (
+        "sketch_theta_overlap_matrix",
+        "The sketch-only PRODUCTION twin: ONE parquet scan (AQE reuses "
+        "the sketch exchange for both join sides), map-side partial "
+        "theta agg, broadcast NLJ over segment-count rows — no "
+        "user-level join or distinct anywhere.",
+    ),
+    (
+        "dedup_exact_substring",
+        "ExactSubstr via rolling-window hash multiset: windows explode "
+        "map-side, ONE map-side-combined count shuffle on the window "
+        "hash plus the annotate-back equi-join — no suffix sort, no "
+        "all-pairs.",
+    ),
+    (
+        "sample_token_budget_mixture",
+        "Token-budget mixture: |sources|-sized weight/quota tables "
+        "broadcast; the per-source cumulative token offset is the "
+        "grouped two-phase prefix sum (rangepartitioning + per-"
+        "(partition,group) windows + broadcast carry-ins) — no "
+        "single-task per-source sort.",
+    ),
 ]
 
 

@@ -87,6 +87,12 @@ QUERIES = [
     "sketch_theta_audience_overlap",
     "sample_exact_allocation",
     "text_bpe_roundtrip",
+    # round-8 additions: repeated-window (ExactSubstr-style) dedup,
+    # token-budget mixture over the grouped two-phase prefix sum, and
+    # the sketch-only theta overlap production path
+    "dedup_exact_substring",
+    "sample_token_budget_mixture",
+    "sketch_theta_overlap_matrix",
 ]
 
 
