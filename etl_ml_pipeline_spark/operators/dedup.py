@@ -738,6 +738,68 @@ class SemanticDedup(BaseTransform):
         return df.join(dups, id_col, "left_anti")
 
 
+def exact_substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 10,
+) -> DataFrame:
+    """ExactSubstr-style repeated-window stats (Lee et al. 2021,
+    public): per document, how many of its ``window_words``-word
+    rolling windows occur >= 2 times anywhere in the corpus. Returns
+    (``id_col``, n_windows, n_dup_windows); docs shorter than one
+    window are absent (they have no windows). The suffix-array method's
+    Spark-native equivalent: every window md5s to a key, one map-side-
+    combined shuffle counts occurrences, one equi-join annotates — two
+    token-scale shuffles, no all-pairs, no suffix sort.
+    """
+    w = window_words
+    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("__w"))
+    wins = ws.filter(F.size("__w") >= w).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__w) - {w} + 1),"
+                f" i -> md5(array_join(slice(__w, i, {w}), ' ')))"
+            )
+        ).alias("__h"),
+    )
+    counts = wins.groupBy("__h").agg(F.count("*").alias("__c"))
+    return (
+        wins.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("__c") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+
+
+@register_transform("dedup_exact_substring")
+class ExactSubstrDedup(BaseTransform):
+    """Pipeline form: drop every document whose duplicated-window share
+    is >= ``drop_pct`` percent (integer-ratio test — no float wobble).
+    Documents with fewer than ``window_words`` tokens have no windows
+    and are always kept. Config: ``text_col``, ``id_col``,
+    ``window_words``, ``drop_pct``."""
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col = self.config.get("id_col", "doc_id")
+        drop_pct = int(self.config.get("drop_pct", 50))
+        stats = exact_substring_dup_stats(
+            df,
+            text_col=self.config.get("text_col", "text"),
+            id_col=id_col,
+            window_words=int(self.config.get("window_words", 10)),
+        )
+        losers = stats.filter(
+            100 * F.col("n_dup_windows") >= drop_pct * F.col("n_windows")
+        ).select(id_col)
+        return df.join(losers, id_col, "left_anti")
+
+
 @register_transform("dedup_exact")
 class ExactDedup(BaseTransform):
     def transform(self, df: DataFrame) -> DataFrame:

@@ -369,6 +369,88 @@ def grouped_running_sum(
     )
 
 
+@register_transform("token_budget_mixture")
+class TokenBudgetMixture(BaseTransform):
+    """Materialize a training mixture specified in TOKENS: split
+    ``budget_tokens`` across groups by integer largest-remainder over
+    per-group ``weights`` (unlisted groups get weight 1; weight 0
+    excludes), then keep each group's md5-hash-ordered doc prefix whose
+    STARTING token offset is inside the group budget — so exactly one
+    doc may straddle the boundary and selection is reshuffle-proof.
+
+    config:
+      budget_tokens: 1000000
+      group_col: source
+      text_col: text
+      id_col: doc_id
+      weights: {src0: 4, src1: 1}   # optional
+
+    Scale: weight/quota tables are |groups|-sized broadcasts; the
+    per-group cumulative offset is :func:`grouped_running_sum`, so a
+    mega-group parallelizes across partitions instead of serializing
+    in one Window.partitionBy task.
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        if "budget_tokens" not in self.config:
+            raise ValueError("token_budget_mixture requires 'budget_tokens'")
+        if int(self.config["budget_tokens"]) <= 0:
+            raise ValueError("budget_tokens must be positive")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from etl_ml_pipeline_spark.operators.text import token_count
+
+        budget = int(self.config["budget_tokens"])
+        gcol = self.config.get("group_col", "source")
+        text_col = self.config.get("text_col", "text")
+        id_col = self.config.get("id_col", "doc_id")
+        spec = {k: int(v) for k, v in (self.config.get("weights") or {}).items()}
+
+        wexpr = F.lit(1)
+        for value, wt in sorted(spec.items()):
+            wexpr = F.when(F.col(gcol) == value, F.lit(wt)).otherwise(wexpr)
+        weights = (
+            df.select(gcol).distinct().select(F.col(gcol), wexpr.alias("__w"))
+        ).filter(F.col("__w") > 0)
+        wt_tot = weights.agg(F.sum("__w").alias("__wt"))
+        quota = weights.crossJoin(F.broadcast(wt_tot)).select(
+            gcol,
+            F.expr(f"{budget} * __w DIV __wt").alias("__base"),
+            F.expr(f"({budget} * __w) % __wt").alias("__rem"),
+        )
+        spare = quota.agg((F.lit(budget) - F.sum("__base")).alias("__spare"))
+        w_rem = W.orderBy(F.desc("__rem"), gcol)  # |groups|-sized window
+        alloc = (
+            quota.crossJoin(F.broadcast(spare))
+            .withColumn("__pos", F.row_number().over(w_rem))
+            .select(
+                gcol,
+                (
+                    F.col("__base")
+                    + F.when(F.col("__pos") <= F.col("__spare"), 1).otherwise(0)
+                ).alias("__budget"),
+            )
+        )
+        cum = grouped_running_sum(
+            df.withColumn(
+                "__ntok", token_count(F.col(text_col)).cast("long")
+            ).withColumn(
+                "__h", token_hash60(F.col(id_col).cast("string"))
+            ),
+            "__ntok",
+            [gcol],
+            ["__h", id_col],
+            out_col="__cum",
+        )
+        return (
+            cum.join(F.broadcast(alloc), gcol)
+            .filter(F.col("__cum") - F.col("__ntok") < F.col("__budget"))
+            .drop("__ntok", "__h", "__cum", "__budget")
+        )
+
+
 def table_diff(
     left: DataFrame,
     right: DataFrame,

@@ -638,28 +638,12 @@ _ES_DROP_PCT = 50
 
 
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import (
+        exact_substring_dup_stats,
+    )
+
     corpus = _dup_corpus(spark, sf_dir, heavy=True)
-    ws = corpus.select("doc_id", F.split("text", " ").alias("w"))
-    wins = ws.filter(F.size("w") >= _ES_W).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {_ES_W} + 1),"
-                f" i -> md5(array_join(slice(w, i, {_ES_W}), ' ')))"
-            )
-        ).alias("h"),
-    )
-    counts = wins.groupBy("h").agg(F.count("*").alias("c"))
-    perdoc = (
-        wins.join(counts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum((F.col("c") >= 2).cast("long"))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
-    )
+    perdoc = exact_substring_dup_stats(corpus, window_words=_ES_W)
     return (
         perdoc.filter(F.col("n_dup_windows") > 0)
         .select(

@@ -111,6 +111,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("training_data_prep_v3", tmp_path / "out5"),
         ("boilerplate_then_dedup", tmp_path / "out6"),
         ("semantic_dedup", tmp_path / "out7"),
+        ("token_budget_mixture", tmp_path / "out8"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),

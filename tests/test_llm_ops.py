@@ -1124,3 +1124,75 @@ def test_semantic_pair_kernel_overflow_guard_raises(spark):
     assigned = semantic_assignments(df, k=1, iters=1)
     with _pytest.raises(Exception, match="overflows the exact-int64"):
         semantic_dup_pairs(assigned, cos_milli=999).collect()
+
+
+def test_exact_substring_stats_and_transform(spark):
+    """Operator contract: a doc sharing all its windows with another is
+    fully duplicated (n_dup_windows == n_windows) and dropped by the
+    transform; a unique doc has zero dup windows and survives; a doc
+    shorter than one window has no windows and always survives."""
+    from etl_ml_pipeline_spark.operators.dedup import (
+        ExactSubstrDedup,
+        exact_substring_dup_stats,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        (1, " ".join(words)),          # duplicated (== doc 2)
+        (2, " ".join(words)),          # duplicated (== doc 1)
+        (3, uniq),                     # unique, long enough
+        (4, "too short for windows"),  # < 10 tokens -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in exact_substring_dup_stats(df, window_words=10).collect()
+    }
+    assert stats[1] == (11, 11) and stats[2] == (11, 11)
+    assert stats[3] == (11, 0)
+    assert 4 not in stats
+    out = ExactSubstrDedup(
+        {"window_words": 10, "drop_pct": 50}
+    ).transform(df)
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4]
+
+
+def test_token_budget_mixture_transform_invariants(spark):
+    """Budgets are an exact largest-remainder split of budget_tokens
+    over the weights; each group's selection is the hash-ordered prefix
+    whose starting offset fits its budget (so selected tokens overshoot
+    by less than one doc); weight-0 groups are excluded entirely."""
+    from etl_ml_pipeline_spark.operators.relational import (
+        TokenBudgetMixture,
+    )
+
+    rows = []
+    i = 0
+    for g, n in (("a", 40), ("b", 40), ("c", 40)):
+        for _ in range(n):
+            rows.append((i, g, "tok " * 10))  # 10 tokens/doc (trailing strip)
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = TokenBudgetMixture(
+        {
+            "budget_tokens": 300,
+            "weights": {"a": 2, "b": 1, "c": 0},
+        }
+    ).transform(df)
+    pdf = out.toPandas()
+    assert set(pdf["source"]) == {"a", "b"}
+    per = pdf.groupby("source").size().to_dict()
+    # budgets: a = 300*2 DIV 3 = 200 tokens -> 20 docs; b = 100 -> 10
+    assert per == {"a": 20, "b": 10}
+    # determinism: same selection on re-run
+    again = TokenBudgetMixture(
+        {"budget_tokens": 300, "weights": {"a": 2, "b": 1, "c": 0}}
+    ).transform(df).toPandas()
+    assert sorted(again["doc_id"]) == sorted(pdf["doc_id"])
+    # straddle rule: with a budget not divisible by doc length, the
+    # boundary doc is included (starting offset inside the budget)
+    out2 = TokenBudgetMixture(
+        {"budget_tokens": 25, "weights": {"b": 0, "c": 0}}
+    ).transform(df).toPandas()
+    assert len(out2) == 3  # starts at 0, 10, 20 < 25; 30 is out
