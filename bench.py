@@ -69,6 +69,11 @@ HEADLINE = [
     # round-7: SemDeDup — iterative clustering feeding an intra-cluster
     # pairwise prune (the cluster-bounded O(sum c_i^2) join shape).
     "dedup_semantic_clusters",
+    # round-8: repeated-window (ExactSubstr) dedup — the token-scale
+    # window-hash multiset shape — and the token-budget mixture over
+    # the grouped two-phase prefix sum.
+    "dedup_exact_substring",
+    "sample_token_budget_mixture",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-
