@@ -73,6 +73,73 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection -> (node, lab).
+
+    ``edges`` is an undirected pair list (direction/duplicates are
+    normalized here). Every node starts labeled with itself; each round
+    every node simultaneously adopts the most frequent label among its
+    neighbors PLUS its own current label (one self-vote), ties broken
+    by the SMALLEST label — a total order, so the fixed-iteration
+    schedule is fully deterministic and the oracle can unroll the
+    identical rounds in SQL (same posture as ``pagerank``: no
+    convergence probe). The self-vote is what makes synchronous LPA
+    converge instead of oscillating: without it a single edge (or any
+    bipartite-ish structure) label-swaps forever under simultaneous
+    update. All arithmetic is integer (counts + label ids); no float
+    parity concerns.
+
+    Distributed shape per round: ONE join (labels x directed edges on
+    src) + TWO aggregates (neighbor-label counts by (node, lab), then
+    the per-node lexicographic struct-min argmax) — the standard
+    Pregel LPA cost without the GraphX dependency. localCheckpoint
+    truncates lineage each round so the plan stays flat at any n_iter.
+    Isolated nodes cannot occur after symmetrization (every node has
+    >= 1 edge), but the left-join + coalesce keeps the fallback
+    explicit and mirrored in the oracle.
+    """
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("nbr"), "lab")
+            .unionAll(labels.select(F.col("node").alias("nbr"), "lab"))
+        )
+        cnt = votes.groupBy("nbr", "lab").agg(F.count("*").alias("c"))
+        # argmax by count, smallest label wins ties: lexicographic
+        # struct-min on (-count, label) — the proven cross-engine
+        # tie-safe extreme (see agg_stats_battery).
+        new = cnt.groupBy("nbr").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("lab").alias("lab"))
+            )["lab"].alias("lab")
+        )
+        labels = (
+            nodes.join(new.withColumnRenamed("nbr", "node"), "node", "left")
+            .select("node", F.coalesce("lab", F.col("node")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangle_counts(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 

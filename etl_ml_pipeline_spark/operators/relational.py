@@ -639,3 +639,42 @@ def nearest_rank_percentiles(
         for name, (num, den) in pcts.items()
     ]
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """2D Pareto skyline: rows not dominated under (minimize
+    ``min_col``, maximize ``max_col``). A dominates B iff A.min <=
+    B.min AND A.max >= B.max with at least one strict — equal points
+    don't dominate each other, so exact duplicates all stay on the
+    skyline (deterministic; use integer-grid columns).
+
+    Distributed shape — never the quadratic NOT EXISTS self-join: one
+    map-side-combined aggregate to the per-``max_col`` price grid
+    (min of ``min_col`` at each level), a suffix-min walk over that
+    grid (window over |distinct max_col| rows, grid-sized like the
+    nearest-rank percentile walk — NOT over N), then one broadcast
+    join back. A row survives iff it achieves the minimum at its own
+    level (nothing at the same level strictly better) AND beats the
+    best of all strictly-higher levels (nothing above dominates it).
+    The oracle states the same contract as the direct NOT EXISTS
+    dominance SQL, so the differential checks the reformulation, not
+    a shared algorithm.
+    """
+    from pyspark.sql import Window as W
+
+    grid = df.groupBy(max_col).agg(F.min(min_col).alias("__mp"))
+    w_suf = (
+        W.orderBy(F.desc(max_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    walk = grid.select(
+        max_col, "__mp", F.min("__mp").over(w_suf).alias("__suf")
+    )
+    return (
+        df.join(F.broadcast(walk), max_col)
+        .filter(
+            (F.col(min_col) == F.col("__mp"))
+            & (F.col("__suf").isNull() | (F.col(min_col) < F.col("__suf")))
+        )
+        .drop("__mp", "__suf")
+    )

@@ -186,6 +186,22 @@ _RECORDED_R07 = {
 for _n in _RECORDED_R07:
     _LAST_RECORDED[_n] = 7
 
+# Round-8 rotation budget: the driver's ~50-entry prefix is exactly
+# filled by the 4 highest-priority round-8 additions (tier 0 by
+# default: sketch_theta_overlap_matrix, dedup_exact_substring,
+# sample_token_budget_mixture, graph_label_propagation) plus the 46
+# r04-stale names (VERDICT r07 ask #6 — nothing may fall >4 rounds
+# stale). Later round-8 additions are deliberately placed BEHIND the
+# stale tier (4.5) so they don't evict r04 rotation slots; they are
+# builder-verified at sf0.001/0.01 (scripts/check_query.py) + the
+# synthetic sf1 differential this round and become tier-0 driver
+# candidates in round 9.
+for _n in (
+    "sample_perplexity_buckets",
+    "skyline_parts_pareto",
+):
+    _LAST_RECORDED[_n] = 4.5
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -140,11 +140,98 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_label_propagation — synchronous LPA community detection over
+# the co-supply graph (same projection as graph_triangle_counts). Fixed
+# 4 synchronous rounds with a self-vote (the convergence fix for
+# simultaneous-update LPA), argmax-by-count with smallest-label
+# tie-break (a total order -> deterministic, pure integer arithmetic),
+# so the oracle unrolls the identical rounds as chained CTEs. Per
+# round: one join + two aggregates (operators/graph.py:label_propagation).
+# ---------------------------------------------------------------------------
+
+_LPA_PART_CAP = 40
+_LPA_N_ITER = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < _LPA_PART_CAP)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+    )
+    labels = label_propagation(edges, n_iter=_LPA_N_ITER)
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        labels.join(sizes, "lab")
+        .select("node", F.col("lab").alias("community"), "n_members")
+        .orderBy("node")
+    )
+
+
+def _lpa_oracle() -> str:
+    iters = []
+    prev = "l0"
+    for k in range(1, _LPA_N_ITER + 1):
+        iters.append(f"""
+c{k} AS (
+  SELECT node, lab, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT s.dst AS node, l.lab
+    FROM sym s JOIN {prev} l ON l.node = s.src
+    UNION ALL SELECT node, lab FROM {prev}
+  )
+  GROUP BY node, lab
+),
+n{k} AS (
+  SELECT node, (min(struct_pack(negc := -c, lab := lab))).lab AS lab
+  FROM c{k} GROUP BY node
+),
+l{k} AS (
+  SELECT n.node, coalesce(x.lab, n.node) AS lab
+  FROM nodes n LEFT JOIN n{k} x USING (node)
+)""")
+        prev = f"l{k}"
+    chain = ",".join(iters)
+    return f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey < {_LPA_PART_CAP}
+),
+und AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+  WHERE x.l_suppkey < y.l_suppkey
+),
+sym AS (SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS lab FROM nodes),
+{chain},
+sizes AS (
+  SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+  FROM {prev} GROUP BY lab
+)
+SELECT l.node, l.lab AS community, s.n_members
+FROM {prev} l JOIN sizes s USING (lab)
+ORDER BY l.node
+"""
+
+
 QUERIES = {
     "pagerank_supply": pagerank_supply,
     "graph_triangle_counts": graph_triangle_counts,
+    "graph_label_propagation": graph_label_propagation,
 }
 ORACLES = {
     "pagerank_supply": _pagerank_oracle(),
     "graph_triangle_counts": _TRIANGLE_SQL,
+    "graph_label_propagation": _lpa_oracle(),
 }

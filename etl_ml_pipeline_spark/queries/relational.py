@@ -1742,8 +1742,53 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# skyline_parts_pareto — 2D Pareto skyline over part: the parts for
+# which no other part is both cheaper (retail price, exact cents) and
+# larger (size). The multi-criteria "best tradeoff frontier" operator.
+# Spark side uses the grid-walk reformulation
+# (operators/relational.skyline_2d — one aggregate + a |sizes|-row
+# suffix-min window + a broadcast join, never an all-pairs join); the
+# oracle states dominance directly as NOT EXISTS, so the differential
+# proves the reformulation equivalent on real data. All comparisons on
+# integer grids (cents, size) — no float-tie hazard.
+# ---------------------------------------------------------------------------
+
+
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import skyline_2d
+
+    parts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    return skyline_2d(parts, "price_cents", "p_size").select(
+        "p_partkey", "price_cents", "p_size"
+    ).orderBy("p_partkey")
+
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(p_size AS INTEGER) AS p_size
+  FROM part
+)
+SELECT b.p_partkey, b.price_cents, b.p_size
+FROM p b
+WHERE NOT EXISTS (
+  SELECT 1 FROM p a
+  WHERE a.price_cents <= b.price_cents AND a.p_size >= b.p_size
+    AND (a.price_cents < b.price_cents OR a.p_size > b.p_size)
+)
+ORDER BY b.p_partkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "skyline_parts_pareto": skyline_parts_pareto,
     "cdc_current_orders": cdc_current_orders,
     "scd2_order_history": scd2_order_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
@@ -1779,6 +1824,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "skyline_parts_pareto": _SKYLINE_SQL,
     "cdc_current_orders": _CDC_SQL,
     "scd2_order_history": _SCD2_SQL,
     "scd2_point_in_time_join": _SCD2_PIT_SQL,

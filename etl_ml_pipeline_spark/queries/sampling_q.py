@@ -852,6 +852,137 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# sample_perplexity_buckets — CCNet-style head/middle/tail quality
+# bucketing (Wenzek et al. 2019): score every document by its mean
+# surprisal under the corpus's own hashed-unigram LM, then split each
+# language into perplexity tertiles. CCNet uses a KenLM 5-gram; the
+# deterministic cross-engine proxy here is the unigram LM over the
+# same 1024 hashed buckets DSIR uses (Laplace-smoothed), with the
+# per-bucket surprisal floored onto an integer 1e-4 grid (the shared
+# +1e-6 nudge — JVM log vs libm ln 1-ulp fence posture) and the
+# per-doc mean taken with integer DIV, so every downstream comparison
+# is exact. Tertile cuts are per-language nearest-rank percentiles
+# (operators/relational.nearest_rank_percentiles — never interpolated).
+#
+# Scale: one token-scale map-side-combined shuffle (bucket counts), a
+# 1024-row broadcast back onto the token stream, one doc-level
+# aggregate, per-lang cumulative-frequency walk over the distinct
+# score grid (bounded by grid size, not N), broadcast cuts. The same
+# shape as sample_dsir_weights plus the rfm-style cut stage.
+# ---------------------------------------------------------------------------
+
+
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import (
+        nearest_rank_percentiles,
+    )
+
+    docs = t(spark, sf_dir, "documents", heavy=True).select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % _DSIR_B)
+    bc = toks.groupBy("bucket").agg(F.count("*").alias("cn"))
+    tot = bc.agg(F.sum("cn").alias("nn"))
+    s4 = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            -F.log((F.col("cn") + 1) / (F.col("nn") + _DSIR_B)) * 10000
+            + 1e-6
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(s4), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s4").cast("long").alias("sum_s4"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("sum_s4 div n_tokens").alias("spp"),
+        )
+    )
+    cuts = nearest_rank_percentiles(
+        per_doc, ["lang"], "spp", {"c1": (1, 3), "c2": (2, 3)}
+    )
+    tier = (F.col("spp") > F.col("c1")).cast("int") + (
+        F.col("spp") > F.col("c2")
+    ).cast("int")
+    name = F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier + 1)
+    return (
+        per_doc.join(F.broadcast(cuts), "lang")
+        .select("lang", name.alias("ppl_bucket"), "n_tokens", "spp")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("spp").alias("min_spp"),
+            F.max("spp").alias("max_spp"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
+_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+bc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cn FROM toks GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(cn) AS BIGINT) AS nn FROM bc),
+s4 AS (
+  SELECT bucket,
+         CAST(floor(-ln((cn + 1) / CAST(nn + {_DSIR_B} AS DOUBLE))
+                    * 10000 + 1e-6) AS BIGINT) AS s4
+  FROM bc, tot
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s4) AS BIGINT) // CAST(count(*) AS BIGINT) AS spp
+  FROM toks JOIN s4 USING (bucket)
+  GROUP BY doc_id, lang
+),
+grid AS (
+  SELECT lang, spp,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY spp
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM (SELECT lang, spp, count(*) AS cnt FROM per_doc GROUP BY lang, spp)
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (1 * total + 2) // 3 THEN spp END) AS c1,
+         min(CASE WHEN cum >= (2 * total + 2) // 3 THEN spp END) AS c2
+  FROM grid GROUP BY lang
+)
+SELECT p.lang,
+       CASE WHEN p.spp <= c.c1 THEN 'head'
+            WHEN p.spp <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       min(p.spp) AS min_spp,
+       max(p.spp) AS max_spp
+FROM per_doc p JOIN cuts c USING (lang)
+GROUP BY p.lang, ppl_bucket
+ORDER BY p.lang, ppl_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # sample_exact_allocation — largest-remainder (Hamilton) stratified
 # allocation: split a FIXED sample budget (100 docs) across languages
 # exactly proportionally — floor(N*n_l/n_total) each, then the leftover
@@ -1124,6 +1255,7 @@ QUERIES = {
     "sample_hash_documents": sample_hash_documents,
     "sample_token_budget_mixture": sample_token_budget_mixture,
     "sample_dsir_weights": sample_dsir_weights,
+    "sample_perplexity_buckets": sample_perplexity_buckets,
     "sample_exact_allocation": sample_exact_allocation,
     "curriculum_order_documents": curriculum_order_documents,
     "shuffle_epoch_documents": shuffle_epoch_documents,
@@ -1142,6 +1274,7 @@ ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
     "sample_token_budget_mixture": _MIX_TOKENS_SQL,
     "sample_dsir_weights": _DSIR_SQL,
+    "sample_perplexity_buckets": _PPL_SQL,
     "sample_exact_allocation": _ALLOC_SQL,
     "curriculum_order_documents": _CURRICULUM_SQL,
     "shuffle_epoch_documents": _SHUFFLE_EPOCH_SQL,

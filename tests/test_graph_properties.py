@@ -163,6 +163,28 @@ def test_pagerank_cycle_uniform_and_star_center_wins(spark):
         assert got[leaf] == base  # no in-edges -> base term only
 
 
+def test_label_propagation_two_cliques_and_tiebreak(spark):
+    """Two triangles joined by one bridge edge settle into two
+    communities labeled by each clique's smallest node — the self-vote
+    keeps the bridge from flooding one clique's label into the other.
+    On a single edge the self-vote plus smallest-label tie-break
+    converges both nodes to the smaller endpoint (without the
+    self-vote, synchronous LPA label-swaps forever on a pair)."""
+    from etl_ml_pipeline_spark.operators.graph import label_propagation
+
+    tri = lambda o: [(o, o + 1), (o, o + 2), (o + 1, o + 2)]  # noqa: E731
+    edges = spark.createDataFrame(
+        tri(0) + tri(10) + [(2, 10)], ["a", "b"]
+    )
+    got = {r.node: r.lab for r in label_propagation(edges, n_iter=4).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12] == 10
+
+    pair = spark.createDataFrame([(7, 3)], ["a", "b"])
+    got = {r.node: r.lab for r in label_propagation(pair, n_iter=2).collect()}
+    assert got == {3: 3, 7: 3}
+
+
 def test_operators_handle_empty_inputs(spark):
     """Empty frames flow through the core operators without errors —
     the shape every incremental/streaming caller eventually feeds them."""

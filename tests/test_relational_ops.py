@@ -92,6 +92,28 @@ def test_nearest_rank_percentiles_property(spark):
             assert got[f"g{i}"][name] == expect, (i, name)
 
 
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    """Grid-walk skyline == brute-force NOT-EXISTS dominance on a
+    deterministic pseudo-random point set with heavy duplicate levels
+    (duplicates exercise the equal-points-both-survive contract)."""
+    from etl_ml_pipeline_spark.operators.relational import skyline_2d
+
+    pts = [
+        (i, (i * 2654435761) % 97, (i * 40503) % 13) for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, ["id", "cost", "gain"])
+    got = sorted(r.id for r in skyline_2d(df, "cost", "gain").collect())
+
+    def dominated(b):
+        return any(
+            a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2])
+            for a in pts
+        )
+
+    want = sorted(p[0] for p in pts if not dominated(p))
+    assert got == want and got  # non-empty frontier
+
+
 def test_group_ols_operator_exact_and_degenerate(spark):
     from pyspark.sql import functions as F
 
