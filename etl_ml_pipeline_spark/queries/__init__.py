@@ -199,6 +199,8 @@ for _n in _RECORDED_R07:
 for _n in (
     "sample_perplexity_buckets",
     "skyline_parts_pareto",
+    "stream_dedup_index_replay",
+    "layout_bucketed_join_stats",
 ):
     _LAST_RECORDED[_n] = 4.5
 

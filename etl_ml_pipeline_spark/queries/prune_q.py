@@ -269,12 +269,103 @@ ORDER BY f.layout, p.probe
 """
 
 
+# ---------------------------------------------------------------------------
+# layout_bucketed_join_stats — the co-located bucketed join: lineitem
+# and orders are laid out as bucketed tables (8 buckets on the join
+# key, sorted within buckets — what parquet + the session catalog
+# persist as bucket spec metadata), then joined WITHOUT any shuffle:
+# Catalyst sees matching bucket specs on both sides and plans a
+# SortMergeJoin whose children are bare bucketed scans (zero Exchange
+# in the join subtree — pinned by tests/test_plans.py). This is the
+# biggest single lever for repeated fact-fact joins at 100 TB: the
+# layout cost is paid once at write time and every subsequent join on
+# the key skips the full-data shuffle. The oracle is the plain join
+# SQL — the layout must be result-invisible.
+#
+# Revenue is summed on the exact 1e-4 grid (price has 2 decimals,
+# discount 2 -> the product lives on a 4-decimal grid) as a BIGINT, so
+# no float-tie hazard at any sf. The result aggregate (3 rows) is
+# localCheckpoint-materialized before the temp tables are dropped.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def layout_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from etl_ml_pipeline_spark.queries.timeseries import _replay_ckpt_root
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401 — registers sinks
+    from etl_ml_pipeline_spark.registry import SINKS
+
+    run = uuid.uuid4().hex[:12]
+    root = f"{_replay_ckpt_root()}/bucketed_{run}"
+    li_tab, ord_tab = f"li_bkt_{run}", f"ord_bkt_{run}"
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        )
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    sink = SINKS.get("bucketed_table")
+    with sink(
+        spark,
+        {"table": li_tab, "buckets": _BUCKETS, "bucket_cols": ["l_orderkey"],
+         "path": f"{root}/{li_tab}"},
+    ) as s:
+        s.load(li)
+    with sink(
+        spark,
+        {"table": ord_tab, "buckets": _BUCKETS, "bucket_cols": ["o_orderkey"],
+         "path": f"{root}/{ord_tab}"},
+    ) as s:
+        s.load(orders)
+    try:
+        joined = spark.table(li_tab).join(
+            spark.table(ord_tab),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.sum("rev_e4").cast("long").alias("revenue_e4"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize BEFORE table drop
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_tab}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_tab}")
+    return out
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "bloom_prune_brand_revenue": bloom_prune_brand_revenue,
     "layout_zorder_prune_stats": layout_zorder_prune_stats,
+    "layout_bucketed_join_stats": layout_bucketed_join_stats,
 }
 
 ORACLES = {
     "bloom_prune_brand_revenue": _BLOOM_BRAND_SQL,
     "layout_zorder_prune_stats": _ZORDER_SQL,
+    "layout_bucketed_join_stats": _BUCKETED_JOIN_SQL,
 }

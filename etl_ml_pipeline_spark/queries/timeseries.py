@@ -427,32 +427,35 @@ def _replay_ckpt_root() -> str:
 _CKPT_ROOT = None
 
 
-def _write_batches_spark(df: DataFrame, root: str, ts_col: str = "ts") -> None:
+def _write_batches_spark(
+    df: DataFrame, root: str, ts_col: str = "ts", conds=None
+) -> None:
     """Materialize a DataFrame as 3 mtime-ordered single-file parquet
-    batches (min(ts)+10d / +20d cuts) for the file-source replay
-    harness — WITH SPARK WRITES, not a driver ``toPandas()`` slice
-    (VERDICT r07 #5): the only driver sync is the 1-row min(ts)
-    aggregate, so the harness shape scales with the engine. Each batch
-    is written ``coalesce(1)`` (the file source's maxFilesPerTrigger=1
-    contract needs exactly one file per trigger; the write runs on an
-    executor and spills to disk, never through driver memory) and the
-    single part file is renamed to ``root/b{i}.parquet`` with an
-    explicit utime stamp — the file source orders triggers by mtime,
-    and same-ms writes reorder nondeterministically (see
-    tests/test_streaming.py)."""
+    batches (min(ts)+10d / +20d cuts, or explicit ``conds`` predicates)
+    for the file-source replay harness — WITH SPARK WRITES, not a
+    driver ``toPandas()`` slice (VERDICT r07 #5): the only driver sync
+    is the 1-row min(ts) aggregate, so the harness shape scales with
+    the engine. Each batch is written ``coalesce(1)`` (the file
+    source's maxFilesPerTrigger=1 contract needs exactly one file per
+    trigger; the write runs on an executor and spills to disk, never
+    through driver memory) and the single part file is renamed to
+    ``root/b{i}.parquet`` with an explicit utime stamp — the file
+    source orders triggers by mtime, and same-ms writes reorder
+    nondeterministically (see tests/test_streaming.py)."""
     import datetime as _dt
     import glob
     import os
     import shutil
 
-    t0 = df.agg(F.min(ts_col).alias("t0")).first()["t0"]
-    c1 = t0 + _dt.timedelta(days=10)
-    c2 = t0 + _dt.timedelta(days=20)
-    conds = (
-        F.col(ts_col) < F.lit(c1),
-        (F.col(ts_col) >= F.lit(c1)) & (F.col(ts_col) < F.lit(c2)),
-        F.col(ts_col) >= F.lit(c2),
-    )
+    if conds is None:
+        t0 = df.agg(F.min(ts_col).alias("t0")).first()["t0"]
+        c1 = t0 + _dt.timedelta(days=10)
+        c2 = t0 + _dt.timedelta(days=20)
+        conds = (
+            F.col(ts_col) < F.lit(c1),
+            (F.col(ts_col) >= F.lit(c1)) & (F.col(ts_col) < F.lit(c2)),
+            F.col(ts_col) >= F.lit(c2),
+        )
     for i, cond in enumerate(conds, 1):
         tmp = f"{root}/_tmp_b{i}"
         df.filter(cond).coalesce(1).write.parquet(tmp)
@@ -764,6 +767,174 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_index_replay — incremental corpus dedup against a
+# PERSISTENT MinHash signature index, replayed over 3 mtime-ordered
+# document batches (streaming/dedup_index.py — the production
+# ingestion question: "is this NEW doc a near-dup of anything we
+# already hold", answered per batch without recomputing corpus
+# signatures). Batch k's docs dedup against (a) the index = unique
+# SURVIVORS of batches < k and (b) earlier-id docs of batch k itself;
+# each batch's survivors append their 16-int signatures so batch k+1
+# sees them. The oracle unrolls that exact 3-batch survivorship chain
+# in SQL on top of the same md5 MinHash algebra dedup_minhash_documents
+# pins, so a green hash proves the foreachBatch state machine
+# (read-index-before-append ordering, intra-batch id ordering, the
+# >=8/16 threshold, the argmax/min-id dup_of tie-break) bit-for-bit.
+# Corpus: the deterministically dup'd corpus restricted to even
+# doc_ids (bounds the DuckDB band joins; the Spark path scales),
+# batched by (doc_id div 2) % 3 — 1M and 2M are != 0 mod 6, so a doc
+# and its injected dups usually land in DIFFERENT batches and the
+# cross-batch index path does real work.
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from etl_ml_pipeline_spark.queries.dedup_q import _dup_corpus
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        build_minhash_index,
+        stream_dedup_against_index,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir, heavy=True).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    run = uuid.uuid4().hex
+    root = f"{_replay_ckpt_root()}/dedup_in_{run}"
+    os.makedirs(root)
+    _write_batches_spark(
+        corpus,
+        root,
+        conds=[F.expr("doc_id div 2") % 3 == i for i in range(3)],
+    )
+    index_path = f"{_replay_ckpt_root()}/dedup_idx_{run}"
+    build_minhash_index(corpus.limit(0), index_path)  # schema-only seed
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    view = f"dedup_verdicts_{run}"
+    q = stream_dedup_against_index(
+        stream,
+        index_path,
+        f"{_replay_ckpt_root()}/dedup_ck_{run}",
+        verdicts_view=view,
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    q.stop()
+    out = spark.table(f"global_temp.{view}")
+    out.schema  # force analysis: resolve the view reference NOW
+    spark.catalog.dropGlobalTempView(view)
+    return out.select(
+        "doc_id",
+        "dup_of",
+        # est_jaccard is k/16 (exact binary fraction): *16 recovers the
+        # integer match count losslessly
+        (F.col("est_jaccard") * 16).cast("long").alias("n_match16"),
+    ).orderBy("doc_id")
+
+
+def _dedup_index_oracle() -> str:
+    from etl_ml_pipeline_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+    from etl_ml_pipeline_spark.queries.dedup_q import _DUP_CORPUS_SQL
+
+    np_, bands, rows = 16, 4, 4
+    coeff_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:np_])
+    )
+    min_cols = ", ".join(
+        f"min(CASE WHEN perm = {i} THEN ph END) AS m{i}" for i in range(np_)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b "
+        f"ON a.band{b} = b.band{b} AND a.id < b.id"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(np_)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_DUP_CORPUS_SQL}) WHERE doc_id % 2 = 0
+),
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         )) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {coeff_rows}),
+permuted AS (
+  SELECT id, perm, (a * h + b) % {MINHASH_PRIME} AS ph
+  FROM hashed CROSS JOIN perms
+),
+sigs AS (SELECT id, {min_cols} FROM permuted GROUP BY id),
+banded AS (SELECT id, *, {band_exprs} FROM sigs),
+p AS (  -- band-sharing pairs at/above the 8/16 threshold, undirected
+  SELECT c.id_a, c.id_b, ({matches}) AS nm
+  FROM (SELECT DISTINCT id_a, id_b FROM ({band_joins})) c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b
+  WHERE ({matches}) >= 8
+),
+dp AS (
+  SELECT id_a AS old_id, id_b AS new_id, nm FROM p
+  UNION ALL SELECT id_b, id_a, nm FROM p
+),
+bd AS (SELECT id, (id // 2) % 3 AS bat FROM sigs),
+dpb AS (
+  SELECT dp.old_id, dp.new_id, dp.nm, bo.bat AS bo, bn.bat AS bn
+  FROM dp
+  JOIN bd bo ON bo.id = dp.old_id
+  JOIN bd bn ON bn.id = dp.new_id
+),
+-- batch 1: intra-batch only (the index is empty)
+e1 AS (SELECT * FROM dpb WHERE bn = 0 AND bo = 0 AND old_id < new_id),
+s1 AS (SELECT id FROM bd WHERE bat = 0
+       AND id NOT IN (SELECT new_id FROM e1)),
+-- batch 2: survivors of batch 1 (any id) OR earlier-id batch-2 docs
+e2 AS (SELECT * FROM dpb WHERE bn = 1
+       AND (old_id IN (SELECT id FROM s1) OR (bo = 1 AND old_id < new_id))),
+s2 AS (SELECT id FROM bd WHERE bat = 1
+       AND id NOT IN (SELECT new_id FROM e2)),
+-- batch 3: survivors of batches 1+2 OR earlier-id batch-3 docs
+e3 AS (SELECT * FROM dpb WHERE bn = 2
+       AND (old_id IN (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+            OR (bo = 2 AND old_id < new_id))),
+allv AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         UNION ALL SELECT * FROM e3)
+SELECT new_id AS doc_id,
+       (min(struct_pack(negnm := -nm, oid := old_id))).oid AS dup_of,
+       CAST(max(nm) AS BIGINT) AS n_match16
+FROM allv
+GROUP BY new_id
+ORDER BY doc_id
 """
 
 
@@ -1699,6 +1870,7 @@ QUERIES = {
     "stream_topk_replay": stream_topk_replay,
     "window_time_range_rolling": window_time_range_rolling,
     "stream_dedup_replay": stream_dedup_replay,
+    "stream_dedup_index_replay": stream_dedup_index_replay,
     "stream_slide_replay": stream_slide_replay,
     "stream_session_window_replay": stream_session_window_replay,
     "stream_interval_join_replay": stream_interval_join_replay,
@@ -1727,6 +1899,7 @@ ORACLES = {
     "stream_topk_replay": _STREAM_TOPK_SQL,
     "window_time_range_rolling": _TIME_RANGE_SQL,
     "stream_dedup_replay": _STREAM_DEDUP_SQL,
+    "stream_dedup_index_replay": _dedup_index_oracle(),
     "stream_slide_replay": _STREAM_SLIDE_SQL,
     "stream_session_window_replay": _STREAM_SESSION_WINDOW_SQL,
     "stream_interval_join_replay": _STREAM_INTERVAL_JOIN_SQL,

@@ -25,7 +25,10 @@ from etl_ml_pipeline_spark.sinks.base import BaseSink
 class BucketedTableSink(BaseSink):
     """Config: table, buckets (int), bucket_cols (list), sort_cols
     (optional list, defaults to bucket_cols), mode (default overwrite),
-    format (default parquet)."""
+    format (default parquet), path (optional — store the files at an
+    explicit location as an external table instead of under the
+    session warehouse dir; DROP TABLE then leaves the files, so
+    callers own the lifecycle of the path)."""
 
     def load(self, df: DataFrame) -> None:
         table = self.config["table"]
@@ -38,4 +41,6 @@ class BucketedTableSink(BaseSink):
             .bucketBy(buckets, *bucket_cols)
             .sortBy(*sort_cols)
         )
+        if self.config.get("path"):
+            writer = writer.option("path", self.config["path"])
         writer.saveAsTable(table)

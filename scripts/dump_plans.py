@@ -262,6 +262,31 @@ SHOWCASE = [
         "(partition,group) windows + broadcast carry-ins) — no "
         "single-task per-source sort.",
     ),
+    (
+        "skyline_parts_pareto",
+        "Pareto skyline via the grid walk: one map-side-combined "
+        "aggregate to the per-size price grid, a suffix-min window over "
+        "|distinct sizes| rows (never over N), and a BroadcastHashJoin "
+        "back onto the parts — no quadratic NOT-EXISTS self-join "
+        "anywhere in the plan (the oracle SQL states dominance that "
+        "way; the differential proves this plan equivalent).",
+    ),
+    (
+        "sample_perplexity_buckets",
+        "CCNet-style perplexity tertiles: the token-scale bucket count "
+        "is one partial-aggregated shuffle, the 1024-row surprisal "
+        "table comes back via BroadcastHashJoin, and the per-language "
+        "tertile cuts run as a window over the distinct-score grid — "
+        "cost tracks tokens once, then grid sizes.",
+    ),
+    (
+        "graph_label_propagation",
+        "Synchronous LPA after 4 rounds: localCheckpoint truncates each "
+        "round's lineage, so the final plan is one join + struct-min "
+        "aggregate over the LAST round's checkpointed labels — the plan "
+        "stays this size at ANY iteration count instead of nesting 4 "
+        "joins deep.",
+    ),
 ]
 
 

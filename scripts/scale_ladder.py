@@ -93,6 +93,17 @@ QUERIES = [
     "dedup_exact_substring",
     "sample_token_budget_mixture",
     "sketch_theta_overlap_matrix",
+    # round-8 late-session additions: LPA communities (per-round
+    # join+agg), CCNet perplexity tertiles (token-scale shuffle +
+    # grid-walk cuts), Pareto skyline (grid suffix-min, no all-pairs),
+    # incremental MinHash-index streaming dedup (3-batch survivorship),
+    # bucketed co-located join (one-time layout shuffle, zero-Exchange
+    # join)
+    "graph_label_propagation",
+    "sample_perplexity_buckets",
+    "skyline_parts_pareto",
+    "stream_dedup_index_replay",
+    "layout_bucketed_join_stats",
 ]
 
 

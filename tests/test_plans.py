@@ -139,6 +139,45 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
             shutil.rmtree(wh, ignore_errors=True)
 
 
+def test_bucketed_sink_external_path(spark, sf_dir, tmp_path_factory):
+    """The bucketed_table sink's ``path`` option makes an EXTERNAL
+    table: files land at the given location (not the warehouse), the
+    bucket spec still applies (bucketed scan, no Exchange on the
+    bucketed side of a merge join), and DROP TABLE leaves the files
+    for the caller's lifecycle (layout_bucketed_join_stats relies on
+    this to keep repeated catalog runs out of spark-warehouse/)."""
+    import os
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import SINKS
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path_factory.mktemp("bucket_ext"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    sink = SINKS.get("bucketed_table")
+    try:
+        with sink(spark, {"table": "orders_ext_b", "buckets": 4,
+                          "bucket_cols": ["o_orderkey"],
+                          "path": f"{loc}/orders_ext_b"}) as s:
+            s.load(orders)
+        assert os.listdir(f"{loc}/orders_ext_b")  # files at explicit path
+        joined = spark.table("orders_ext_b").join(
+            spark.table("orders_ext_b").select(
+                F.col("o_orderkey").alias("k")
+            ).hint("merge"),
+            F.col("o_orderkey") == F.col("k"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        n = spark.table("orders_ext_b").count()
+        assert joined.count() == n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_ext_b")
+    assert os.listdir(f"{loc}/orders_ext_b")  # DROP left the files
+
+
 def test_hash_sample_filter_pushed_and_no_shuffle(spark, sf_dir):
     """Hash-mod sampling must stay a map-side scan filter: the md5
     predicate itself can't push into parquet, but the plan must contain
