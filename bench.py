@@ -74,6 +74,15 @@ HEADLINE = [
     # the grouped two-phase prefix sum.
     "dedup_exact_substring",
     "sample_token_budget_mixture",
+    # round-8 late session: the Pareto grid walk (aggregate + grid
+    # window + broadcast join) and CCNet perplexity tertiles (the
+    # token-scale surprisal shape). LPA, the bucketed-join layout query
+    # and the MinHash-index replay stay catalog-only like pagerank:
+    # driver-synchronous rounds / table writes / streaming triggers add
+    # seconds of fixed latency that would eat the round-over-round
+    # comparison margin (their scale behavior is tracked by the ladder).
+    "skyline_parts_pareto",
+    "sample_perplexity_buckets",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

@@ -343,6 +343,115 @@ def hashed_linear_score(
     )
 
 
+def unigram_surprisal_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document mean surprisal under the corpus's OWN hashed-unigram
+    LM -> (id_col, lang_col, n_tokens, spp). The deterministic proxy for
+    CCNet's KenLM perplexity scoring (Wenzek et al. 2019): tokens hash
+    into ``n_buckets`` md5 buckets, the Laplace-smoothed bucket
+    probability gives a surprisal floored onto an integer 1e-4 grid
+    (+1e-6 pre-floor nudge — the shared JVM-log/libm-ln fence posture),
+    and the per-doc mean is integer DIV, so every downstream comparison
+    is exact across engines and re-runs.
+
+    Scale: one token-scale map-side-combined shuffle (bucket counts), a
+    1-row total, an ``n_buckets``-row broadcast back onto the token
+    stream, one doc-level aggregate. Shared kernel of the
+    ``sample_perplexity_buckets`` catalog query and the
+    ``perplexity_bucket`` pipeline transform — they cannot drift.
+    """
+    toks = df.select(
+        id_col, lang_col, F.explode(F.split(text_col, " ")).alias("w")
+    ).filter(F.col("w") != "")
+    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % n_buckets)
+    bc = toks.groupBy("bucket").agg(F.count("*").alias("cn"))
+    tot = bc.agg(F.sum("cn").alias("nn"))
+    s4 = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            -F.log((F.col("cn") + 1) / (F.col("nn") + n_buckets)) * 10000
+            + 1e-6
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    return (
+        toks.join(F.broadcast(s4), "bucket")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s4").cast("long").alias("sum_s4"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "n_tokens",
+            F.expr("sum_s4 div n_tokens").alias("spp"),
+        )
+    )
+
+
+@register_transform("perplexity_bucket")
+class PerplexityBucket(BaseTransform):
+    """CCNet-style perplexity gating for the YAML engine: score every
+    doc with ``unigram_surprisal_scores``, cut each language into
+    head/middle/tail tertiles (per-language nearest-rank cuts — never
+    interpolated), tag rows with ``ppl_bucket`` (+``spp``), and
+    optionally keep only the configured buckets.
+
+    config:
+      text_col / id_col / lang_col: columns (default text/doc_id/lang)
+      n_buckets: hashed-unigram vocab size (default 1024)
+      keep: optional list from {head, middle, tail} — e.g. CCNet's
+            usual move of dropping the tail is ``keep: [head, middle]``
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        keep = self.config.get("keep")
+        bad = set(keep or ()) - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(f"perplexity_bucket: unknown buckets {sorted(bad)}")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from etl_ml_pipeline_spark.operators.relational import (
+            nearest_rank_percentiles,
+        )
+
+        cfg = self.config
+        id_col = cfg.get("id_col", "doc_id")
+        lang_col = cfg.get("lang_col", "lang")
+        scores = unigram_surprisal_scores(
+            df,
+            text_col=cfg.get("text_col", "text"),
+            id_col=id_col,
+            lang_col=lang_col,
+            n_buckets=int(cfg.get("n_buckets", 1024)),
+        )
+        cuts = nearest_rank_percentiles(
+            scores, [lang_col], "spp", {"c1": (1, 3), "c2": (2, 3)}
+        )
+        tier = (F.col("spp") > F.col("c1")).cast("int") + (
+            F.col("spp") > F.col("c2")
+        ).cast("int")
+        name = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier + 1
+        )
+        tagged = (
+            scores.join(F.broadcast(cuts), lang_col)
+            .select(id_col, "spp", name.alias("ppl_bucket"))
+        )
+        out = df.join(tagged, id_col)
+        keep = cfg.get("keep")
+        if keep:
+            out = out.filter(F.col("ppl_bucket").isin(list(keep)))
+        return out
+
+
 @register_transform("quality_model_score")
 class QualityModelScore(BaseTransform):
     """YAML-engine surface for hashed_linear_score: adds a ``score``

@@ -876,39 +876,13 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.operators.relational import (
         nearest_rank_percentiles,
     )
+    from etl_ml_pipeline_spark.operators.text import unigram_surprisal_scores
 
     docs = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", "lang", "text"
     )
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % _DSIR_B)
-    bc = toks.groupBy("bucket").agg(F.count("*").alias("cn"))
-    tot = bc.agg(F.sum("cn").alias("nn"))
-    s4 = bc.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.floor(
-            -F.log((F.col("cn") + 1) / (F.col("nn") + _DSIR_B)) * 10000
-            + 1e-6
-        )
-        .cast("long")
-        .alias("s4"),
-    )
-    per_doc = (
-        toks.join(F.broadcast(s4), "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("s4").cast("long").alias("sum_s4"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.expr("sum_s4 div n_tokens").alias("spp"),
-        )
-    )
+    # shared kernel with the perplexity_bucket pipeline transform
+    per_doc = unigram_surprisal_scores(docs, n_buckets=_DSIR_B)
     cuts = nearest_rank_percentiles(
         per_doc, ["lang"], "spp", {"c1": (1, 3), "c2": (2, 3)}
     )

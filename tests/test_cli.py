@@ -112,6 +112,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("boilerplate_then_dedup", tmp_path / "out6"),
         ("semantic_dedup", tmp_path / "out7"),
         ("token_budget_mixture", tmp_path / "out8"),
+        ("perplexity_gated_corpus", tmp_path / "out9"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),

@@ -1196,3 +1196,41 @@ def test_token_budget_mixture_transform_invariants(spark):
         {"budget_tokens": 25, "weights": {"b": 0, "c": 0}}
     ).transform(df).toPandas()
     assert len(out2) == 3  # starts at 0, 10, 20 < 25; 30 is out
+
+
+def test_perplexity_bucket_transform_tertiles_and_gate(spark):
+    """Docs made of corpus-common tokens score lowest surprisal (head),
+    half-common docs land middle, all-unique-token docs land tail; the
+    keep gate filters exactly those buckets; unknown bucket names fail
+    validation loudly."""
+    import pytest
+
+    from etl_ml_pipeline_spark.operators.text import (
+        PerplexityBucket,
+        unigram_surprisal_scores,
+    )
+
+    common = " ".join(["zz"] * 12)
+    rows = []
+    for i in range(3):  # head: every token is the corpus-dominant one
+        rows.append((i, "en", common))
+    for i in range(3, 6):  # middle: half common, half unique
+        rows.append((i, "en", " ".join(["zz"] * 6 + [f"m{i}_{j}" for j in range(6)])))
+    for i in range(6, 9):  # tail: every token unique to the doc
+        rows.append((i, "en", " ".join(f"t{i}_{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    spp = {
+        r.doc_id: r.spp for r in unigram_surprisal_scores(df).collect()
+    }
+    assert spp[0] == spp[1] == spp[2] < spp[3] < spp[6]
+
+    tagged = PerplexityBucket({}).transform(df)
+    got = {r.doc_id: r.ppl_bucket for r in tagged.collect()}
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+    kept = PerplexityBucket({"keep": ["head", "middle"]}).transform(df)
+    assert sorted(r.doc_id for r in kept.collect()) == list(range(6))
+
+    with pytest.raises(ValueError, match="unknown buckets"):
+        PerplexityBucket({"keep": ["head", "bogus"]}).validate(df)
