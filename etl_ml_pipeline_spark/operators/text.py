@@ -445,7 +445,11 @@ class PerplexityBucket(BaseTransform):
             scores.join(F.broadcast(cuts), lang_col)
             .select(id_col, "spp", name.alias("ppl_bucket"))
         )
-        out = df.join(tagged, id_col)
+        # LEFT join: a zero-token doc has no score row — in tag mode it
+        # must still come through (null spp/ppl_bucket), not vanish; a
+        # keep gate then drops it naturally (isin is null-rejecting),
+        # which is the right quality-gate posture for empty text.
+        out = df.join(tagged, id_col, "left")
         keep = cfg.get("keep")
         if keep:
             out = out.filter(F.col("ppl_bucket").isin(list(keep)))

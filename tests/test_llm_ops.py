@@ -1232,5 +1232,18 @@ def test_perplexity_bucket_transform_tertiles_and_gate(spark):
     kept = PerplexityBucket({"keep": ["head", "middle"]}).transform(df)
     assert sorted(r.doc_id for r in kept.collect()) == list(range(6))
 
+    # zero-token doc: tagged as null in tag mode (left join — never
+    # silently dropped), rejected by any keep gate (null-rejecting isin)
+    with_empty = df.unionByName(
+        spark.createDataFrame([(99, "en", "")], df.schema)
+    )
+    tag2 = {r.doc_id: r.ppl_bucket for r in
+            PerplexityBucket({}).transform(with_empty).collect()}
+    assert tag2[99] is None and len(tag2) == 10
+    kept2 = PerplexityBucket({"keep": ["head", "middle", "tail"]}).transform(
+        with_empty
+    )
+    assert 99 not in {r.doc_id for r in kept2.collect()}
+
     with pytest.raises(ValueError, match="unknown buckets"):
         PerplexityBucket({"keep": ["head", "bogus"]}).validate(df)
