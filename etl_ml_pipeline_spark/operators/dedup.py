@@ -551,19 +551,24 @@ def semantic_assignments(
     )
 
     q = quantize_micro(df, vec_col, out_col="__e").select(id_col, "__e")
-    # persist only for the duration of the Lloyd rounds (each round
-    # re-scans q); unpersist before the final assignment pass — that
-    # pass is map-only, so recomputing the quantize projection once is
-    # cheaper than pinning the corpus in executor storage for the rest
-    # of a long-lived pipeline session (ADVICE r07 #4).
+    # persist only while the Lloyd rounds + the final assignment pass
+    # re-scan q, then release (ADVICE r07 #4 — no cached corpus pinned
+    # for the rest of a long-lived pipeline session). The assignments
+    # are eagerly localCheckpoint'ed BEFORE the unpersist so the one
+    # materialization reads the still-hot cache and downstream
+    # consumers read the checkpoint — no second scan+quantize of the
+    # embeddings (that recompute cost 1.31s -> 1.89s on the sf0.1
+    # bench when the unpersist ran before the assignment pass).
     q = q.persist()
     try:
         cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+        return (
+            assign_clusters(q, cents, e_col="__e")
+            .select(id_col, "__e", "cluster")
+            .localCheckpoint(eager=True)
+        )
     finally:
         q.unpersist()
-    return assign_clusters(q, cents, e_col="__e").select(
-        id_col, "__e", "cluster"
-    )
 
 
 def semantic_dup_pairs(
@@ -674,20 +679,31 @@ def semantic_dup_pairs(
     )
     # Hard cluster-size cap: split any cluster past max_cluster members
     # into ceil(c/max_cluster) deterministic sub-groups (id % n_sub).
-    # Cluster count is ~k rows, so the size lookup broadcasts; clusters
-    # under the cap keep n_sub = 1 and are bit-identical to the uncapped
-    # plan (which is why the catalog oracle needs no split leg at any
-    # tested SF — its id slice bounds clusters far below the cap).
-    sizes = renamed.groupBy("cluster").agg(F.count("*").alias("__c"))
-    with_sub = renamed.join(F.broadcast(sizes), "cluster").withColumn(
-        "__sub",
-        (
-            F.col("__id")
-            % F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.col("__c") / F.lit(max_cluster)).cast("long"),
-            )
-        ).cast("int"),
+    # The size lookup is a k-row aggregate COLLECTED to the driver and
+    # compiled into a map-side n_sub expression — same bounded-collect
+    # posture as the k·d centroid sync (operators/kmeans.py): k is the
+    # cluster count, never corpus-sized, and skipping the broadcast
+    # join keeps the pre-kernel plan a pure projection (the join stage
+    # showed up as a measurable fixed cost on the sf0.1 bench).
+    # Clusters under the cap keep n_sub = 1 and are bit-identical to
+    # the uncapped plan (which is why the catalog oracle needs no
+    # split leg at any tested SF — its id slice bounds clusters far
+    # below the cap).
+    sizes = {
+        r["cluster"]: r["__c"]
+        for r in renamed.groupBy("cluster")
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    }
+    n_sub_expr = F.lit(1).cast("long")
+    for c, cnt in sorted(sizes.items()):
+        n_sub = -(-cnt // max_cluster)  # ceil
+        if n_sub > 1:
+            n_sub_expr = F.when(
+                F.col("cluster") == c, F.lit(n_sub).cast("long")
+            ).otherwise(n_sub_expr)
+    with_sub = renamed.withColumn(
+        "__sub", (F.col("__id") % n_sub_expr).cast("int")
     )
     return (
         with_sub.select("cluster", "__sub", "__id", "__e")
