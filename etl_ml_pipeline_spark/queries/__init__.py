@@ -201,6 +201,7 @@ for _n in (
     "skyline_parts_pareto",
     "stream_dedup_index_replay",
     "layout_bucketed_join_stats",
+    "json_variant_events",
 ):
     _LAST_RECORDED[_n] = 4.5
 

@@ -530,6 +530,74 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# json_variant_events — the Spark 4 VARIANT path for semi-structured
+# data: each event's fields (plus the JSON props payload) are composed
+# into one nested document, parsed ONCE into the binary VARIANT
+# encoding, and every downstream extraction is a typed variant_get on
+# the encoded value — the lakehouse pattern for repeated sub-field
+# access where re-parsing JSON text per path would dominate the scan
+# at 100 TB. The oracle computes the same aggregates straight from the
+# base columns, so a green hash proves the construct -> parse_json ->
+# variant_get round trip is lossless for every extracted type
+# (bigint, nested object path, array index, string). Money rides as
+# integer cents inside the document — no float-in-JSON hazard.
+# ---------------------------------------------------------------------------
+
+
+def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    doc = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("type"),
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.get_json_object("props", "$.k")
+                    .cast("long")
+                    .alias("k"),
+                ).alias("u"),
+                F.array(F.col("event_type"), F.lit("v1")).alias("tags"),
+            )
+        )
+    )
+    v = ev.select(doc.alias("v"))
+    return (
+        v.select(
+            F.variant_get("v", "$.type", "string").alias("event_type"),
+            F.variant_get("v", "$.cents", "bigint").alias("cents"),
+            F.variant_get("v", "$.u.id", "bigint").alias("uid"),
+            F.variant_get("v", "$.u.k", "bigint").alias("k"),
+            F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.count_distinct("uid").cast("long").alias("n_users"),
+            F.max("k").alias("max_k"),
+            F.min(F.col("tag1") == "v1").alias("all_v1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       TRUE AS all_v1
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot_status_by_priority — pivot with explicit values (scales: explicit
 # value list avoids the extra distinct-collection job Spark otherwise runs).
 # Oracle expressed as conditional aggregation (ANSI-safe).
@@ -1817,6 +1885,7 @@ QUERIES = {
     "set_union_high_low": set_union_high_low,
     "case_bucket_orders": case_bucket_orders,
     "json_extract_events": json_extract_events,
+    "json_variant_events": json_variant_events,
     "pivot_status_by_priority": pivot_status_by_priority,
     "scalar_function_battery": scalar_function_battery,
     "unpivot_order_metrics": unpivot_order_metrics,
@@ -1852,6 +1921,7 @@ ORACLES = {
     "set_union_high_low": _UNION_SQL,
     "case_bucket_orders": _CASE_SQL,
     "json_extract_events": _JSON_SQL,
+    "json_variant_events": _VARIANT_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "scalar_function_battery": _SCALAR_SQL,
     "unpivot_order_metrics": _UNPIVOT_SQL,
