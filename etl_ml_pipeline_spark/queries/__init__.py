@@ -202,6 +202,7 @@ for _n in (
     "stream_dedup_index_replay",
     "layout_bucketed_join_stats",
     "json_variant_events",
+    "recursive_supplier_ancestry",
 ):
     _LAST_RECORDED[_n] = 4.5
 

@@ -367,8 +367,85 @@ ORDER BY status_g, priority_g
 """
 
 
+# ---------------------------------------------------------------------------
+# recursive_supplier_ancestry — WITH RECURSIVE (new SQL surface in Spark 4)
+# driven end-to-end: a synthetic reporting hierarchy over supplier
+# (parent = suppkey DIV 2, root at 1) walked from every supplier to
+# the root, aggregated per depth. The engine executes the recursion as
+# an iterative union loop — the managed counterpart of the manual
+# per-round join+checkpoint loops in operators/graph.py — and
+# termination is structural (the node halves every step), so total
+# work is N log N rows with a log2(max_key) depth bound, never
+# unbounded. Spark guards runaway recursion with
+# spark.sql.cteRecursionRowLimit (default 1e6 — the part-table variant
+# tripped it at sf1, which is how the knob earned this comment); the
+# query raises it around a small eagerly-materialized result and
+# restores the session value, the honest production posture for a
+# deliberately large recursion. Integer-only arithmetic; the oracle is
+# the identical recursion in DuckDB (Spark spells integer division
+# DIV, DuckDB spells it //).
+# ---------------------------------------------------------------------------
+
+_REC_ROW_LIMIT_CONF = "spark.sql.cteRecursionRowLimit"
+
+
+def recursive_supplier_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    view = f"supp_rec_{uuid.uuid4().hex[:12]}"
+    t(spark, sf_dir, "supplier").select("s_suppkey").createOrReplaceTempView(
+        view
+    )
+    prev = spark.conf.get(_REC_ROW_LIMIT_CONF, None)
+    try:
+        spark.conf.set(_REC_ROW_LIMIT_CONF, str(200_000_000))
+        out = spark.sql(f"""
+          WITH RECURSIVE anc AS (
+            SELECT s_suppkey AS supp, s_suppkey AS node, 0 AS depth
+            FROM {view}
+            UNION ALL
+            SELECT supp, node DIV 2 AS node, depth + 1 AS depth
+            FROM anc WHERE node > 1
+          )
+          SELECT depth,
+                 CAST(count(*) AS BIGINT)   AS n_rows,
+                 CAST(min(node) AS BIGINT)  AS min_node,
+                 CAST(max(node) AS BIGINT)  AS max_node,
+                 CAST(sum(node) AS BIGINT)  AS sum_node
+          FROM anc
+          GROUP BY depth
+          ORDER BY depth
+        """).localCheckpoint(eager=True)  # run under the raised limit
+    finally:
+        if prev is None:
+            spark.conf.unset(_REC_ROW_LIMIT_CONF)
+        else:
+            spark.conf.set(_REC_ROW_LIMIT_CONF, prev)
+        spark.catalog.dropTempView(view)
+    return out
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT s_suppkey AS supp, s_suppkey AS node, 0 AS depth FROM supplier
+  UNION ALL
+  SELECT supp, node // 2 AS node, depth + 1 AS depth
+  FROM anc WHERE node > 1
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node,
+       CAST(sum(node) AS BIGINT) AS sum_node
+FROM anc
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 QUERIES = {
     "q4_priority_exists": q4_priority_exists,
+    "recursive_supplier_ancestry": recursive_supplier_ancestry,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q14_promo_share": q14_promo_share,
@@ -380,6 +457,7 @@ QUERIES = {
 
 ORACLES = {
     "q4_priority_exists": _Q4_SQL,
+    "recursive_supplier_ancestry": _RECURSIVE_SQL,
     "q18_large_orders": _Q18_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,
     "q14_promo_share": _Q14_SQL,
