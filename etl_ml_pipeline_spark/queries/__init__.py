@@ -186,16 +186,43 @@ _RECORDED_R07 = {
 for _n in _RECORDED_R07:
     _LAST_RECORDED[_n] = 7
 
-# Round-8 rotation budget: the driver's ~50-entry prefix is exactly
-# filled by the 4 highest-priority round-8 additions (tier 0 by
-# default: sketch_theta_overlap_matrix, dedup_exact_substring,
-# sample_token_budget_mixture, graph_label_propagation) plus the 46
-# r04-stale names (VERDICT r07 ask #6 — nothing may fall >4 rounds
-# stale). Later round-8 additions are deliberately placed BEHIND the
-# stale tier (4.5) so they don't evict r04 rotation slots; they are
-# builder-verified at sf0.001/0.01 (scripts/check_query.py) + the
-# synthetic sf1 differential this round and become tier-0 driver
-# candidates in round 9.
+# Round 8 driver records (the exact key set of CORRECTNESS_r08.json —
+# all 50 green: 4 round-8 additions at tier 0, the theta-matrix
+# rows-only entry, and the 45 r04-stale names refreshed).
+_RECORDED_R08 = {
+    "agg_approx_distinct_parts", "agg_approx_percentile_prices",
+    "agg_distinct_parts", "agg_percentile_prices", "agg_stats_battery",
+    "ann_ivf_sqrtn_topk", "asof_click_purchase", "asof_tolerance_counts",
+    "bollinger_events", "case_bucket_orders", "chunk_documents_sliding",
+    "corpus_clean_funnel", "dedup_exact_substring", "diff_order_snapshots",
+    "full_outer_nation_presence", "graph_label_propagation",
+    "grouping_sets_order_revenue", "hist_order_prices",
+    "join_anti_inactive_customers", "join_semi_active_customers",
+    "json_extract_events", "ml_feature_stats", "ml_fold_assignment",
+    "ml_target_events", "multimodal_png_decode", "pack_documents_capacity",
+    "pivot_status_by_priority", "q14_promo_share", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_big_balance",
+    "q2_min_cost_supplier", "q3_top_orders", "q4_priority_exists",
+    "q5_region_revenue", "q6_forecast_revenue", "range_join_purchase_context",
+    "rollup_order_stats", "rsi_macd_events", "sample_token_budget_mixture",
+    "scalar_function_battery", "sessionize_events", "set_lapsed_customers",
+    "set_repeat_customers", "set_union_high_low",
+    "sketch_theta_overlap_matrix", "skew_salted_agg_events",
+    "skew_salted_join_events", "tumble_hourly_events",
+}
+for _n in _RECORDED_R08:
+    _LAST_RECORDED[_n] = 8
+
+# Round-9 rotation (VERDICT r08 asks #1 and #3): the six round-8
+# additions that have never been driver-recorded lead the prefix at
+# tier -1 (ahead even of any new round-9 additions, which default to
+# tier 0). The remaining ~44 slots go to the oldest stale tier (r05).
+# Rotation contract, re-baselined per VERDICT r08 ask #3: with the
+# catalog at ~206 names and a ~50-entry driver prefix, a full refresh
+# cycle takes 5 rounds, so the staleness invariant is now
+# "no query >5 rounds stale" (stated in ROADMAP.md with the projected
+# histogram); catalog growth is frozen this round so the arithmetic
+# holds.
 for _n in (
     "sample_perplexity_buckets",
     "skyline_parts_pareto",
@@ -204,7 +231,7 @@ for _n in (
     "json_variant_events",
     "recursive_supplier_ancestry",
 ):
-    _LAST_RECORDED[_n] = 4.5
+    _LAST_RECORDED[_n] = -1
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -215,11 +242,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in out:
                 raise ValueError(f"duplicate query name {k!r} in {name}")
             out[k] = v
-    # Triage order (stable within each tier): never-recorded queries
-    # first (tier 0 — anything added this round), then stale driver
-    # rows oldest first (r04 < r05 < r06 < r07). The 46 r04-stale
-    # names fit the ~50-entry prefix with room for a handful of
-    # round-8 additions ahead of them.
+    # Triage order (stable within each tier): never-driver-recorded
+    # queries first (tier -1 = last round's late additions, tier 0 =
+    # anything added this round), then stale driver rows oldest first
+    # (r05 < r06 < r07 < r08). Round 9: 6 tier(-1) + ~44 of the 50
+    # r05-stale names fill the ~50-entry prefix; the overflow r05
+    # names lead round 10 under the ≤5-rounds-stale contract.
     names = sorted(out, key=lambda k: _LAST_RECORDED.get(k, 0))
     return {k: out[k] for k in names}
 

@@ -94,6 +94,23 @@ def main() -> None:
     if tiers != sorted(tiers):
         fail("emission triage order violated (tiers not non-decreasing)")
 
+    # 5. sf1-differential coverage (VERDICT r08 ask #2): every catalog
+    # query must have a row in scripts/sf1_diff.json. A new query
+    # closes its gap incrementally with
+    #   python scripts/sf1_diff.py --only NAME
+    # in the same commit that registers it.
+    import json
+
+    sf1 = json.loads((REPO / "scripts" / "sf1_diff.json").read_text())
+    sf1_names = set(sf1["results"])
+    uncovered = sorted(set(qs) - sf1_names)
+    if uncovered:
+        fail(
+            f"sf1_diff.json is missing {uncovered} — run "
+            f"'python scripts/sf1_diff.py --only {','.join(uncovered)}' "
+            "and commit the updated json alongside the catalog change"
+        )
+
     print(
         f"precommit_check: OK — catalog {len(qs)} queries, pin + "
         "CATALOG.md + oracles consistent"

@@ -3,7 +3,14 @@
 Tie/ulp cross-engine bugs are data-dependent: each 10x of rows is a
 fresh draw at the rounding grid (the sf0.1 sweep caught q2's .xx50 tie
 that sf0.01 missed). Writes scripts/sf1_diff.json.
+
+``--only name1,name2`` runs just those queries and MERGES their rows
+into the existing json (summary recomputed over the union), so a
+catalog addition can close its sf1 gap in minutes instead of a full
+206-query re-run. The pre-commit gate asserts the json's name set
+covers the live catalog (VERDICT r08 ask #2).
 """
+import argparse
 import json
 import sys
 import time
@@ -32,8 +39,20 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--only", default=None, help="comma-separated query names; merge into existing json")
+cli = ap.parse_args()
+
 qs, os_ = mod.queries(), mod.oracle_sql()
 out = {}
+if cli.only:
+    only = [n.strip() for n in cli.only.split(",") if n.strip()]
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        sys.exit(f"unknown query names: {unknown}")
+    with open("/root/repo/scripts/sf1_diff.json") as f:
+        out = json.load(f)["results"]
+    qs = {n: qs[n] for n in only}
 t0 = time.time()
 for name in sorted(qs):
     sql = os_.get(name)

@@ -152,27 +152,30 @@ def test_query_catalog_counts():
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order, so emission is triaged: never-recorded queries
-    lead (tier 0 — round-8 additions), then stale driver rows
-    oldest-first (r04 < r05 < r06 < r07)."""
+    in emission order, so emission is triaged: never-driver-recorded
+    queries lead (tier -1 = round-8 late additions, tier 0 = new this
+    round), then stale driver rows oldest-first (r05 < r06 < r07 < r08)."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-recorded names (tier 0) lead the prefix
-    never = [k for k in keys if k not in _LAST_RECORDED]
+    # never-driver-recorded names (tier -1, then any tier-0 additions)
+    # lead the prefix
+    never = [k for k in keys if tier(k) <= 0]
     assert keys[: len(never)] == never
-    # nothing is older than r04 after the r07 rotation cleared r03
-    assert min(_LAST_RECORDED.values()) == 4
-    # the 46 r04-stale names come right after, ahead of everything newer
-    r04 = [k for k in keys if _LAST_RECORDED.get(k) == 4]
-    assert len(r04) == 46
-    assert keys[len(never) : len(never) + len(r04)] == r04
-    # never-recorded + r04-stale must fit the ~50-entry driver prefix
-    assert len(never) + len(r04) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 7
+    assert len(never) == 6  # catalog growth frozen in round 9
+    # nothing is older than r05 after the r08 rotation cleared r04
+    recorded = [v for v in _LAST_RECORDED.values() if v > 0]
+    assert min(recorded) == 5
+    # the oldest stale tier comes right after, ahead of everything newer;
+    # 6 never-recorded + 44 of the 50 r05 names fill the ~50 prefix and
+    # the 6 overflow r05 names lead round 10 (<=5-rounds-stale contract)
+    r05 = [k for k in keys if _LAST_RECORDED.get(k) == 5]
+    assert len(r05) == 50
+    assert keys[len(never) : len(never) + len(r05)] == r05
+    assert _LAST_RECORDED.get(keys[-1]) == 8
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 
