@@ -602,7 +602,9 @@ def semantic_dup_pairs(
     block x c Gram slab — and ``max_cluster`` makes that bound a hard
     one (VERDICT r07 #3): any cluster larger than ``max_cluster``
     members is split deterministically into ``ceil(c/max_cluster)``
-    sub-groups by ``id % n_sub`` before the kernel, so one skewed
+    sub-groups by ``pmod(id, n_sub)`` (sizes derived in-plan via a
+    broadcast join on the oversized-cluster aggregate — no driver
+    collect, no stale-size window) before the kernel, so one skewed
     mega-cluster can never hand a single applyInPandas call an
     unbounded matrix. Pairs straddling two sub-groups of a split
     cluster are forgone — the same documented-degradation posture as
@@ -678,32 +680,40 @@ def semantic_dup_pairs(
         F.col(id_col).alias("__id"), "__e", "cluster"
     )
     # Hard cluster-size cap: split any cluster past max_cluster members
-    # into ceil(c/max_cluster) deterministic sub-groups (id % n_sub).
-    # The size lookup is a k-row aggregate COLLECTED to the driver and
-    # compiled into a map-side n_sub expression — same bounded-collect
-    # posture as the k·d centroid sync (operators/kmeans.py): k is the
-    # cluster count, never corpus-sized, and skipping the broadcast
-    # join keeps the pre-kernel plan a pure projection (the join stage
-    # showed up as a measurable fixed cost on the sf0.1 bench).
-    # Clusters under the cap keep n_sub = 1 and are bit-identical to
-    # the uncapped plan (which is why the catalog oracle needs no
-    # split leg at any tested SF — its id slice bounds clusters far
-    # below the cap).
-    sizes = {
-        r["cluster"]: r["__c"]
-        for r in renamed.groupBy("cluster")
+    # into ceil(c/max_cluster) deterministic sub-groups
+    # (pmod(id, n_sub) — non-negative for any id sign, ADVICE r08 #2).
+    # Sub-split sizing is derived IN-PLAN (VERDICT r08 ask #5 + ADVICE
+    # r08 #1): a per-cluster count aggregate filtered to OVERSIZED
+    # clusters only (usually zero rows, never more than k) is
+    # broadcast left-joined back, so
+    #   - no driver-synchronous collect job precedes the kernel, and
+    #     the sizes can never go stale against a recomputed lineage —
+    #     they come from the same plan the kernel reads;
+    #   - plan size is O(1) in the number of oversized clusters (the
+    #     previous chained-when expression grew linearly);
+    #   - absent a match, coalesce keeps n_sub = 1, so under-cap
+    #     inputs produce exactly the uncapped pair set (pinned by
+    #     test_semantic_pair_kernel_cluster_cap_bounds_memory).
+    # ``assigned`` is an eagerly localCheckpoint'ed frame
+    # (semantic_assignments), so the aggregate's second scan reads
+    # local checkpoint blocks, not a recompute.
+    oversized = (
+        renamed.groupBy("cluster")
         .agg(F.count("*").alias("__c"))
-        .collect()
-    }
-    n_sub_expr = F.lit(1).cast("long")
-    for c, cnt in sorted(sizes.items()):
-        n_sub = -(-cnt // max_cluster)  # ceil
-        if n_sub > 1:
-            n_sub_expr = F.when(
-                F.col("cluster") == c, F.lit(n_sub).cast("long")
-            ).otherwise(n_sub_expr)
-    with_sub = renamed.withColumn(
-        "__sub", (F.col("__id") % n_sub_expr).cast("int")
+        .where(F.col("__c") > max_cluster)
+        .select(
+            "cluster",
+            F.expr(f"(__c + {max_cluster - 1}) DIV {max_cluster}")
+            .cast("long")
+            .alias("__n_sub"),
+        )
+    )
+    with_sub = renamed.join(F.broadcast(oversized), "cluster", "left").withColumn(
+        "__sub",
+        F.pmod(
+            F.col("__id"),
+            F.coalesce(F.col("__n_sub"), F.lit(1).cast("long")),
+        ).cast("int"),
     )
     return (
         with_sub.select("cluster", "__sub", "__id", "__e")

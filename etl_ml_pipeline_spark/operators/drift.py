@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.operators.joins import null_safe_join
 from etl_ml_pipeline_spark.registry import register_transform
 
 
@@ -52,7 +53,7 @@ def psi(
             ),
         )
         return (
-            df.join(F.broadcast(edges), keys)
+            null_safe_join(df, F.broadcast(edges), keys)
             .select(*keys, b.alias("__bin"))
             .groupBy(*keys, "__bin")
             .agg(F.count("*").alias(out))
@@ -61,9 +62,22 @@ def psi(
     spine = edges.select(
         *keys, F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("__bin")
     )
+    # null-safe throughout (round-9 audit of ADVICE r08 #4): a NULL
+    # segment key is a real segment — a drift monitor that silently
+    # stops watching it is the worst failure mode a gate can have.
+    # binned() outputs are |keys x bins| rows — the same bounded
+    # cardinality as edges/tot — so they broadcast like the rest: the
+    # whole spine assembly is BroadcastHashJoin, no sort-merge shuffle
+    # of already-aggregated data.
     counts = (
-        spine.join(binned(ref, "nr"), [*keys, "__bin"], "left")
-        .join(binned(cur, "nc"), [*keys, "__bin"], "left")
+        null_safe_join(
+            null_safe_join(
+                spine, F.broadcast(binned(ref, "nr")), [*keys, "__bin"], "left"
+            ),
+            F.broadcast(binned(cur, "nc")),
+            [*keys, "__bin"],
+            "left",
+        )
         .fillna({"nr": 0, "nc": 0})
     )
     tot = counts.groupBy(*keys).agg(
@@ -79,7 +93,7 @@ def psi(
         (q - p) * F.log(q / p) * 100000000 + 1e-6
     ).cast("long")
     return (
-        counts.join(F.broadcast(tot), keys)
+        null_safe_join(counts, F.broadcast(tot), keys)
         .select(*keys, term_i.alias("__t"))
         .groupBy(*keys)
         .agg((F.sum("__t") / 100000000.0).alias("psi"))

@@ -320,6 +320,7 @@ def grouped_running_sum(
     order_cols: list[str],
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Exact PER-GROUP running (prefix) sum in ``order_cols`` order
     within each group — without ``Window.partitionBy(group)``'s
@@ -333,6 +334,18 @@ def grouped_running_sum(
     (partition, group) cell is the sum of the SAME group's totals in
     earlier partitions — a groups x partitions frame, broadcast. A
     group spanning many partitions parallelizes across all of them.
+
+    Bound (ADVICE r08 #3): the offsets frame is |groups| x |partitions|
+    rows, so the explicit broadcast is only safe while group
+    cardinality is modest (mixture sources, languages, tenants — the
+    operator's intended keys; a sizing count at runtime would cost a
+    full extra pass, so the choice is the caller's). Callers with
+    high-cardinality groups must pass ``broadcast_offsets=False`` —
+    the offset join becomes a plain shuffled equi-join, same result,
+    no broadcast-limit/driver-memory cliff — or simply use
+    ``Window.partitionBy(group)`` directly: with many groups each
+    group is small by definition, so the straggler concern this
+    operator exists for doesn't apply.
     """
     from pyspark.sql import Window as W
 
@@ -362,10 +375,19 @@ def grouped_running_sum(
         *group_cols,
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
     )
-    return (
-        local.join(F.broadcast(offsets), ["__pid", *group_cols])
-        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
-        .drop("__pid", "__lsum", "__off")
+    # null-safe offset join (ADVICE r08 #4 root cause): a NULL group
+    # key is a legitimate group — Window.partitionBy and groupBy both
+    # treat it as one — so the join back must be eqNullSafe per key or
+    # every NULL-keyed row silently drops here.
+    from etl_ml_pipeline_spark.operators.joins import null_safe_join
+
+    joined = null_safe_join(
+        local,
+        F.broadcast(offsets) if broadcast_offsets else offsets,
+        ["__pid", *group_cols],
+    )
+    return joined.withColumn(out_col, F.col("__lsum") + F.col("__off")).drop(
+        "__pid", "__lsum", "__off"
     )
 
 
@@ -444,8 +466,17 @@ class TokenBudgetMixture(BaseTransform):
             ["__h", id_col],
             out_col="__cum",
         )
+        # null-safe allocation join (ADVICE r08 #4): the distinct()
+        # weight derivation above keeps a NULL group key as its own
+        # group with the default weight 1 (F.when(NULL == v) falls to
+        # otherwise), so the join back must match NULL keys too — a
+        # plain equi-join would silently drop the whole null-source
+        # slice. A YAML weight spec cannot address the NULL group, so
+        # it always rides at weight 1; null-fill upstream to exclude it.
+        from etl_ml_pipeline_spark.operators.joins import null_safe_join
+
         return (
-            cum.join(F.broadcast(alloc), gcol)
+            null_safe_join(cum, F.broadcast(alloc), [gcol])
             .filter(F.col("__cum") - F.col("__ntok") < F.col("__budget"))
             .drop("__ntok", "__h", "__cum", "__budget")
         )

@@ -441,10 +441,14 @@ class PerplexityBucket(BaseTransform):
         name = F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier + 1
         )
-        tagged = (
-            scores.join(F.broadcast(cuts), lang_col)
-            .select(id_col, "spp", name.alias("ppl_bucket"))
-        )
+        # null-safe cuts join (round-9 audit of ADVICE r08 #4): docs
+        # with a NULL language form their own tertile group — the cuts
+        # WERE computed for that group, so the join back must match it.
+        from etl_ml_pipeline_spark.operators.joins import null_safe_join
+
+        tagged = null_safe_join(
+            scores, F.broadcast(cuts), [lang_col]
+        ).select(id_col, "spp", name.alias("ppl_bucket"))
         # LEFT join: a zero-token doc has no score row — in tag mode it
         # must still come through (null spp/ppl_bucket), not vanish; a
         # keep gate then drops it naturally (isin is null-rejecting),

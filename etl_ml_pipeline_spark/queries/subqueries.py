@@ -381,7 +381,12 @@ ORDER BY status_g, priority_g
 # tripped it at sf1, which is how the knob earned this comment); the
 # query raises it around a small eagerly-materialized result and
 # restores the session value, the honest production posture for a
-# deliberately large recursion. Integer-only arithmetic; the oracle is
+# deliberately large recursion. NOTE (ADVICE r08 #5): the conf is
+# session-global, so a query running CONCURRENTLY in the same session
+# would temporarily inherit the raised runaway-recursion guard — fine
+# for the sequential catalog driver; concurrent deployments should run
+# this in a cloned session (spark.newSession()) to scope the conf.
+# Integer-only arithmetic; the oracle is
 # the identical recursion in DuckDB (Spark spells integer division
 # DIV, DuckDB spells it //).
 # ---------------------------------------------------------------------------

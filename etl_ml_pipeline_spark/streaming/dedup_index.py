@@ -35,6 +35,81 @@ def build_minhash_index(
     minhash_signatures(sh, n_perm=_N_PERM).write.mode("overwrite").parquet(index_path)
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_bytes: int = 128 << 20,
+    retain_min_id: int | None = None,
+) -> dict:
+    """Compact (and optionally age out) the persistent signature index.
+
+    The 100 TB problem (VERDICT r08 ask #4): every micro-batch APPENDS
+    its survivors' signatures, so at production ingest rates the index
+    fragments into one small parquet file per batch — the banded join's
+    build side then pays per-file open/footer costs and the driver
+    O(files) listing, and the table itself grows without bound. This
+    pass rewrites the index to ceil(bytes/target) id-sorted files
+    (same sizing rule as :func:`operators.layout.compact_files`) and,
+    when ``retain_min_id`` is given, drops signatures with
+    ``id < retain_min_id`` — the retention story for corpora whose ids
+    are ingest-ordered (monotonic ids / epoch-prefixed ids), where
+    "forget documents older than X" is an id bound. Retention is a
+    SEMANTIC choice: dropped documents can no longer be matched as
+    duplicates, exactly as intended when the corresponding corpus
+    slice is itself expired.
+
+    The rewrite never reads and overwrites the same files in one job:
+    it writes to a ``<path>.__compact_tmp`` sibling, then swaps via the
+    standard rename dance (old -> backup, tmp -> live, delete backup)
+    on the Hadoop FileSystem API, so it works unchanged on HDFS/object
+    stores with directory rename. Verdict-invariance under pure
+    compaction (no retention) is pinned by
+    tests/test_streaming.py::test_index_compaction_preserves_verdicts.
+
+    Returns {files_before, files_after, rows_before, rows_after}.
+    """
+    import math
+
+    from etl_ml_pipeline_spark.operators.layout import input_bytes
+
+    df = spark.read.parquet(index_path)
+    files_before = len(df.inputFiles())
+    rows_before = df.count()
+    kept = df if retain_min_id is None else df.filter(F.col("id") >= retain_min_id)
+    nbytes = max(1, input_bytes(df))
+    n_out = max(1, math.ceil(nbytes / target_file_bytes))
+    tmp = index_path.rstrip("/") + ".__compact_tmp"
+    bak = index_path.rstrip("/") + ".__compact_bak"
+    (
+        kept.repartitionByRange(n_out, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    live_p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = live_p.getFileSystem(conf)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+    if not fs.rename(live_p, bak_p):
+        raise IOError(f"compact_minhash_index: rename {index_path} -> {bak} failed")
+    if not fs.rename(tmp_p, live_p):
+        # roll back so the live index is never left missing
+        fs.rename(bak_p, live_p)
+        raise IOError(f"compact_minhash_index: rename {tmp} -> {index_path} failed")
+    fs.delete(bak_p, True)
+    after = spark.read.parquet(index_path)
+    return {
+        "files_before": files_before,
+        "files_after": len(after.inputFiles()),
+        "rows_before": rows_before,
+        "rows_after": after.count(),
+    }
+
+
 def _banded(sigs: DataFrame, id_out: str, ms_out: str) -> DataFrame:
     """Explode signatures to (id, ms array, band key) rows."""
     sig_cols = [f"m{i}" for i in range(_N_PERM)]

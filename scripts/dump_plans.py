@@ -224,7 +224,9 @@ SHOWCASE = [
         "Arrow-batched FlatMapGroupsInPandas kernel (exact-int64 numpy "
         "Gram matmul per cluster, never a CartesianProduct or "
         "per-element lambda); assignment itself is a map over the "
-        "cached quantized corpus.",
+        "cached quantized corpus. Round 9: the oversized-cluster "
+        "sizing joins back via BroadcastHashJoin (plan O(1) in "
+        "oversized-cluster count, no driver collect before the kernel).",
     ),
     (
         "concurrency_peak_events",
@@ -286,6 +288,28 @@ SHOWCASE = [
         "aggregate over the LAST round's checkpointed labels — the plan "
         "stays this size at ANY iteration count instead of nesting 4 "
         "joins deep.",
+    ),
+    (
+        "layout_bucketed_join_stats",
+        "Co-located join on bucketed tables: the SortMergeJoin subtree "
+        "contains ZERO Exchange — both sides' bucket layout satisfies "
+        "the join's distribution requirement, the amortized-shuffle "
+        "pattern a 100 TB star join needs (write once bucketed, join "
+        "forever shuffle-free).",
+    ),
+    (
+        "json_variant_events",
+        "Spark 4 VARIANT path: parse_json once into the binary "
+        "encoding, then every typed variant_get stays inside "
+        "WholeStageCodegen — no per-access re-parse of the document, "
+        "no Python in the plan.",
+    ),
+    (
+        "drift_psi_events",
+        "PSI after the round-9 null-safe audit: eqNullSafe keys still "
+        "plan as BroadcastHashJoin everywhere (null-safe equality is a "
+        "real join key to Catalyst, not a post-filter), so monitoring "
+        "the NULL segment costs nothing.",
     ),
 ]
 

@@ -59,6 +59,20 @@ def test_psi_matches_reference_formula(spark):
     assert got == expect
 
 
+def test_psi_null_key_segment_is_monitored(spark):
+    """Round-9 audit of ADVICE r08 #4: a NULL segment key is a real
+    segment — the monitor must emit a PSI row for it (the old equi-join
+    back on the key silently dropped the whole NULL slice), and its
+    value must match the same data under a non-null label."""
+    ref_vals = [v % 100 for v in range(1000)]
+    cur_vals = [80 + v % 20 for v in range(1000)]
+    ref = _grid_df(spark, [(None, v) for v in ref_vals] + [("a", v) for v in ref_vals])
+    cur = _grid_df(spark, [(None, v) for v in cur_vals] + [("a", v) for v in cur_vals])
+    rows = {r["k"]: r["psi"] for r in psi(ref, cur, ["k"], "c").collect()}
+    assert set(rows) == {None, "a"}
+    assert rows[None] == rows["a"] > 0.2
+
+
 def test_psi_gate_fail_and_warn(spark, tmp_path):
     import etl_ml_pipeline_spark.plugins  # noqa: F401
     from etl_ml_pipeline_spark.registry import TRANSFORMS

@@ -1105,6 +1105,55 @@ def test_semantic_pair_kernel_cluster_cap_bounds_memory(spark):
     assert uncapped == all_pairs_want
 
 
+def test_semantic_cap_split_negative_ids_and_plan(spark):
+    """ADVICE r08 #2 + VERDICT r08 ask #5: the cap split is
+    pmod(id, n_sub) — negative ids land in exactly ceil(c/cap)
+    sub-groups, not 2*n_sub-1 — and the sizing reaches the kernel via
+    a broadcast join on the oversized-cluster aggregate (plan size
+    O(1) in oversized-cluster count, no driver collect)."""
+    import itertools
+
+    from etl_ml_pipeline_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_dup_pairs,
+    )
+
+    dim = 8
+    rows = [
+        (i, [1.0 + (abs(i) % 7) * 1e-7 * (j + 1) for j in range(dim)])
+        for i in range(-45, 45)  # 90 members, half negative ids
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = semantic_assignments(df, k=1, iters=1)
+
+    pairs = semantic_dup_pairs(assigned, cos_milli=999, max_cluster=30)
+    # sizing travels by broadcast join, not a compiled literal chain
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got, "sub-groups must still flag their internal duplicates"
+    # pmod semantics: exactly 3 sub-groups even with negative ids
+    assert all(a % 3 == b % 3 for a, b in got)  # python % == pmod here
+
+    rows_q = assigned.collect()
+    by_key: dict = {}
+    for r in rows_q:
+        by_key.setdefault((r["cluster"], r["vec_id"] % 3), []).append(
+            (r["vec_id"], list(r["__e"]))
+        )
+    want = set()
+    for members in by_key.values():
+        members.sort()
+        for (ia, ea), (ib, eb) in itertools.combinations(members, 2):
+            dot = sum(x * y for x, y in zip(ea, eb))
+            na2 = sum(x * x for x in ea)
+            nb2 = sum(x * x for x in eb)
+            if dot > 0 and 10**6 * dot * dot >= 998001 * na2 * nb2:
+                want.add((ia, ib))
+    assert got == want
+
+
 def test_semantic_pair_kernel_overflow_guard_raises(spark):
     """ADVICE r07 #1: embeddings whose micro-quantized magnitude breaks
     the d * max|e|^2 < 2^63 exact-int64 bound must raise loudly, not
@@ -1197,6 +1246,20 @@ def test_token_budget_mixture_transform_invariants(spark):
     ).transform(df).toPandas()
     assert len(out2) == 3  # starts at 0, 10, 20 < 25; 30 is out
 
+    # ADVICE r08 #4: a NULL group key is its own group at the default
+    # weight 1 — it must survive the allocation join, not silently
+    # vanish (equi-joins drop NULL keys; the join is null-safe)
+    rows_n = [(i, None, "tok " * 10) for i in range(4)] + [
+        (10 + i, "a", "tok " * 10) for i in range(4)
+    ]
+    df_n = spark.createDataFrame(
+        rows_n, "doc_id long, source string, text string"
+    )
+    out_n = TokenBudgetMixture({"budget_tokens": 40}).transform(df_n).toPandas()
+    by_src = out_n.groupby(out_n["source"].fillna("__null__")).size().to_dict()
+    # 40 tokens split 1:1 -> 20 each -> 2 docs per group
+    assert by_src == {"__null__": 2, "a": 2}
+
 
 def test_perplexity_bucket_transform_tertiles_and_gate(spark):
     """Docs made of corpus-common tokens score lowest surprisal (head),
@@ -1244,6 +1307,22 @@ def test_perplexity_bucket_transform_tertiles_and_gate(spark):
         with_empty
     )
     assert 99 not in {r.doc_id for r in kept2.collect()}
+
+    # NULL-lang docs are their own tertile group (round-9 audit of
+    # ADVICE r08 #4): cuts computed over the NULL group must join back
+    # — the slice gets real buckets, not null tags / keep-gate drops
+    null_rows = [
+        (100 + i, None, txt)
+        for i, (_, _, txt) in enumerate(rows)  # same 9-doc shape
+    ]
+    with_null = df.unionByName(
+        spark.createDataFrame(null_rows, "doc_id long, lang string, text string")
+    )
+    tag3 = {r.doc_id: r.ppl_bucket for r in
+            PerplexityBucket({}).transform(with_null).collect()}
+    assert [tag3[100 + i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
 
     with pytest.raises(ValueError, match="unknown buckets"):
         PerplexityBucket({"keep": ["head", "bogus"]}).validate(df)

@@ -610,6 +610,31 @@ def test_round6_queries_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn.__name__
 
 
+def test_null_safe_join_plans_as_hash_join(spark, sf_dir):
+    """null_safe_join's `<=>` keys must plan as real join keys
+    (BroadcastHashJoin here, not BroadcastNestedLoopJoin or a
+    post-filter) — the helper's no-scale-penalty claim — and NULL keys
+    must match NULL keys."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.joins import null_safe_join
+
+    left = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "k string, v int"
+    )
+    right = spark.createDataFrame(
+        [("a", 10), (None, 20)], "k string, w int"
+    )
+    out = null_safe_join(left, F.broadcast(right), ["k"])
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    got = {(r.k, r.v, r.w) for r in out.collect()}
+    assert got == {("a", 1, 10), (None, 2, 20)}
+    # key column emitted once, from the left (USING-join shape)
+    assert out.columns == ["k", "v", "w"]
+
+
 def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
     """Per-group two-phase prefix sum == the naive per-group window,
     including when one group spans many range partitions (the skewed

@@ -289,6 +289,91 @@ def test_stream_dedup_against_persistent_index(spark, tmp_path):
     assert idx_ids == [1, 2, 11]
 
 
+def test_index_compaction_preserves_verdicts(spark, tmp_path):
+    """VERDICT r08 ask #4: compacting the fragmented signature index
+    must change file layout only — the next batch's dedup verdicts are
+    identical — and id retention actually forgets: a near-dup of an
+    aged-out document is no longer flagged."""
+    import json
+
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        stream_dedup_against_index,
+    )
+    from etl_ml_pipeline_spark.streaming.windows import read_json_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    other = "completely different words about spark catalyst optimizer plans and shuffles"
+    novel = "fresh unique sentence with plenty of surprising tokens inside it today"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=other)]
+    )
+    index_path = str(tmp_path / "sig_index")
+    build_minhash_index(corpus, index_path)
+
+    def run_batch(docs: list[dict], tag: str) -> dict:
+        d = tmp_path / f"docs_{tag}"
+        d.mkdir()
+        (d / "b.json").write_text("\n".join(json.dumps(r) for r in docs))
+        stream = read_json_stream(
+            spark, str(d), "doc_id long, text string", max_files_per_trigger=1
+        )
+        q = stream_dedup_against_index(
+            stream, index_path, str(tmp_path / f"ckpt_{tag}"), f"v_{tag}"
+        )
+        q.awaitTermination()
+        return {
+            r.doc_id: r.dup_of
+            for r in spark.table(f"global_temp.v_{tag}").collect()
+        }
+
+    # batch 1 appends survivor signatures -> index now fragmented
+    assert run_batch(
+        [{"doc_id": 10, "text": base + " today"}, {"doc_id": 11, "text": novel}],
+        "one",
+    ) == {10: 1}
+    frag_files = len(spark.read.parquet(index_path).inputFiles())
+    ids_before = sorted(
+        r.id for r in spark.read.parquet(index_path).select("id").collect()
+    )
+    assert ids_before == [1, 2, 11]
+
+    stats = compact_minhash_index(spark, index_path)
+    assert stats["files_before"] == frag_files
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["rows_after"] == stats["rows_before"] == 3
+    assert sorted(
+        r.id for r in spark.read.parquet(index_path).select("id").collect()
+    ) == ids_before
+    # no leftover swap directories
+    import os
+
+    assert not os.path.exists(index_path + ".__compact_tmp")
+    assert not os.path.exists(index_path + ".__compact_bak")
+
+    # next batch's verdicts are exactly what the uncompacted index gave
+    # (dup of batch-1 survivor 11; near-dup of indexed doc 1)
+    assert run_batch(
+        [{"doc_id": 12, "text": novel}, {"doc_id": 13, "text": base + " now"}],
+        "two",
+    ) == {12: 11, 13: 1}
+
+    # retention: age out the original corpus (ids < 10); only the
+    # batch-1 survivor 11 remains (10/12/13 were dups, never indexed);
+    # a fresh near-dup of doc 1 is no longer flagged and joins the index
+    stats = compact_minhash_index(spark, index_path, retain_min_id=10)
+    assert sorted(
+        r.id for r in spark.read.parquet(index_path).select("id").collect()
+    ) == [11]
+    assert run_batch([{"doc_id": 20, "text": base + " then"}], "three") == {}
+    assert 20 in {
+        r.id for r in spark.read.parquet(index_path).select("id").collect()
+    }
+
+
 def test_cusum_cents_rounding_matches_spark_half_up(spark):
     """The stream-side cents derivation must tie-break exactly like the
     batch twin's F.round (HALF_UP, away from zero): .125 -> 13 cents,
