@@ -359,17 +359,35 @@ def unigram_surprisal_scores(
     and the per-doc mean is integer DIV, so every downstream comparison
     is exact across engines and re-runs.
 
-    Scale: one token-scale map-side-combined shuffle (bucket counts), a
-    1-row total, an ``n_buckets``-row broadcast back onto the token
-    stream, one doc-level aggregate. Shared kernel of the
-    ``sample_perplexity_buckets`` catalog query and the
-    ``perplexity_bucket`` pipeline transform — they cannot drift.
+    Scale: the corpus is tokenized ONCE — a per-(doc, bucket) count is
+    the single token-scale map-side-combined shuffle, and because both
+    the LM side (re-aggregate by bucket) and the scoring side (join s4,
+    re-aggregate by doc) consume that identical subtree, Catalyst
+    executes the explode+shuffle once and the second consumer reads a
+    ReusedExchange (round-9 rework: the previous formulation fed raw
+    tokens to the scoring join, so the corpus was split+exploded+hashed
+    twice — interleaved A/B at sf0.1 reads medians 2.25s -> 1.81s;
+    reuse requires the consumers' subtrees to stay IDENTICAL, which is
+    why the downstream cuts join must be null-safe — a plain inner
+    join infers isnotnull(lang) into one branch only and kills the
+    reuse. The doc-LEVEL aggregate may still evaluate twice when a
+    consumer prunes different columns — that residue is doc-scale,
+    not token-scale, and not worth contorting the plan over).
+    Downstream shuffles are
+    (doc x distinct-buckets-per-doc)- and n_buckets-sized, never
+    token-scale. Shared kernel of the ``sample_perplexity_buckets``
+    catalog query and the ``perplexity_bucket`` pipeline transform —
+    they cannot drift.
     """
     toks = df.select(
         id_col, lang_col, F.explode(F.split(text_col, " ")).alias("w")
     ).filter(F.col("w") != "")
-    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % n_buckets)
-    bc = toks.groupBy("bucket").agg(F.count("*").alias("cn"))
+    dbc = (
+        toks.withColumn("bucket", token_hash60(F.col("w")) % n_buckets)
+        .groupBy(id_col, lang_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    bc = dbc.groupBy("bucket").agg(F.sum("c").alias("cn"))
     tot = bc.agg(F.sum("cn").alias("nn"))
     s4 = bc.crossJoin(F.broadcast(tot)).select(
         "bucket",
@@ -381,11 +399,11 @@ def unigram_surprisal_scores(
         .alias("s4"),
     )
     return (
-        toks.join(F.broadcast(s4), "bucket")
+        dbc.join(F.broadcast(s4), "bucket")
         .groupBy(id_col, lang_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("s4").cast("long").alias("sum_s4"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("s4")).cast("long").alias("sum_s4"),
         )
         .select(
             id_col,

@@ -890,8 +890,16 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spp") > F.col("c2")
     ).cast("int")
     name = F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier + 1)
+    # null-safe cuts join: besides the audit semantics (a NULL lang is
+    # its own tertile group), this keeps Catalyst from inferring
+    # isnotnull(lang) into only ONE of the two token-scale subtrees —
+    # with both branches identical, the per-(doc,bucket) exchange is
+    # computed once and the LM side reads a ReusedExchange (the corpus
+    # is tokenized once, not twice).
+    from etl_ml_pipeline_spark.operators.joins import null_safe_join
+
     return (
-        per_doc.join(F.broadcast(cuts), "lang")
+        null_safe_join(per_doc, F.broadcast(cuts), ["lang"])
         .select("lang", name.alias("ppl_bucket"), "n_tokens", "spp")
         .groupBy("lang", "ppl_bucket")
         .agg(

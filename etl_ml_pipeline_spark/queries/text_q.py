@@ -267,7 +267,16 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df must REFERENCE tf's count column or Catalyst prunes it from
+    # this branch's copy of the subtree (functions=[] vs count(1)),
+    # the exchanges stop being identical, and the corpus is tokenized
+    # twice instead of once via ReusedExchange. count(when(tf>0,1)) is
+    # exactly count(*) here (tf >= 1 by construction) but opaque to
+    # the pruner, so the whole tf pipeline is computed once (round-9
+    # plan audit: explode x2 -> x1, results bit-identical).
+    df_ = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     scalars = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
@@ -1359,7 +1368,13 @@ def hybrid_search_rrf(
         .agg(F.count("*").alias("tf"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # count(when(tf>0,1)) == count(*) but keeps tf referenced so this
+    # branch's subtree stays identical to the shared tf pipeline and
+    # Catalyst reuses ONE exchange instead of re-tokenizing the corpus
+    # (see text_bm25_top_terms for the full note).
+    df_ = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     scalars = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
