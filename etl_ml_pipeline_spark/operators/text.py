@@ -388,11 +388,20 @@ def unigram_surprisal_scores(
         .agg(F.count("*").alias("c"))
     )
     bc = dbc.groupBy("bucket").agg(F.sum("c").alias("cn"))
-    tot = bc.agg(F.sum("cn").alias("nn"))
-    s4 = bc.crossJoin(F.broadcast(tot)).select(
+    # corpus total as an unpartitioned window sum over the
+    # n_buckets-row LM frame — a separate agg + crossJoin is a diamond
+    # that makes Catalyst re-derive bc (and its token-scale explode)
+    # for the totals branch (see sample_dsir_weights for the full note)
+    from pyspark.sql import Window as W
+
+    wtot = W.partitionBy()
+    s4 = bc.select(
         "bucket",
         F.floor(
-            -F.log((F.col("cn") + 1) / (F.col("nn") + n_buckets)) * 10000
+            -F.log(
+                (F.col("cn") + 1) / (F.sum("cn").over(wtot) + n_buckets)
+            )
+            * 10000
             + 1e-6
         )
         .cast("long")

@@ -782,24 +782,42 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    toks = toks.withColumn("bucket", token_hash60(F.col("w")) % _DSIR_B)
-    bc = toks.groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    # Tokenize ONCE (the round-9 unigram_surprisal_scores rework): the
+    # per-(doc,bucket) count is the single token-scale shuffle; both
+    # the LM side and the scoring side consume the identical subtree,
+    # so the second consumer reads a ReusedExchange instead of
+    # re-splitting + re-md5-ing the corpus.
+    dbc = (
+        toks.withColumn("bucket", token_hash60(F.col("w")) % _DSIR_B)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c"))
     )
-    tot = bc.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    # +1e-6 margin before floor (mirrored in the oracle): JVM Math.log
-    # and libm ln may differ by 1 ulp, so a product landing within
-    # ~1e-12 of an integer boundary could floor differently across
-    # engines; the shared nudge keeps both sides on the same side of
-    # every boundary (ADVICE r07 #2 — same float-tie posture as the
-    # analytics_q drift gotcha).
-    w = bc.crossJoin(F.broadcast(tot)).select(
+    bc = dbc.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("ct"),
+    )
+    # Corpus totals as UNPARTITIONED window sums over the 1024-row LM
+    # frame, not a separate agg + crossJoin: the diamond (bc consumed
+    # by both the totals subtree and the weights probe) made Catalyst
+    # re-derive bc — including the token-scale explode — a THIRD time
+    # for the totals branch. One window over 1024 rows is free and
+    # keeps bc a straight line: two token passes (probe + LM), one when
+    # AQE's opportunistic stage reuse matches the shared dbc exchange.
+    # Interleaved A/B at sf0.1 measures even; the win is the removed
+    # pass at compute-bound scale (md5-per-token dominates there).
+    # +1e-6 margin before floor (mirrored in the oracle): JVM
+    # Math.log and libm ln may differ by 1 ulp, so a product landing
+    # within ~1e-12 of an integer boundary could floor differently
+    # across engines (ADVICE r07 #2).
+    from pyspark.sql import Window as W
+
+    wtot = W.partitionBy()
+    w = bc.select(
         "bucket",
         F.floor(
             F.log(
-                ((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
-                / ((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+                ((F.col("ct") + 1) / (F.sum("ct").over(wtot) + _DSIR_B))
+                / ((F.col("cr") + 1) / (F.sum("cr").over(wtot) + _DSIR_B))
             )
             * 10000
             + 1e-6
@@ -808,11 +826,11 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w4"),
     )
     return (
-        toks.join(F.broadcast(w), "bucket")
+        dbc.join(F.broadcast(w), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("w4").cast("long").alias("dsir_score"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w4")).cast("long").alias("dsir_score"),
         )
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(20)

@@ -11,8 +11,11 @@ question. No oracle at sf10: correctness is pinned at the lower rungs
 (sf0.001-sf0.1 by DuckDB, sf1 by the full differential); this rung
 measures plan shape only.
 
-Usage: python scripts/scale_ladder.py [out_json]
+Usage: python scripts/scale_ladder.py [out_json] [--only n1,n2]
 Builds .sf10 on first run (scripts/make_sf1.py with 100 replicas).
+``--only`` re-measures just those families and MERGES their rows into
+the existing json — the incremental mode for re-laddering the handful
+of queries a round actually touched.
 """
 
 from __future__ import annotations
@@ -108,7 +111,17 @@ QUERIES = [
 
 
 def main() -> None:
-    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "SCALE_LADDER.json"
+    args = [a for a in sys.argv[1:]]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = [n.strip() for n in args[i + 1].split(",") if n.strip()]
+        del args[i : i + 2]
+    out_path = Path(args[0]) if args else REPO / "SCALE_LADDER.json"
+    queries_to_run = QUERIES if only is None else only
+    unknown = [n for n in queries_to_run if n not in QUERIES]
+    if unknown:
+        sys.exit(f"--only names not in the ladder family list: {unknown}")
     sf10 = REPO / ".sf10"
     if not sf10.exists():
         print("building .sf10 (make_sf1.py x100)...", flush=True)
@@ -134,9 +147,9 @@ def main() -> None:
         app_name="scale_ladder", master="local[32]", shuffle_partitions=64
     )
 
-    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[str, float]] = {q: {} for q in queries_to_run}
     for rung, sf_dir in RUNGS:
-        for q in QUERIES:
+        for q in queries_to_run:
             fn = qs[q]
             # Full materialization via toPandas(), same as bench.py — a
             # count() trigger would let Catalyst prune the aggregate
@@ -160,6 +173,11 @@ def main() -> None:
             "alpha_sf0.1_to_sf1": round(a01, 2),
             "alpha_sf1_to_sf10": round(a110, 2),
         }
+    if only is not None and out_path.exists():
+        prior = json.loads(out_path.read_text())
+        merged = prior.get("queries", {})
+        merged.update(report)
+        report = merged
     out = {
         "rungs": {r: d for r, d in RUNGS},
         "queries": report,
