@@ -775,10 +775,22 @@ def exact_substring_dup_stats(
     rolling windows occur >= 2 times anywhere in the corpus. Returns
     (``id_col``, n_windows, n_dup_windows); docs shorter than one
     window are absent (they have no windows). The suffix-array method's
-    Spark-native equivalent: every window md5s to a key, one map-side-
-    combined shuffle counts occurrences, one equi-join annotates — two
-    token-scale shuffles, no all-pairs, no suffix sort.
+    Spark-native equivalent: every window md5s to a key and a
+    count-over-window on that key tags each occurrence with its corpus
+    multiplicity — ONE token-scale shuffle (round 9: the previous
+    groupBy + annotate-join was a diamond costing a second token-scale
+    shuffle of the window stream; interleaved A/B at sf0.1 reads
+    medians 0.97s -> 0.79s, results identical). No all-pairs, no
+    suffix sort. Skew note: a single 10-gram dominating the corpus
+    lands its occurrences in one window partition — a straggler task
+    (O(hot rows) streamed count, no memory blowup, output still
+    correct); that input is itself the degenerate-duplication case
+    this operator exists to flag, and the skew-safe alternative (a
+    map-side-combined groupBy) costs the second token-scale shuffle
+    back.
     """
+    from pyspark.sql import Window as W
+
     w = window_words
     ws = df.select(id_col, F.split(F.col(text_col), " ").alias("__w"))
     wins = ws.filter(F.size("__w") >= w).select(
@@ -790,9 +802,8 @@ def exact_substring_dup_stats(
             )
         ).alias("__h"),
     )
-    counts = wins.groupBy("__h").agg(F.count("*").alias("__c"))
     return (
-        wins.join(counts, "__h")
+        wins.withColumn("__c", F.count("*").over(W.partitionBy("__h")))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),

@@ -1711,19 +1711,25 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(X.tokens(F.col("text"))).alias("token")
     )
+    # tokenize ONCE (the round-9 tokenize-once pattern): the
+    # per-(lang, token) count is the single token-scale shuffle; the
+    # vocab side re-aggregates it by token and the coverage side joins
+    # back on the same subtree, so the explode runs once when Catalyst
+    # reuses the exchange and the re-aggregations are vocab-scale.
+    ltc = toks.groupBy("lang", "token").agg(F.count("*").alias("k"))
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("freq"))
+        ltc.groupBy("token")
+        .agg(F.sum("k").alias("freq"))
         .orderBy(F.desc("freq"), "token")
         .limit(_VOCAB_V)
         .select("token", F.lit(1).alias("in_vocab"))
     )
     return (
-        toks.join(F.broadcast(vocab), "token", "left")
+        ltc.join(F.broadcast(vocab), "token", "left")
         .groupBy("lang")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("k")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
             F.countDistinct(
