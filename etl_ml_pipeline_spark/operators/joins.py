@@ -29,7 +29,22 @@ def null_safe_join(
 ) -> DataFrame:
     """Join on ``keys`` with NULL == NULL (eqNullSafe), emitting each
     key column once (taken from the left side, like a USING join).
-    ``right`` must not share non-key column names with ``left``."""
+    ``right`` must not share non-key column names with ``left``.
+
+    Raises on NullType keys: a literally untyped all-NULL column (e.g.
+    inferred from an all-None pandas column) makes `<=>` return no
+    matches at all — found by the hypothesis property test — and no
+    real group column is NullType, so failing loudly beats an empty
+    result."""
+    from pyspark.sql.types import NullType
+
+    for side, name in ((left, "left"), (right, "right")):
+        for k in keys:
+            if isinstance(side.schema[k].dataType, NullType):
+                raise TypeError(
+                    f"null_safe_join: {name} key column {k!r} is NullType "
+                    "(untyped all-NULL) — cast it to the real key type first"
+                )
     aliased = right
     for k in keys:
         aliased = aliased.withColumnRenamed(k, f"__nsj_{k}")
