@@ -507,16 +507,25 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Reduce to per-(order, supplier) FIRST: ONE lineitem-scale
+    # map-side-combined shuffle replaces (a) the double countDistinct —
+    # whose Expand doubles every row through the aggregate shuffle —
+    # and (b) the separate lineitem-scale distinct() for the sole-late
+    # pass; everything after dos is (order x supplier)-cardinality.
+    # n_supp == countDistinct(l_suppkey) and n_late_supp ==
+    # countDistinct(when(is_late, l_suppkey)) exactly, because dos has
+    # one row per (order, supplier) with any_late = max(is_late).
+    # Round-9 A/B at sf0.1: medians 1.31s -> 1.01s, identical rows.
+    dos = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late")
+    )
+    per_order = dos.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
     )
     sole = (
-        li.filter(F.col("is_late"))
+        dos.filter(F.col("any_late") == 1)
         .select("l_orderkey", F.col("l_suppkey").alias("late_suppkey"))
-        .distinct()
         .join(
             per_order.filter(
                 (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
