@@ -668,3 +668,20 @@ def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
     assert a == b
     plan = _plan(fast)
     assert "rangepartitioning" in plan.lower()
+    # the high-cardinality escape hatch (ADVICE r08 #3): the shuffled
+    # offset join must produce the identical result with no broadcast
+    # of the offsets frame
+    shuffled = grouped_running_sum(
+        orders,
+        "o_custkey",
+        ["o_orderstatus"],
+        ["o_orderkey"],
+        "cs",
+        num_partitions=8,
+        broadcast_offsets=False,
+    )
+    c = {
+        (r.o_orderkey, r.cs)
+        for r in shuffled.select("o_orderkey", "cs").collect()
+    }
+    assert c == a
