@@ -821,12 +821,16 @@ def stream_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
     )
     view = f"dedup_verdicts_{run}"
+    # compact_every=2: batch 2 compacts the index batches 0-1 appended
+    # BEFORE reading it, so every round's driver differential proves
+    # compaction verdict-invariance, not just the unit test
     q = stream_dedup_against_index(
         stream,
         index_path,
         f"{_replay_ckpt_root()}/dedup_ck_{run}",
         verdicts_view=view,
         threshold=0.5,
+        compact_every=2,
     )
     q.awaitTermination()
     q.stop()
