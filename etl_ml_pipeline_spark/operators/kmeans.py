@@ -192,6 +192,18 @@ class KMeansCluster(BaseTransform):
         id_col = self.config.get("id_col", "vec_id")
         k = int(self.config.get("k", 8))
         iters = int(self.config.get("iters", 2))
+        # persist only while the Lloyd rounds re-scan q, then release
+        # (ADVICE r07 #4 posture — no corpus-sized cache pinned past
+        # the call). The returned assignment stays LAZY: once the
+        # centroids are learned it is a map-only scan+quantize+argmin,
+        # so the typical transform->sink pipeline pays exactly one
+        # recompute, which beats localCheckpoint's write-N + read-N of
+        # the whole corpus to executor disk (the right trade FLIPS for
+        # multi-consumer plans — dedup.semantic_assignments checkpoints
+        # because three aggregates re-read it).
         q = quantize_micro(df, vec_col, out_col="__e").persist()
-        cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+        try:
+            cents = lloyd_iterations(q, k, iters, id_col=id_col, e_col="__e")
+        finally:
+            q.unpersist()
         return assign_clusters(q, cents, e_col="__e").drop("__e")

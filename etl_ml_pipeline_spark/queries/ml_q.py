@@ -120,12 +120,26 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select("vec_id", "e")
     # each iteration re-scans the input: cache the quantized vectors
-    # (at 100 TB this persist is what makes Lloyd linear in iterations)
+    # (at 100 TB this persist is what makes Lloyd linear in iterations).
+    # The k-row per-cluster aggregate is materialized EAGERLY while the
+    # cache is hot, then the cache is released — the same no-pinned-
+    # cache posture ADVICE r07 #4 set for SemDeDup: a catalog call must
+    # not leave corpus-sized executor storage pinned for the rest of a
+    # long-lived session. Checkpointing k rows is free.
     emb = emb.persist()
-    cents = lloyd_iterations(emb, _KM_K, _KM_ITERS)
-    per = assign_clusters(emb, cents).groupBy("cluster").agg(
-        F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
-    )
+    try:
+        cents = lloyd_iterations(emb, _KM_K, _KM_ITERS)
+        per = (
+            assign_clusters(emb, cents)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum("dist").alias("inertia"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
     cdf = spark.createDataFrame(
         [(i, *cents[i][:4]) for i in sorted(cents)],
         "cluster int, c0 long, c1 long, c2 long, c3 long",
