@@ -1049,7 +1049,14 @@ def assoc_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = sess.groupBy("user_id", "session_seq").agg(
         F.sort_array(F.collect_set("event_type")).alias("items")
     )
-    items = items.persist()
+    # eager localCheckpoint, not a persist that outlives the call
+    # (ADVICE r07 #4 posture): both the pair explode and the singles
+    # aggregate re-read the session-items frame — multi-consumer, so
+    # the checkpoint is the right trade (semantic_assignments
+    # precedent) — and the blocks release with the RDD instead of
+    # pinning executor storage for the rest of the session. The frame
+    # is (user, session)-scale, far smaller than the event input.
+    items = items.localCheckpoint(eager=True)
     n_sessions = items.count()
     pairs = (
         items.select(
