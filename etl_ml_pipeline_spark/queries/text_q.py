@@ -961,22 +961,33 @@ ORDER BY probe
 
 
 def text_novelty_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
-    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    total = toks.agg(F.count("*").alias("N"))
-    scored = (
-        toks.join(maybe_broadcast(freq, sf_dir, "documents"), "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn("s", -F.log(F.col("tf") / F.col("N")))
+    # tokenize ONCE (round-9 pattern): per-(doc, term) counts are the
+    # single token-scale shuffle; the frequency table re-aggregates it,
+    # the corpus total folds into an unpartitioned window over the
+    # vocab-sized frequency frame (the old agg+crossJoin diamond
+    # re-derived the token stream a third time), and the scoring side
+    # joins back on the shared subtree. k * (-ln p) is one rounding
+    # where the occurrence-sum was k-1 — strictly more accurate; the
+    # oracle computes the identical reduced expression.
+    dtc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
+    freq = dtc.groupBy("term").agg(F.sum("k").alias("tf"))
+    freq = freq.select(
+        "term", "tf", F.sum("tf").over(W.partitionBy()).alias("N")
     )
+    scored = dtc.join(
+        maybe_broadcast(freq, sf_dir, "documents"), "term"
+    ).withColumn("s", F.col("k") * -F.log(F.col("tf") / F.col("N")))
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            (F.floor(F.sum("s") / F.count("*") * 10000) / 10000).alias(
+            F.sum("k").cast("long").alias("n_tokens"),
+            (F.floor(F.sum("s") / F.sum("k") * 10000) / 10000).alias(
                 "surprise"
             ),
         )
@@ -988,13 +999,16 @@ _NOVELTY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
 ),
-freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
-tot AS (SELECT count(*) AS n FROM toks)
+d AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+      FROM toks GROUP BY doc_id, term),
+freq AS (SELECT term, CAST(sum(k) AS BIGINT) AS tf,
+                CAST(sum(sum(k)) OVER () AS BIGINT) AS n
+         FROM d GROUP BY term)
 SELECT doc_id,
-       count(*) AS n_tokens,
-       floor(sum(-ln(tf / CAST(n AS DOUBLE))) / count(*) * 10000) / 10000
+       CAST(sum(k) AS BIGINT) AS n_tokens,
+       floor(sum(k * -ln(tf / CAST(n AS DOUBLE))) / sum(k) * 10000) / 10000
          AS surprise
-FROM toks JOIN freq USING (term), tot
+FROM d JOIN freq USING (term)
 GROUP BY doc_id
 ORDER BY doc_id
 """
@@ -1021,18 +1035,26 @@ def text_novelty_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = docs.select(
         "doc_id", F.explode(X.word_ngrams(F.col("text"), 3)).alias("tri")
     ).withColumn("ctx", F.regexp_replace(F.col("tri"), " [^ ]+$", ""))
-    tri_freq = tris.groupBy("tri").agg(F.count("*").alias("c3"))
-    ctx_freq = tris.groupBy("ctx").agg(F.count("*").alias("c2"))
+    # Tokenize ONCE (the round-9 pattern): the per-(doc, tri) count is
+    # the single trigram-scale shuffle; tri/ctx frequencies re-aggregate
+    # it and the scoring side joins back on the same subtree — the old
+    # form re-derived the explode for all three consumers. Numerics:
+    # k * (-ln x) is one rounding where the occurrence-sum was k-1, so
+    # the reduced form is strictly MORE accurate; the oracle computes
+    # the identical reduced expression.
+    dtc = tris.groupBy("doc_id", "tri", "ctx").agg(F.count("*").alias("k"))
+    tri_freq = dtc.groupBy("tri").agg(F.sum("k").alias("c3"))
+    ctx_freq = dtc.groupBy("ctx").agg(F.sum("k").alias("c2"))
     scored = (
-        tris.join(maybe_broadcast(tri_freq, sf_dir, "documents"), "tri")
+        dtc.join(maybe_broadcast(tri_freq, sf_dir, "documents"), "tri")
         .join(maybe_broadcast(ctx_freq, sf_dir, "documents"), "ctx")
-        .withColumn("s", -F.log(F.col("c3") / F.col("c2")))
+        .withColumn("s", F.col("k") * -F.log(F.col("c3") / F.col("c2")))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_trigrams"),
-            (F.floor(F.sum("s") / F.count("*") * 10000) / 10000).alias(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            (F.floor(F.sum("s") / F.sum("k") * 10000) / 10000).alias(
                 "surprise_tri"
             ),
         )
@@ -1051,13 +1073,15 @@ tris AS (
   FROM toks
 ),
 w AS (SELECT doc_id, tri, regexp_replace(tri, ' [^ ]+$', '') AS ctx FROM tris),
-tf AS (SELECT tri, count(*) AS c3 FROM w GROUP BY tri),
-cf AS (SELECT ctx, count(*) AS c2 FROM w GROUP BY ctx)
+d AS (SELECT doc_id, tri, ctx, CAST(count(*) AS BIGINT) AS k
+      FROM w GROUP BY doc_id, tri, ctx),
+tf AS (SELECT tri, CAST(sum(k) AS BIGINT) AS c3 FROM d GROUP BY tri),
+cf AS (SELECT ctx, CAST(sum(k) AS BIGINT) AS c2 FROM d GROUP BY ctx)
 SELECT doc_id,
-       count(*) AS n_trigrams,
-       floor(sum(-ln(c3 / CAST(c2 AS DOUBLE))) / count(*) * 10000) / 10000
+       CAST(sum(k) AS BIGINT) AS n_trigrams,
+       floor(sum(k * -ln(c3 / CAST(c2 AS DOUBLE))) / sum(k) * 10000) / 10000
          AS surprise_tri
-FROM w JOIN tf USING (tri) JOIN cf USING (ctx)
+FROM d JOIN tf USING (tri) JOIN cf USING (ctx)
 GROUP BY doc_id
 ORDER BY doc_id
 """
