@@ -146,9 +146,12 @@ def top_ngram_stats(
     or spam, not prose).
 
     Scale: explode -> one shuffle on (doc, gram) with map-side combine,
-    then the per-doc argmax window re-shuffles only the already-reduced
-    (doc, gram, count) rows by doc — the wide data moves once. Both keys
-    are uniform (doc ids, gram strings), no skew. Ties break to the
+    then BOTH the per-doc argmax and the per-doc slot total run as
+    windows over the same partitionBy(id) shuffle of the already-
+    reduced (doc, gram, count) rows — the wide data moves once and the
+    gram stream is exploded once (round 9: the slot total was a second
+    groupBy over a re-derived explode plus a join back). Both keys are
+    uniform (doc ids, gram strings), no skew. Ties break to the
     lexicographically smallest gram so results are deterministic
     cross-engine.
     """
@@ -158,18 +161,17 @@ def top_ngram_stats(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
     counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
-    slots = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     w = W.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        counts.withColumn("__rn", F.row_number().over(w))
+    return (
+        counts.withColumn("n_grams", F.sum("cnt").over(W.partitionBy("id")))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    return top.join(slots, "id").select(
-        F.col("id"),
-        F.col("gram").alias("top_gram"),
-        F.col("cnt").alias("top_count"),
-        (F.col("cnt") / F.col("n_grams")).alias("top_frac"),
+        .select(
+            F.col("id"),
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_count"),
+            (F.col("cnt") / F.col("n_grams")).alias("top_frac"),
+        )
     )
 
 
