@@ -35,8 +35,26 @@ def null_safe_join(
     inferred from an all-None pandas column) makes `<=>` return no
     matches at all — found by the hypothesis property test — and no
     real group column is NullType, so failing loudly beats an empty
-    result."""
+    result.
+
+    ``how`` is restricted to the modes where emitting the key from the
+    LEFT side is correct (inner/left/semi/anti). right/full would give
+    right-only rows NULL keys once the ``__nsj_*`` columns are dropped
+    — silent corruption — so they raise instead (ADVICE r09 #3); flip
+    the operands for a right join."""
     from pyspark.sql.types import NullType
+
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"null_safe_join: how={how!r} unsupported — key columns are "
+            "emitted from the left side, so right/full outer joins would "
+            "silently NULL the keys of right-only rows. Use "
+            "inner/left/semi/anti (swap operands for a right join)."
+        )
 
     for side, name in ((left, "left"), (right, "right")):
         for k in keys:

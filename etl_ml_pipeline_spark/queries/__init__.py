@@ -213,25 +213,46 @@ _RECORDED_R08 = {
 for _n in _RECORDED_R08:
     _LAST_RECORDED[_n] = 8
 
-# Round-9 rotation (VERDICT r08 asks #1 and #3): the six round-8
-# additions that have never been driver-recorded lead the prefix at
-# tier -1 (ahead even of any new round-9 additions, which default to
-# tier 0). The remaining ~44 slots go to the oldest stale tier (r05).
-# Rotation contract, re-baselined per VERDICT r08 ask #3: with the
-# catalog at ~206 names and a ~50-entry driver prefix, a full refresh
-# cycle takes 5 rounds, so the staleness invariant is now
-# "no query >5 rounds stale" (stated in ROADMAP.md with the projected
-# histogram); catalog growth is frozen this round so the arithmetic
-# holds.
-for _n in (
-    "sample_perplexity_buckets",
-    "skyline_parts_pareto",
-    "stream_dedup_index_replay",
-    "layout_bucketed_join_stats",
-    "json_variant_events",
-    "recursive_supplier_ancestry",
-):
-    _LAST_RECORDED[_n] = -1
+# Round 9 driver records (the exact key set of CORRECTNESS_r09.json —
+# all 50 green: the six never-recorded round-8 additions plus 44 of
+# the 50 r05-stale names refreshed).
+_RECORDED_R09 = {
+    "ann_recall_contract", "attribution_linear_events",
+    "bloom_prune_brand_revenue", "changepoint_cusum_events",
+    "clean_dedup_keep_first", "clean_pipeline_customer",
+    "clean_standardize_cast", "dedup_segments_documents",
+    "embedding_covariance_pca", "forecast_holt_events",
+    "hist_equidepth_prices", "hybrid_search_rrf", "json_variant_events",
+    "kmeans_lloyd_embeddings", "layout_bucketed_join_stats",
+    "layout_zorder_prune_stats", "ml_group_ols_trend",
+    "multimodal_video_frames", "privacy_k_anonymity",
+    "q10_returned_revenue", "q11_important_value",
+    "q12_shipmode_priority", "q13_order_histogram", "q15_top_supplier",
+    "q16_supplier_cnt", "q20_dominant_supplier", "q21_waiting_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "recon_order_totals", "recursive_supplier_ancestry",
+    "sample_perplexity_buckets", "sample_source_cap_documents",
+    "skyline_parts_pareto", "sma_events",
+    "split_leakage_safe_documents", "stream_cusum_replay",
+    "stream_dedup_index_replay", "text_bpe_train_merges",
+    "validate_drop_customers", "validate_flag_summary",
+    "window_activity_streaks", "window_dist_functions",
+    "window_first_last", "window_lag_lead_orders",
+    "window_quartile_stats", "window_rank_suppliers",
+    "window_running_total", "window_topk_orders_per_customer",
+}
+for _n in _RECORDED_R09:
+    _LAST_RECORDED[_n] = 9
+
+# Round-10 rotation (VERDICT r09 ask #1): after the r09 refresh the
+# oldest tier is exactly the six r05 overflow names (`ab_test_events`,
+# `anomaly_mad_events`, `drift_psi_events`, `markov_transitions_events`,
+# `path_top_sequences`, `retention_curve_events`) — they sort right
+# after any new round-10 additions (tier 0 via the .get default) and
+# are recorded exactly at the ≤5-rounds-stale bound. The remaining
+# prefix slots go to the r06 tier. The staleness arithmetic itself is
+# now enforced mechanically by scripts/precommit_check.py (VERDICT r09
+# ask #4), not just by this comment.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

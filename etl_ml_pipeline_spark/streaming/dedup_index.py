@@ -35,6 +35,49 @@ def build_minhash_index(
     minhash_signatures(sh, n_perm=_N_PERM).write.mode("overwrite").parquet(index_path)
 
 
+def _fs_paths(spark: SparkSession, index_path: str):
+    """(fs, live, tmp, bak) Hadoop Path handles for the swap dance."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    live_p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = live_p.getFileSystem(conf)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + ".__compact_tmp")
+    bak_p = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + ".__compact_bak")
+    return fs, live_p, tmp_p, bak_p
+
+
+def restore_interrupted_compaction(spark: SparkSession, index_path: str) -> bool:
+    """Recover the live index if a previous compaction died mid-swap.
+
+    The swap is rename(live->bak); rename(tmp->live); delete(bak). A
+    process death between the two renames leaves NO live directory and
+    a complete ``.__compact_bak`` — previously every subsequent
+    ``spark.read.parquet(index_path)`` failed until someone restored the
+    backup by hand (ADVICE r09 #1). Called on entry by
+    :func:`compact_minhash_index` and by the streaming fold before each
+    index read, this makes the swap self-healing: if live is missing
+    and the backup exists, rename it back; a leftover tmp from the dead
+    run is deleted either way (it is re-derivable from live). A death
+    AFTER the second rename leaves live + a stale bak, which the next
+    compaction's existing ``delete(bak)`` pre-step already handles.
+
+    Returns True iff a restore happened.
+    """
+    fs, live_p, tmp_p, bak_p = _fs_paths(spark, index_path)
+    restored = False
+    if not fs.exists(live_p) and fs.exists(bak_p):
+        if not fs.rename(bak_p, live_p):
+            raise IOError(
+                f"restore_interrupted_compaction: rename {bak_p} -> "
+                f"{index_path} failed — live index missing and backup "
+                "unrecoverable; manual intervention required"
+            )
+        restored = True
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
+    return restored
+
+
 def compact_minhash_index(
     spark: SparkSession,
     index_path: str,
@@ -61,8 +104,15 @@ def compact_minhash_index(
     The rewrite never reads and overwrites the same files in one job:
     it writes to a ``<path>.__compact_tmp`` sibling, then swaps via the
     standard rename dance (old -> backup, tmp -> live, delete backup)
-    on the Hadoop FileSystem API, so it works unchanged on HDFS/object
-    stores with directory rename. Verdict-invariance under pure
+    on the Hadoop FileSystem API. That swap is atomic-per-step only on
+    filesystems with atomic directory rename (HDFS, ABFS, local) — on
+    S3A a directory "rename" is a non-atomic copy+delete, so there the
+    safe deployment is a manifest/table format (Delta/Iceberg) or an
+    external lock around the swap. A process death BETWEEN the two
+    renames leaves no live directory; entry calls
+    :func:`restore_interrupted_compaction`, so the next compaction (or
+    the next streaming batch) auto-restores from the backup instead of
+    failing every read (ADVICE r09 #1). Verdict-invariance under pure
     compaction (no retention) is pinned by
     tests/test_streaming.py::test_index_compaction_preserves_verdicts.
 
@@ -72,11 +122,20 @@ def compact_minhash_index(
 
     from etl_ml_pipeline_spark.operators.layout import input_bytes
 
+    restore_interrupted_compaction(spark, index_path)
     df = spark.read.parquet(index_path)
     files_before = len(df.inputFiles())
     rows_before = df.count()
     kept = df if retain_min_id is None else df.filter(F.col("id") >= retain_min_id)
+    # Size the output file count from the bytes actually KEPT: parquet
+    # stats only cover the pre-retention input, so scale by the kept
+    # row fraction — otherwise a retention run that drops most rows
+    # still writes ceil(old_bytes/target) near-empty files, undercutting
+    # the defragmentation goal (ADVICE r09 #2).
     nbytes = max(1, input_bytes(df))
+    if retain_min_id is not None and rows_before > 0:
+        rows_kept = kept.count()
+        nbytes = max(1, math.ceil(nbytes * rows_kept / rows_before))
     n_out = max(1, math.ceil(nbytes / target_file_bytes))
     tmp = index_path.rstrip("/") + ".__compact_tmp"
     bak = index_path.rstrip("/") + ".__compact_bak"
@@ -86,12 +145,7 @@ def compact_minhash_index(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    live_p = jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = live_p.getFileSystem(conf)
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    fs, live_p, tmp_p, bak_p = _fs_paths(spark, index_path)
     if fs.exists(bak_p):
         fs.delete(bak_p, True)
     if not fs.rename(live_p, bak_p):
@@ -161,6 +215,17 @@ def stream_dedup_against_index(
     ``stream_dedup_index_replay`` pins against its DuckDB oracle every
     round by replaying WITH compaction enabled.
 
+    Delivery/concurrency assumptions (ADVICE r09 #4): foreachBatch is
+    at-least-once — after a failure/restart a replayed batch can re-run
+    compaction (idempotent: same rows, new layout) and re-append its
+    survivors' signatures. Duplicate signature rows are benign for
+    verdicts (the banded join dedups on (new_id, old_id) and a doc is
+    its own id's only duplicate), and the next compaction's id-sorted
+    rewrite is the place to drop them if storage matters. The index
+    path assumes a SINGLE writer (this stream) and no concurrent
+    external reader during the compaction swap — a reader racing the
+    rename dance can observe a briefly missing directory.
+
     Returns the started StreamingQuery (caller awaits/stops).
     """
 
@@ -168,6 +233,9 @@ def stream_dedup_against_index(
         spark: SparkSession = batch_df.sparkSession
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_minhash_index(spark, index_path)
+        else:
+            # self-heal if a previous run died mid-compaction-swap
+            restore_interrupted_compaction(spark, index_path)
         sh = shingle_df(batch_df, text_col, id_col)
         sigs = minhash_signatures(sh, n_perm=_N_PERM).localCheckpoint(eager=True)
 

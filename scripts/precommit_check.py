@@ -111,9 +111,40 @@ def main() -> None:
             "and commit the updated json alongside the catalog change"
         )
 
+    # 6. staleness contract (VERDICT r09 ask #4): simulate the next
+    # driver record — the first PREFIX names in emission order get a
+    # fresh row — then fail if any already-recorded name would end up
+    # >MAX_STALE rounds stale. The current round is inferred from the
+    # newest CORRECTNESS_r*.json on disk (the next record is round+1).
+    PREFIX, MAX_STALE = 50, 5
+    recorded_rounds = [
+        int(m.group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    if recorded_rounds:
+        next_round = max(recorded_rounds) + 1
+        simulated = dict(_LAST_RECORDED)
+        for name in list(qs)[:PREFIX]:
+            simulated[name] = next_round
+        overdue = sorted(
+            (name, simulated[name])
+            for name in qs
+            if simulated.get(name, 0) >= 1
+            and next_round - simulated[name] > MAX_STALE
+        )
+        if overdue:
+            fail(
+                f"staleness contract broken: after the simulated round-"
+                f"{next_round} record ({PREFIX}-name prefix), these names "
+                f"exceed {MAX_STALE} rounds stale: {overdue} — refresh "
+                "_LAST_RECORDED from the latest CORRECTNESS json and/or "
+                "reorder the prefix"
+            )
+
     print(
         f"precommit_check: OK — catalog {len(qs)} queries, pin + "
-        "CATALOG.md + oracles consistent"
+        "CATALOG.md + oracles + staleness consistent"
     )
 
 

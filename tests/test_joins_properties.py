@@ -90,6 +90,17 @@ def test_null_safe_join_rejects_nulltype_keys(spark):
         null_safe_join(left, right, ["k"])
 
 
+@pytest.mark.parametrize("how", ["right", "full", "outer", "cross"])
+def test_null_safe_join_rejects_outer_modes(spark, how):
+    """ADVICE r09 #3: key columns are emitted from the LEFT side, so
+    right/full joins would silently NULL right-only rows' keys after
+    the __nsj_* drop — those modes must raise, not corrupt."""
+    left = spark.createDataFrame([("a", 1)], "k string, v long")
+    right = spark.createDataFrame([("b", 2)], "k string, w long")
+    with pytest.raises(ValueError, match="unsupported"):
+        null_safe_join(left, right, ["k"], how)
+
+
 @pytest.mark.parametrize("how", ["inner", "left"])
 @given(data=join_inputs())
 @settings(**_SETTINGS)

@@ -374,6 +374,81 @@ def test_index_compaction_preserves_verdicts(spark, tmp_path):
     }
 
 
+def test_compaction_crash_window_auto_restores(spark, tmp_path):
+    """ADVICE r09 #1: a death between rename(live->bak) and
+    rename(tmp->live) leaves no live index. Entry (both compaction and
+    the streaming fold path) must auto-restore from the backup instead
+    of failing every subsequent read."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        restore_interrupted_compaction,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} with words {i * 7}") for i in range(6)]
+    )
+    index_path = str(tmp_path / "sig_index")
+    build_minhash_index(corpus, index_path)
+    before = sorted(r.id for r in spark.read.parquet(index_path).collect())
+
+    # simulate the mid-swap crash: live renamed to bak, tmp half-written
+    shutil.move(index_path, index_path + ".__compact_bak")
+    os.makedirs(index_path + ".__compact_tmp")
+    assert restore_interrupted_compaction(spark, index_path) is True
+    assert sorted(r.id for r in spark.read.parquet(index_path).collect()) == before
+    assert not os.path.exists(index_path + ".__compact_bak")
+    assert not os.path.exists(index_path + ".__compact_tmp")
+    # idempotent when healthy
+    assert restore_interrupted_compaction(spark, index_path) is False
+
+    # compaction itself self-heals on entry from the same crash state
+    shutil.move(index_path, index_path + ".__compact_bak")
+    stats = compact_minhash_index(spark, index_path)
+    assert stats["rows_after"] == len(before)
+
+
+def test_compaction_retention_sizes_output_by_kept_bytes(spark, tmp_path):
+    """ADVICE r09 #2: output file count must follow the KEPT bytes, not
+    the pre-retention input bytes — a retention pass that drops ~97% of
+    rows compacts to 1 file even when the input spanned many."""
+    from pyspark.sql import Row
+
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document {i} body {' '.join(str(i * j) for j in range(30))}") for i in range(64)]
+    )
+    index_path = str(tmp_path / "sig_index")
+    build_minhash_index(corpus, index_path)
+    # fragment the index the way per-batch appends do in production
+    frag = spark.read.parquet(index_path).repartition(32).localCheckpoint(eager=True)
+    frag.write.mode("overwrite").parquet(index_path)
+    nfiles = len(spark.read.parquet(index_path).inputFiles())
+    assert nfiles >= 16  # genuinely fragmented input
+    # target sized so that ceil(full_bytes/target) > 1 but the ~2-row
+    # kept fraction fits one file: pre-fix this wrote >=nfiles-ish files
+    import math
+
+    from etl_ml_pipeline_spark.operators.layout import input_bytes
+
+    full = input_bytes(spark.read.parquet(index_path))
+    target = max(1, math.ceil(full / 8))  # full input would want 8 files
+    stats = compact_minhash_index(
+        spark, index_path, target_file_bytes=target, retain_min_id=62
+    )
+    assert stats["rows_after"] == 2
+    assert stats["files_after"] == 1
+
+
 def test_cusum_cents_rounding_matches_spark_half_up(spark):
     """The stream-side cents derivation must tie-break exactly like the
     batch twin's F.round (HALF_UP, away from zero): .125 -> 13 cents,
