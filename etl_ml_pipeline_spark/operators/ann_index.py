@@ -1,0 +1,120 @@
+"""Persistent IVF index: build once, serve and grow across runs.
+
+The missing piece between the in-plan ANN queries (similarity.py builds
+its index inside each query's lineage) and a production retrieval
+deployment: the coarse quantizer and the inverted lists are TABLES.
+Build writes them; serve reads them (no corpus re-assignment); append
+assigns only the NEW vectors against the stored centroids — the
+standard incremental-indexing contract (FAISS `add` semantics: the
+quantizer is frozen after build; re-train is an explicit rebuild).
+
+Reference scope: the reference pipeline has no vector search at all —
+this extends the mandated LLM-data surface (its nearest analogue is the
+incremental-cursor state in `/root/reference/src/data_extractor/
+pipeline.py`, the same build-once-grow-forever posture applied here to
+an index instead of an extraction watermark).
+
+Layout under ``path``:
+
+* ``centroids/`` — (cent_id long, cent_vec array<double>), k rows;
+* ``lists/`` — the assigned corpus, **partitioned by cent_id**, so a
+  probe that touches p of k lists is a PARTITION-PRUNED read (the
+  directory layout IS the inverted index; at 100 TB a 2-probe query
+  reads 2/k of the corpus bytes, no shuffle).
+
+Scale posture: build pays one broadcast-argmin map over the corpus plus
+the partitioned write (one shuffle on cent_id to co-locate lists);
+append pays the same over only the delta; serve is a broadcast join of
+the exploded probe list against the lists table — never a corpus scan
+per query. All driver syncs are k-row centroid collects inside
+ivf_assign/_probe_exploded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.similarity import (
+    _probe_exploded,
+    as_double,
+    cosine,
+    ivf_assign,
+)
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> None:
+    """Build + persist the index: assign every corpus vector to its
+    nearest centroid and write centroids + cent_id-partitioned lists."""
+    centroids.select("cent_id", "cent_vec").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    assigned = ivf_assign(corpus, centroids, c_vec, c_id)
+    assigned.select(c_id, c_vec, "cent_id").write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(f"{path}/lists")
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> None:
+    """Grow the index without re-clustering: assign only the new vectors
+    against the STORED centroids and append their list rows. Quantizer
+    drift is the caller's rebuild decision (FAISS add semantics); the
+    serve path is oblivious to which run wrote a row — pinned by
+    ann_ivf_incremental_topk's oracle, which replays build+append as one
+    full-corpus assignment."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(new_vectors, centroids, c_vec, c_id)
+    assigned.select(c_id, c_vec, "cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{path}/lists")
+
+
+def ivf_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, lists). cent_id comes back as a partition column —
+    re-cast to long so downstream joins keep the build-side type."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists").withColumn(
+        "cent_id", F.col("cent_id").cast("long")
+    )
+    return centroids, lists
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    lists: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Serve top-k from a stored index: probe the query's n_probe
+    nearest centroids, equi-join the probed lists, exact cosine rerank.
+    Identical semantics to similarity.ivf_topk minus the corpus
+    assignment — the lists table already carries cent_id."""
+    from pyspark.sql import Window as W
+
+    qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec)
+    cand = lists.join(F.broadcast(qb), "cent_id").withColumn(
+        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cos"), F.asc(c_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos", "cent_id")
+    )

@@ -1,0 +1,141 @@
+"""URL canonicalization + host-level keys — the first normalization pass
+of a web-scale (CommonCrawl-style) corpus build.
+
+Reference scope: the reference pipeline has no URL handling at all (its
+extractors pull APIs, not crawls — `/root/reference/src/data_extractor/
+extractors/rest_api.py` treats URLs as opaque endpoint strings); this
+module is part of the mandated LLM-training-data extension surface. The
+canonicalization rules follow the public conventions shared by RFC 3986
+§6 (case + default-port + empty-path normalization) and large crawl
+dedup pipelines (www-strip, tracking-param removal, query-param
+sorting).
+
+Everything here is a pure Column-expression builder over Spark SQL
+built-ins (regexp_extract / regexp_replace / split / filter /
+sort_array / array_join) — JVM-side, whole-stage-codegen'd, zero Python
+in the hot path. At 100 TB the canonical key is a MAP-SIDE projection;
+the only shuffle any consumer pays is its own groupBy on the key.
+
+Canonical form (documented so oracles can replicate it exactly):
+
+1. fragment dropped;
+2. scheme lowercased;
+3. authority lowercased; leading ``www.`` and trailing host dot
+   stripped; the port dropped iff it is the scheme's default
+   (http:80 / https:443), kept otherwise;
+4. path: empty -> ``/``; runs of ``/`` collapsed; trailing slash
+   stripped (except the bare root);
+5. query: params split on ``&``, empties and tracking params
+   (``utm_*``, ``gclid``, ``fbclid``, ``ref``) removed, the rest
+   byte-sorted and re-joined; a now-empty query drops its ``?``.
+
+``url_dedup_key`` additionally drops the scheme — http/https variants
+of one page collapse to one crawl identity, the standard host-level
+dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RFC 3986-ish split for absolute http(s) URLs. Group 4 captures the
+# query INCLUDING its leading '?' (optional-group semantics: both Spark
+# (Java regex) and DuckDB (RE2) return '' when the group does not
+# participate — pinned by tests/test_url_operators.py).
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+# Params that identify a campaign/click, not a page. Kept deliberately
+# short and byte-exact so the oracle regex matches verbatim.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+# ccTLD second-level suffixes where the registered domain is 3 labels
+# (naive public-suffix subset; a production run ships the full PSL as a
+# broadcast lookup — same plan shape, bigger literal set).
+TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "co.in", "com.br")
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme ('' for non-absolute inputs)."""
+    return F.lower(F.regexp_extract(url, _URL_RE, 1))
+
+
+def _authority_raw(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _URL_RE, 2))
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host: lowercase, port / leading ``www.`` / trailing dot
+    stripped."""
+    host = F.regexp_replace(_authority_raw(url), r":\d+$", "")
+    return F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), r"\.$", "")
+
+
+def _authority_canon(url: Column) -> Column:
+    """Canonical host plus the port iff it is not the scheme default."""
+    port = F.regexp_extract(_authority_raw(url), r":(\d+)$", 1)
+    scheme = url_scheme(url)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    return F.concat(
+        url_host(url),
+        F.when((port != "") & ~default, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Canonical path: '' -> '/', '//' runs collapsed, trailing slash
+    stripped except on the bare root. Case is PRESERVED (paths are
+    case-sensitive per RFC 3986)."""
+    p = F.regexp_replace(F.regexp_extract(url, _URL_RE, 3), r"/{2,}", "/")
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    stripped = F.regexp_replace(p, r"/+$", "")
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+
+def url_query_canon(url: Column) -> Column:
+    """Canonical query string: tracking params and empties removed,
+    survivors byte-sorted, '&'-joined ('' if nothing survives)."""
+    q = F.regexp_replace(F.regexp_extract(url, _URL_RE, 4), r"^\?", "")
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.sort_array(params), "&")
+
+
+def _tail(url: Column) -> Column:
+    """authority + path + canonical query — everything but the scheme."""
+    q = url_query_canon(url)
+    return F.concat(
+        _authority_canon(url),
+        url_path(url),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Full canonical URL (scheme kept). NULL/non-absolute inputs yield
+    NULL so malformed rows are visible, not silently grouped."""
+    scheme = url_scheme(url)
+    return F.when(scheme != "", F.concat(scheme, F.lit("://"), _tail(url)))
+
+
+def url_dedup_key(url: Column) -> Column:
+    """Scheme-insensitive crawl identity: canonical authority + path +
+    query. http/https variants of one page share one key."""
+    return F.when(url_scheme(url) != "", _tail(url))
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a canonical host: last two
+    labels, or three when the 2-label tail is a known ccTLD second-level
+    suffix (co.uk style)."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*TWO_LEVEL_SUFFIXES) & (last3 != ""), last3
+    ).otherwise(last2)

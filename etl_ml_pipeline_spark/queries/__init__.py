@@ -46,6 +46,7 @@ _MODULES = (
     "prune_q",
     "analytics_q",
     "batteries",
+    "url_q",
 )
 
 # Latest round in which the driver recorded a correctness row for each

@@ -1,0 +1,314 @@
+"""URL canonicalization + host-level dedup catalog queries.
+
+The first normalization pass of a CommonCrawl-style corpus build: every
+crawler emits the same page under many spellings (scheme case, www,
+default ports, param order, tracking params, trailing slashes,
+fragments), and host/domain rollups drive crawl budgeting and
+per-domain caps. The fixture's ``documents.source`` is not a URL, so —
+exactly like the multimodal queries synthesize media bytes — each query
+derives a DETERMINISTIC messy URL from (doc_id, source) inside the
+plan, with the DuckDB oracle generating byte-identical inputs; what is
+under test is ``operators/url.py``'s canonicalization algebra, which is
+engine-independent column code.
+
+Scale: URL synthesis + canonicalization are pure map-side projections
+over whole-stage-codegen'd built-ins (no Python, no join); each query's
+only shuffle is its own final groupBy on (page_key | domain | source) —
+at 100 TB that is one map-side-combined aggregation, the minimum any
+rollup pays. The page-key space saturates at lcm-of-moduli per source,
+so result sizes stay bounded while counts keep growing with SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators import url as U
+from etl_ml_pipeline_spark.queries.tables import t
+
+# ---------------------------------------------------------------------------
+# Deterministic messy-URL generator (Spark + byte-identical DuckDB CTE).
+# Variant axes: scheme case+choice (d%2), www prefix (d%3), host case,
+# TLD incl. a co.uk ccTLD (d%4), scheme-default port (d%5), trailing
+# slash (d%6), param order (d%2), tracking params (d%3), fragment (d%4).
+# Canonicalization collapses everything but (source, d%4, d%7), so each
+# page key has ~N/(20*28) true variants at any SF.
+# ---------------------------------------------------------------------------
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example"),
+        s(d % 4),
+        F.when(d % 4 == 3, F.lit(".CO.UK")).otherwise(F.lit(".COM")),
+    )
+    port = F.when(
+        d % 5 == 0,
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/docs/"),
+        s(d % 7),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.concat(
+        F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(
+            d % 3 == 1, F.concat(F.lit("&utm_source=x&gclid="), s(d % 5))
+        ).otherwise(F.lit("")),
+    )
+    frag = F.when(d % 4 == 2, F.concat(F.lit("#sec"), s(d % 3))).otherwise(
+        F.lit("")
+    )
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    )
+
+
+_URLGEN_SQL = """
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.Example' || CAST(doc_id % 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 3 THEN '.CO.UK' ELSE '.COM' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                  ELSE '' END)
+         || '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 3 = 1
+                  THEN '&utm_source=x&gclid=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 2
+                  THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END) AS url
+  FROM documents
+"""
+
+# DuckDB mirror of operators/url.py's canonical algebra (same regexes;
+# RE2 and Java regex agree on every construct used — no lookarounds).
+_URL_RE_SQL = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+_CANON_SQL = f"""
+  SELECT doc_id, source, scheme,
+         host || port_part AS auth,
+         host || port_part || path || q_part AS page_key
+  FROM (
+    SELECT doc_id, source, scheme, host,
+           CASE WHEN port <> ''
+                 AND NOT ((scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END AS port_part,
+           CASE WHEN pstrip = '' THEN '/' ELSE pstrip END AS path,
+           CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS q_part
+    FROM (
+      SELECT doc_id, source, scheme,
+             regexp_replace(regexp_replace(regexp_replace(auth_raw,
+                 ':[0-9]+$', ''), '^www\\.', ''), '\\.$', '') AS host,
+             regexp_extract(auth_raw, ':([0-9]+)$', 1) AS port,
+             regexp_replace(
+               CASE WHEN pc = '' THEN '/' ELSE pc END, '/+$', '') AS pstrip,
+             array_to_string(list_sort(list_filter(string_split(q_raw, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qc
+      FROM (
+        SELECT doc_id, source,
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS auth_raw,
+               regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3),
+                              '/{{2,}}', '/', 'g') AS pc,
+               regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 4),
+                              '^\\?', '') AS q_raw
+        FROM urls
+      )
+    )
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_canonical_dedup — page-level dedup on the scheme-insensitive
+# canonical key: variant count, distinct schemes collapsed, keep-first
+# doc. The exact-dedup pattern of dedup_exact_documents applied to the
+# crawl identity instead of the content fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = _with_urls(docs)
+    c = u.select(
+        "doc_id",
+        U.url_scheme(F.col("url")).alias("scheme"),
+        U.url_dedup_key(F.col("url")).alias("page_key"),
+    )
+    return (
+        c.groupBy("page_key")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("scheme").alias("n_schemes"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("page_key")
+    )
+
+
+_CANON_DEDUP_SQL = f"""
+WITH urls AS ({_URLGEN_SQL}),
+canon AS ({_CANON_SQL})
+SELECT page_key,
+       count(*) AS n_variants,
+       count(DISTINCT scheme) AS n_schemes,
+       min(doc_id) AS keep_doc
+FROM canon
+GROUP BY page_key
+ORDER BY page_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_host_dedup_stats — registered-domain rollup: docs, distinct hosts,
+# distinct canonical pages, and the duplication ratio per pay-level
+# domain (the crawl-budget / per-domain-cap table). Exercises the
+# ccTLD second-level branch (example3.co.uk keeps three labels).
+# ---------------------------------------------------------------------------
+
+
+def url_host_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = _with_urls(docs)
+    host = U.url_host(F.col("url"))
+    c = u.select(
+        "doc_id",
+        host.alias("host"),
+        U.registered_domain(host).alias("domain"),
+        U.url_dedup_key(F.col("url")).alias("page_key"),
+    )
+    return (
+        c.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("page_key").alias("n_pages"),
+            (
+                F.floor(F.count("*") / F.countDistinct("page_key") * 10000)
+                / 10000
+            ).alias("dup_per_page"),
+        )
+        .orderBy("domain")
+    )
+
+
+_HOST_STATS_SQL = f"""
+WITH urls AS ({_URLGEN_SQL}),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+             ':[0-9]+$', ''), '^www\\.', ''), '\\.$', '') AS host,
+         url
+  FROM urls
+),
+canon AS ({_CANON_SQL}),
+dom AS (
+  SELECT p.doc_id, p.host, c.page_key,
+         CASE WHEN regexp_extract(p.host, '([^.]+\\.[^.]+)$', 1)
+                   IN ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')
+               AND regexp_extract(p.host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+              THEN regexp_extract(p.host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+              ELSE regexp_extract(p.host, '([^.]+\\.[^.]+)$', 1) END AS domain
+  FROM parts p JOIN canon c USING (doc_id)
+)
+SELECT domain,
+       count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT page_key) AS n_pages,
+       floor(count(*) / count(DISTINCT page_key) * 10000) / 10000
+         AS dup_per_page
+FROM dom
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_tracking_scrub_stats — per-source audit of the query-string scrub:
+# how many URLs carried tracking params, and how many params the
+# canonicalizer removed (empties + utm_*/gclid/fbclid/ref). The
+# validation table a crawl-cleaning run reports.
+# ---------------------------------------------------------------------------
+
+
+def url_tracking_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = _with_urls(docs)
+    url = F.col("url")
+    raw_q = F.regexp_replace(
+        F.regexp_extract(url, U._URL_RE, 4), r"^\?", ""
+    )
+    raw_params = F.size(F.filter(F.split(raw_q, "&"), lambda p: p != ""))
+    qc = U.url_query_canon(url)
+    kept = F.when(qc == "", F.lit(0)).otherwise(F.size(F.split(qc, "&")))
+    tracked = url.rlike(r"[?&](utm_[^=]*|gclid|fbclid|ref)=").cast("int")
+    return (
+        u.select(
+            "source",
+            tracked.alias("tracked"),
+            (raw_params - kept).alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tracked").alias("n_tracked"),
+            F.sum("removed").alias("params_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_TRACKING_SQL = f"""
+WITH urls AS ({_URLGEN_SQL}),
+per AS (
+  SELECT source,
+         CASE WHEN regexp_matches(url, '[?&](utm_[^=]*|gclid|fbclid|ref)=')
+              THEN 1 ELSE 0 END AS tracked,
+         len(list_filter(string_split(q_raw, '&'), p -> p <> ''))
+           - len(list_filter(string_split(q_raw, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|gclid|fbclid|ref)='))) AS removed
+  FROM (
+    SELECT source, url,
+           regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 4),
+                          '^\\?', '') AS q_raw
+    FROM urls
+  )
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(tracked) AS BIGINT) AS n_tracked,
+       CAST(sum(removed) AS BIGINT) AS params_removed
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "url_canonical_dedup": url_canonical_dedup,
+    "url_host_dedup_stats": url_host_dedup_stats,
+    "url_tracking_scrub_stats": url_tracking_scrub_stats,
+}
+
+ORACLES = {
+    "url_canonical_dedup": _CANON_DEDUP_SQL,
+    "url_host_dedup_stats": _HOST_STATS_SQL,
+    "url_tracking_scrub_stats": _TRACKING_SQL,
+}

@@ -132,8 +132,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 206, sorted(qs)
-    assert len(oracles) == 205, sorted(oracles)
+    assert len(qs) == 209, sorted(qs)
+    assert len(oracles) == 208, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
@@ -153,29 +153,34 @@ def test_query_catalog_counts():
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
     in emission order, so emission is triaged: never-driver-recorded
-    queries lead (tier -1 = round-8 late additions, tier 0 = new this
-    round), then stale driver rows oldest-first (r05 < r06 < r07 < r08)."""
+    queries lead (tier 0 = new this round), then stale driver rows
+    oldest-first (r05 overflow < r06 < ... < r09 after the round-10
+    rotation refresh)."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-driver-recorded names (tier -1, then any tier-0 additions)
-    # lead the prefix
+    # never-driver-recorded names (tier 0 round-10 additions) lead the
+    # prefix
     never = [k for k in keys if tier(k) <= 0]
     assert keys[: len(never)] == never
-    assert len(never) == 6  # catalog growth frozen in round 9
-    # nothing is older than r05 after the r08 rotation cleared r04
+    # the oldest stale tier is the six r05 overflow names, due exactly
+    # at the <=5-rounds-stale bound in round 10; they come right after
+    # the never-recorded block, and together they must fit the ~50
+    # prefix or the staleness contract breaks by arithmetic
     recorded = [v for v in _LAST_RECORDED.values() if v > 0]
     assert min(recorded) == 5
-    # the oldest stale tier comes right after, ahead of everything newer;
-    # 6 never-recorded + 44 of the 50 r05 names fill the ~50 prefix and
-    # the 6 overflow r05 names lead round 10 (<=5-rounds-stale contract)
     r05 = [k for k in keys if _LAST_RECORDED.get(k) == 5]
-    assert len(r05) == 50
+    assert sorted(r05) == sorted([
+        "ab_test_events", "anomaly_mad_events", "drift_psi_events",
+        "markov_transitions_events", "path_top_sequences",
+        "retention_curve_events",
+    ])
     assert keys[len(never) : len(never) + len(r05)] == r05
-    assert _LAST_RECORDED.get(keys[-1]) == 8
+    assert len(never) + len(r05) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 9
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 

@@ -1,0 +1,95 @@
+"""operators/url.py — canonicalization algebra edge cases.
+
+The catalog queries (url_q.py) pin the happy paths against DuckDB; these
+pin the branches the deterministic generator cannot reach (non-default
+ports, malformed inputs, empty paths, dotted hosts) and the plan shape
+(pure projection, no Python eval).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators import url as U
+
+
+def _canon(spark, urls: list[str]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(U.canonicalize_url(F.col("url"))).collect()]
+
+
+def _keys(spark, urls: list[str]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(U.url_dedup_key(F.col("url"))).collect()]
+
+
+def test_canonicalize_collapses_standard_variants(spark):
+    variants = [
+        "HTTP://WWW.News.Example.COM:80/a//b/?b=2&a=1&utm_source=tw#frag",
+        "http://news.example.com/a/b?a=1&b=2",
+        "http://news.example.com./a/b/?gclid=123&b=2&a=1",
+    ]
+    got = _canon(spark, variants)
+    assert got == ["http://news.example.com/a/b?a=1&b=2"] * 3
+
+
+def test_scheme_insensitive_dedup_key(spark):
+    ks = _keys(
+        spark,
+        ["https://example.com/x?q=1", "HTTP://example.com:80/x/?q=1#top"],
+    )
+    assert ks == ["example.com/x?q=1"] * 2
+
+
+def test_non_default_port_is_kept(spark):
+    got = _canon(
+        spark,
+        [
+            "http://example.com:8080/api",
+            "https://example.com:80/api",  # 80 is NOT https's default
+        ],
+    )
+    assert got == [
+        "http://example.com:8080/api",
+        "https://example.com:80/api",
+    ]
+
+
+def test_empty_path_and_root_slash(spark):
+    got = _canon(
+        spark,
+        ["https://example.com", "https://example.com/", "https://example.com///"],
+    )
+    assert got == ["https://example.com/"] * 3
+
+
+def test_query_scrubbed_to_empty_drops_question_mark(spark):
+    got = _canon(spark, ["https://example.com/p?utm_source=x&utm_medium=y"])
+    assert got == ["https://example.com/p"]
+
+
+def test_malformed_inputs_yield_null_not_a_group(spark):
+    got = _keys(spark, ["not a url", "/relative/path", ""])
+    assert got == [None, None, None]
+
+
+def test_registered_domain_with_cctld_suffix(spark):
+    df = spark.createDataFrame(
+        [("shop.example.co.uk",), ("a.b.example.com",), ("example.com",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(U.registered_domain(F.col("host"))).collect()]
+    assert got == ["example.co.uk", "example.com", "example.com"]
+
+
+def test_canonicalization_is_jvm_side_projection(spark):
+    """The whole algebra must compile to built-in expressions: no
+    BatchEvalPython / ArrowEvalPython stage, and a canonical-key
+    projection over a scan adds no exchange."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".com/p")).alias("url")
+    )
+    plan = df.select(U.url_dedup_key(F.col("url")).alias("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
