@@ -223,6 +223,33 @@ def scd2_history(
     )
 
 
+def _pin_partitioning(ranged: DataFrame) -> DataFrame:
+    """Pin ONE physical range layout for a frame that multiple plan
+    branches must see identically.
+
+    ``repartitionByRange`` draws SAMPLED boundaries, and the two-phase
+    prefix operators consume the ranged frame from two branches (local
+    window + per-partition totals). Their correctness requires both
+    branches to agree on ``__pid`` — which holds only while Catalyst
+    canonicalizes the two subtrees identically and emits a
+    ReusedExchange. That identity is fragile (the round-9 lesson):
+    column pruning under the totals' aggregate can specialize its copy
+    of the exchange, the two jobs then re-SAMPLE different boundaries,
+    and the offsets silently corrupt (caught by training_data_prep_e2e
+    at sf1, where a passthrough column broke reuse and pack counts
+    drifted run to run).
+
+    A lazy localCheckpoint materializes the exchange once on first use;
+    every branch then reads the same stored partitions, making __pid a
+    fact of the data rather than of optimizer luck. Cost: the frame is
+    written to executor storage once — the same order of local I/O the
+    reused shuffle files already cost; lineage truncation trades
+    recompute-on-executor-loss for determinism, the documented
+    localCheckpoint contract (same trade as the connected-components
+    loop in operators/graph.py)."""
+    return ranged.localCheckpoint(eager=False)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -252,8 +279,10 @@ def global_row_number(
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = _pin_partitioning(
+        df.repartitionByRange(parts, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w_local = W.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w_local))
@@ -292,8 +321,10 @@ def global_running_sum(
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = _pin_partitioning(
+        df.repartitionByRange(parts, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w_local = (
         W.partitionBy("__pid")
@@ -353,8 +384,10 @@ def grouped_running_sum(
     parts = num_partitions or spark.sparkContext.defaultParallelism
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(parts, *gcols, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = _pin_partitioning(
+        df.repartitionByRange(parts, *gcols, *ocols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w_local = (
         W.partitionBy("__pid", *group_cols)

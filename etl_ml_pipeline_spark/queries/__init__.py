@@ -47,6 +47,7 @@ _MODULES = (
     "analytics_q",
     "batteries",
     "url_q",
+    "pipeline_q",
 )
 
 # Latest round in which the driver recorded a correctness row for each

@@ -1,0 +1,143 @@
+"""End-to-end training-data-prep chain as ONE catalog query.
+
+Every stage of `configs/training_data_prep.yaml`'s governance chain —
+score -> language/quality gate -> exact dedup -> stratified hash
+sample -> token-budget packing — already has its own oracle-checked
+catalog entry, but a user of the pipeline runs them COMPOSED, and
+composition is where silent bugs live (a stage that reorders rows,
+drops a column, or re-derives a stat differently than its neighbor
+consumed it). This query chains the real operators
+(`operators/text.py`, `operators/dedup.exact_dedup`,
+`operators/relational.global_running_sum`) into one lazy Catalyst plan
+and oracle-checks the FINAL packed output, so a green hash certifies
+the whole chain end to end — the integration twin of the per-stage
+entries.
+
+Scale: the chain is one plan with exactly three shuffles at any SF —
+the fingerprint dedup exchange, and the two-phase distributed prefix
+sum's range partition + k-row offset broadcast; scoring, gating, and
+sampling are map-side projections/filters fused into the scan stage by
+whole-stage codegen. No driver materialization between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators import text as X
+from etl_ml_pipeline_spark.queries.tables import t
+from etl_ml_pipeline_spark.queries.text_q import _STOP_SQL_LIST, _TOKS_DUCK
+
+_GATE_LANGS = ("en", "de", "es", "fr", "zh")
+_EN_RATE, _DEFAULT_RATE = 80, 50
+_PACK_BUDGET = 512
+
+
+def training_data_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import exact_dedup
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count(c).cast("long").alias("n_tok"),
+        X.quality_score(c).alias("q"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin(*_GATE_LANGS)
+        & (F.col("q") >= 0.4)
+        & (F.col("n_tok") >= 10)
+    )
+    deduped = exact_dedup(gated, "text", "doc_id")
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_RATE)).otherwise(
+        F.lit(_DEFAULT_RATE)
+    )
+    sampled = deduped.filter(
+        X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "n_tok")
+    cum = global_running_sum(sampled, "n_tok", ["doc_id"], "cum_tok")
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET).cast("long"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_LANGS_SQL = ", ".join(f"'{l}'" for l in _GATE_LANGS)
+_HASH_DUCK = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+_PREP_E2E_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len({_TOKS_DUCK}) AS n_tok,
+         len(list_distinct({_TOKS_DUCK})) AS n_uniq,
+         len(list_filter({_TOKS_DUCK}, tk -> tk IN ({_STOP_SQL_LIST}))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tok,
+         CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END
+         + least(CAST(n_uniq AS DOUBLE) / n_tok, 0.5) * 0.6
+         + CASE WHEN CAST(n_stop AS DOUBLE) / n_tok BETWEEN 0.01 AND 0.5
+                THEN 0.2 ELSE 0.0 END AS q
+  FROM feats
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE lang IN ({_LANGS_SQL}) AND q >= 0.4 AND n_tok >= 10
+),
+deduped AS (
+  SELECT doc_id, lang, n_tok FROM (
+    SELECT doc_id, lang, n_tok,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id
+           ) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT doc_id, lang, n_tok FROM deduped
+  WHERE {_HASH_DUCK} % 100
+        < CASE WHEN lang = 'en' THEN {_EN_RATE} ELSE {_DEFAULT_RATE} END
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM sampled
+)
+SELECT CAST(floor((cum_tok - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+ORDER BY pack_id
+"""
+
+
+QUERIES = {
+    "training_data_prep_e2e": training_data_prep_e2e,
+}
+
+ORACLES = {
+    "training_data_prep_e2e": _PREP_E2E_SQL,
+}

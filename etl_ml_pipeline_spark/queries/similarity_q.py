@@ -1398,8 +1398,181 @@ SELECT '{name}' AS index_name, 5 AS k, 10 AS n_queries,
     return " UNION ALL ".join(parts) + "\nORDER BY index_name"
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_persisted_topk — the index-as-tables path (operators/
+# ann_index.py): build the IVF index, WRITE it (centroids + cent_id-
+# partitioned lists), read it back, and serve top-k from the stored
+# tables with no corpus re-assignment. The oracle replays the same
+# assignment from the raw embeddings, so a green row proves the
+# persisted round-trip is result-identical to an in-plan rebuild —
+# the parity contract a cross-run index needs. Serve probes 2 lists
+# (multi-probe recall posture); queries are vec_id in [10, 20) so the
+# record is distinct from ann_ivf_topk's.
+# Scale: the partitioned write is one cent_id shuffle; the lists
+# directory IS the inverted index (probe = partition-pruned read).
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk_from_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_index_write(corpus, centroids, path)
+    stored_cents, stored_lists = ivf_index_read(spark, path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=2)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_PERSISTED_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+    WHERE a.vec_id >= 10 AND a.vec_id < 20
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, a.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qprobe q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_incremental_topk — cross-run index growth: build + persist on
+# the EVEN half of the corpus, then ivf_index_append the odd half
+# (assigned against the STORED centroids, no re-cluster — FAISS `add`
+# semantics), then serve from the merged lists. The %50-stride centroid
+# ids are all even, so the frozen quantizer equals the full-corpus one
+# and the oracle is simply full-corpus assignment: a green hash proves
+# build+append is result-identical to a from-scratch rebuild — the
+# invariant that makes incremental indexing trustworthy. Queries are
+# vec_id in [20, 30) to keep the record distinct.
+# Scale: the append run assigns and writes ONLY the delta — at 100 TB
+# a daily increment costs O(delta), not O(corpus).
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_append,
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk_from_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_incr_")
+    ivf_index_write(corpus.filter(F.col("c_id") % 2 == 0), centroids, path)
+    ivf_index_append(spark, corpus.filter(F.col("c_id") % 2 == 1), path)
+    stored_cents, stored_lists = ivf_index_read(spark, path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=1)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_INCREMENTAL_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM assigned
+  WHERE vec_id >= 20 AND vec_id < 30
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, q.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
+    "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
     "ann_recall_battery": ann_recall_battery,
     "ann_recall_contract": ann_recall_contract,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1421,6 +1594,8 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "ann_ivf_persisted_topk": _IVF_PERSISTED_SQL,
+    "ann_ivf_incremental_topk": _IVF_INCREMENTAL_SQL,
     "ann_recall_battery": _battery_oracle(),
     "ann_recall_contract": _recall_oracle(),
     "ann_pq_adc_topk": _pq_oracle(),

@@ -1,0 +1,87 @@
+"""operators/ann_index.py — persisted IVF index contracts.
+
+The catalog queries pin cross-engine parity; these pin the operator
+invariants directly: serve-from-store equals the in-plan ivf_topk,
+append equals rebuild, and the cent_id partitioning actually prunes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.ann_index import (
+    ivf_index_append,
+    ivf_index_read,
+    ivf_index_write,
+    ivf_topk_from_index,
+)
+from etl_ml_pipeline_spark.operators.similarity import ivf_topk
+
+
+def _corpus(spark, n=120, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.standard_normal(d).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "c_id long, c_vec array<double>")
+
+
+def _centroids(corpus):
+    return corpus.filter(F.col("c_id") % 30 == 0).select(
+        F.col("c_id").alias("cent_id"), F.col("c_vec").alias("cent_vec")
+    )
+
+
+def _queries(corpus, lo=0, hi=5):
+    return corpus.filter((F.col("c_id") >= lo) & (F.col("c_id") < hi)).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["q_id"], r["rank"], r["c_id"], round(r["cos"], 10), r["cent_id"])
+        for r in df.collect()
+    )
+
+
+def test_serve_from_store_equals_in_plan_ivf(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents = _centroids(corpus)
+    path = str(tmp_path / "idx")
+    ivf_index_write(corpus, cents, path)
+    sc, sl = ivf_index_read(spark, path)
+    got = ivf_topk_from_index(_queries(corpus), sc, sl, k=3, n_probe=2)
+    want = ivf_topk(_queries(corpus), corpus, cents, k=3, n_probe=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents = _centroids(corpus)  # %30 stride ids are even -> frozen = full
+    inc = str(tmp_path / "inc")
+    ivf_index_write(corpus.filter(F.col("c_id") % 2 == 0), cents, inc)
+    ivf_index_append(spark, corpus.filter(F.col("c_id") % 2 == 1), inc)
+    full = str(tmp_path / "full")
+    ivf_index_write(corpus, cents, full)
+    q = _queries(corpus, 10, 16)
+    got = ivf_topk_from_index(q, *ivf_index_read(spark, inc), k=4, n_probe=1)
+    want = ivf_topk_from_index(q, *ivf_index_read(spark, full), k=4, n_probe=1)
+    assert _rows(got) == _rows(want)
+    # the appended rows really landed in the shared lists layout
+    _, lists = ivf_index_read(spark, inc)
+    assert lists.count() == 120
+
+
+def test_lists_partitioning_prunes_probed_cells(spark, tmp_path):
+    corpus = _corpus(spark)
+    cents = _centroids(corpus)
+    path = str(tmp_path / "idx")
+    ivf_index_write(corpus, cents, path)
+    pruned = spark.read.parquet(f"{path}/lists").filter(F.col("cent_id") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition-column filter never reaches the data scan as a row
+    # filter — it prunes directories (PartitionFilters in the scan node)
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(cent_id" in plan or "cent_id" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]

@@ -284,8 +284,11 @@ def test_global_row_number_matches_naive_window(spark, sf_dir):
     a = {(r.o_orderkey, r.rn) for r in fast.select("o_orderkey", "rn").collect()}
     b = {(r.o_orderkey, r.rn) for r in naive.select("o_orderkey", "rn").collect()}
     assert a == b
-    plan = _plan(fast)
-    assert "rangepartitioning" in plan.lower()
+    # the ranged frame is pinned (localCheckpoint) so both phases see one
+    # physical layout; the only SinglePartition exchange allowed is the
+    # ~#partitions-row offsets window, never the data rows
+    plan = _plan(fast).lower()
+    assert "existingrdd" in plan
 
 
 def test_quartile_stats_no_global_window(spark, sf_dir):
@@ -320,7 +323,34 @@ def test_global_running_sum_matches_naive_window(spark, sf_dir):
     a = {(r.o_orderkey, r.cs) for r in fast.collect()}
     b = {(r.o_orderkey, r.cs) for r in naive.collect()}
     assert a == b
-    assert "rangepartitioning" in _plan(fast).lower()
+    plan = _plan(fast).lower()
+    assert "existingrdd" in plan
+
+
+def test_global_running_sum_passthrough_columns_stay_exact(spark, sf_dir):
+    """Round-10 regression (caught by training_data_prep_e2e at sf1):
+    the two-phase prefix sum consumes its range-partitioned frame from
+    two branches, and a passthrough column used to let column pruning
+    specialize one branch's copy of the exchange — the branches then
+    re-SAMPLED different range boundaries and the offsets silently
+    corrupted (row counts drifted run to run). The pinned layout makes
+    __pid a fact of the data; prefix sums must be exact cumsums with
+    arbitrary extra columns riding along, stably across re-collects."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    docs = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 97).cast("long").alias("v"),
+        "o_orderstatus",  # passthrough: pruned by totals, kept by output
+        "o_orderpriority",
+    )
+    out = global_running_sum(docs, "v", ["o_orderkey"], "cs", num_partitions=16)
+    pdf = out.select("o_orderkey", "v", "cs").orderBy("o_orderkey").toPandas()
+    assert (pdf.cs.values == pdf.v.cumsum().values).all()
+    pdf2 = out.select("o_orderkey", "cs").orderBy("o_orderkey").toPandas()
+    assert (pdf.cs.values == pdf2.cs.values).all()
 
 
 def test_salted_agg_query_two_stage_no_cartesian(spark, sf_dir):
