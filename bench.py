@@ -83,6 +83,14 @@ HEADLINE = [
     # comparison margin (their scale behavior is tracked by the ladder).
     "skyline_parts_pareto",
     "sample_perplexity_buckets",
+    # round-10: URL canonicalization (pure codegen'd map algebra + one
+    # key groupBy — the crawl-normalization shape) and the chained
+    # clean->gate->dedup->sample->pack governance plan. The persisted/
+    # incremental IVF queries stay catalog-only like the bucketed-join
+    # layout query: their index writes add fixed table-IO latency that
+    # would eat the comparison margin (ladder tracks their scaling).
+    "url_canonical_dedup",
+    "training_data_prep_e2e",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

@@ -792,7 +792,13 @@ ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
-def stream_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_index_run(
+    spark: SparkSession, sf_dir: str, compact_every: int | None
+) -> DataFrame:
+    """The 3-batch MinHash-index ingest loop, parameterized on the
+    compaction cadence — shared by the catalog query (compact_every=2)
+    and scripts/compaction_ladder.py's maintenance-cost A/B (on vs
+    off at each ladder rung; verdicts are invariant by contract)."""
     import os
     import uuid
 
@@ -821,22 +827,27 @@ def stream_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
     )
     view = f"dedup_verdicts_{run}"
-    # compact_every=2: batch 2 compacts the index batches 0-1 appended
-    # BEFORE reading it, so every round's driver differential proves
-    # compaction verdict-invariance, not just the unit test
     q = stream_dedup_against_index(
         stream,
         index_path,
         f"{_replay_ckpt_root()}/dedup_ck_{run}",
         verdicts_view=view,
         threshold=0.5,
-        compact_every=2,
+        compact_every=compact_every,
     )
     q.awaitTermination()
     q.stop()
     out = spark.table(f"global_temp.{view}")
     out.schema  # force analysis: resolve the view reference NOW
     spark.catalog.dropGlobalTempView(view)
+    return out
+
+
+def stream_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compact_every=2: batch 2 compacts the index batches 0-1 appended
+    # BEFORE reading it, so every round's driver differential proves
+    # compaction verdict-invariance, not just the unit test
+    out = _dedup_index_run(spark, sf_dir, compact_every=2)
     return out.select(
         "doc_id",
         "dup_of",

@@ -107,6 +107,15 @@ QUERIES = [
     "skyline_parts_pareto",
     "stream_dedup_index_replay",
     "layout_bucketed_join_stats",
+    # round-10 families: URL canonicalization + page-key dedup (map
+    # algebra + one groupBy), the persisted and incremental IVF index
+    # paths (partitioned index write + probe-join serve), and the
+    # chained clean->gate->dedup->sample->pack governance plan over the
+    # pinned two-phase prefix sum.
+    "url_canonical_dedup",
+    "ann_ivf_persisted_topk",
+    "ann_ivf_incremental_topk",
+    "training_data_prep_e2e",
 ]
 
 

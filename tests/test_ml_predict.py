@@ -71,7 +71,7 @@ def test_global_window_autoroute_above_threshold(spark, features_df):
     naive_t = create_target(features_df, row_threshold=None)
     key = lambda rows: sorted((r.date, round(r.target_return, 9)) for r in rows)
     assert key(routed_t.collect()) == key(naive_t.collect())
-    assert "rangepartitioning" in plan(routed_t)
+    assert "existingrdd" in plan(routed_t)  # pinned two-phase layout
 
     routed_f = expanding_folds(features_df, order_col="date", row_threshold=10)
     naive_f = expanding_folds(features_df, order_col="date", row_threshold=None)
@@ -79,10 +79,10 @@ def test_global_window_autoroute_above_threshold(spark, features_df):
     assert fkey(routed_f.select("date", "_rn").collect()) == fkey(
         naive_f.select("date", "_rn").collect()
     )
-    assert "rangepartitioning" in plan(routed_f)
+    assert "existingrdd" in plan(routed_f)
     # below the threshold the single-series path is kept (no re-range)
     small = expanding_folds(features_df, order_col="date", row_threshold=10**6)
-    assert "rangepartitioning" not in plan(small)
+    assert "existingrdd" not in plan(small)
 
 
 def test_route_decision_schedules_no_job(spark, tmp_path):

@@ -697,7 +697,7 @@ def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
     b = {(r.o_orderkey, r.cs) for r in naive.select("o_orderkey", "cs").collect()}
     assert a == b
     plan = _plan(fast)
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower()  # pinned two-phase layout
     # the high-cardinality escape hatch (ADVICE r08 #3): the shuffled
     # offset join must produce the identical result with no broadcast
     # of the offsets frame
