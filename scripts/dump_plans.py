@@ -311,6 +311,24 @@ SHOWCASE = [
         "real join key to Catalyst, not a post-filter), so monitoring "
         "the NULL segment costs nothing.",
     ),
+    (
+        "url_canonical_dedup",
+        "URL canonicalization is pure codegen'd column algebra: the whole "
+        "synthesize+canonicalize pipeline fuses into the scan's "
+        "WholeStageCodegen span with a partial (map-side) aggregate before "
+        "the first exchange; the only shuffles are the page-key "
+        "aggregation (two-phase, for the distinct-scheme count) and the "
+        "output sort — no joins, no Python.",
+    ),
+    (
+        "training_data_prep_e2e",
+        "The chained clean->gate->dedup->sample->pack governance plan: "
+        "scoring/gating/sampling fuse map-side into the scan stage, the "
+        "fingerprint dedup is one exchange + window, and the packing rides "
+        "the pinned two-phase prefix sum (Scan ExistingRDD = the "
+        "localCheckpoint that makes both prefix branches read one physical "
+        "layout).",
+    ),
 ]
 
 
