@@ -284,11 +284,10 @@ def test_global_row_number_matches_naive_window(spark, sf_dir):
     a = {(r.o_orderkey, r.rn) for r in fast.select("o_orderkey", "rn").collect()}
     b = {(r.o_orderkey, r.rn) for r in naive.select("o_orderkey", "rn").collect()}
     assert a == b
-    # the ranged frame is pinned (localCheckpoint) so both phases see one
-    # physical layout; the only SinglePartition exchange allowed is the
-    # ~#partitions-row offsets window, never the data rows
+    # numeric leading key -> deterministic arithmetic buckets (1-row
+    # min/max broadcast); no sampled exchange, no checkpoint needed
     plan = _plan(fast).lower()
-    assert "existingrdd" in plan
+    assert "broadcastnestedloopjoin" in plan
 
 
 def test_quartile_stats_no_global_window(spark, sf_dir):
@@ -323,8 +322,11 @@ def test_global_running_sum_matches_naive_window(spark, sf_dir):
     a = {(r.o_orderkey, r.cs) for r in fast.collect()}
     b = {(r.o_orderkey, r.cs) for r in naive.collect()}
     assert a == b
+    # numeric leading key -> deterministic arithmetic buckets: the 1-row
+    # min/max stats broadcast (BroadcastNestedLoopJoin) replaces both the
+    # sampled range exchange and the pinned checkpoint
     plan = _plan(fast).lower()
-    assert "existingrdd" in plan
+    assert "broadcastnestedloopjoin" in plan
 
 
 def test_global_running_sum_passthrough_columns_stay_exact(spark, sf_dir):
@@ -351,6 +353,26 @@ def test_global_running_sum_passthrough_columns_stay_exact(spark, sf_dir):
     assert (pdf.cs.values == pdf.v.cumsum().values).all()
     pdf2 = out.select("o_orderkey", "cs").orderBy("o_orderkey").toPandas()
     assert (pdf.cs.values == pdf2.cs.values).all()
+
+
+def test_global_running_sum_string_key_fallback_is_pinned(spark, sf_dir):
+    """Non-numeric leading keys can't take the arithmetic-bucket path;
+    they must fall back to the sampled range partitioning PINNED by a
+    localCheckpoint (Scan ExistingRDD) — the branch-divergence guard —
+    and still produce exact prefix sums."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    docs = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        (F.col("o_custkey") % 97).cast("long").alias("v"),
+        "o_orderstatus",
+    )
+    out = global_running_sum(docs, "v", ["k"], "cs", num_partitions=8)
+    assert "existingrdd" in out._jdf.queryExecution().executedPlan().toString().lower()
+    pdf = out.select("k", "v", "cs").orderBy("k").toPandas()  # string order
+    assert (pdf.cs.values == pdf.v.cumsum().values).all()
 
 
 def test_salted_agg_query_two_stage_no_cartesian(spark, sf_dir):
@@ -697,7 +719,7 @@ def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
     b = {(r.o_orderkey, r.cs) for r in naive.select("o_orderkey", "cs").collect()}
     assert a == b
     plan = _plan(fast)
-    assert "existingrdd" in plan.lower()  # pinned two-phase layout
+    assert "broadcastnestedloopjoin" in plan.lower()  # deterministic buckets
     # the high-cardinality escape hatch (ADVICE r08 #3): the shuffled
     # offset join must produce the identical result with no broadcast
     # of the offsets frame
