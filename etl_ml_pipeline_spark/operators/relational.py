@@ -288,10 +288,11 @@ def _ranged_with_pid(
     LINEAGE once per consuming branch (local window + per-partition
     totals), so when upstream is compute-heavy (tokenization feeding a
     packing prefix sum) a cluster caller can trade one executor-storage
-    write for the second evaluation. Measured at sf0.1 the default
-    wins (pack 0.91s vs 1.14s pinned — the write dominates a cheap
-    re-scan); the pin wins when upstream cost per row exceeds local
-    write+read cost, the caller's call at 100 TB."""
+    write for the second evaluation. Measured on the packing shape:
+    at sf0.1 the default wins (0.91s vs 1.14s pinned — the write
+    dominates a cheap re-scan); by sf10 they cross (3.16s vs 3.07s
+    pinned as the tokenize re-evaluation grows with the corpus) — at
+    cluster scale with compute-heavy upstream, pass pin_input=True."""
     lead = order_cols[0]
     dtype = dict(df.dtypes).get(lead, "")
     if not pin_input and (dtype in _NUMERIC_LEADS or dtype.startswith("decimal")):
