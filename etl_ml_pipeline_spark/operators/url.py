@@ -36,8 +36,11 @@ dedup key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.base import BaseTransform
+from etl_ml_pipeline_spark.registry import register_transform
 
 # RFC 3986-ish split for absolute http(s) URLs. Group 4 captures the
 # query INCLUDING its leading '?' (optional-group semantics: both Spark
@@ -139,3 +142,52 @@ def registered_domain(host: Column) -> Column:
     return F.when(
         last2.isin(*TWO_LEVEL_SUFFIXES) & (last3 != ""), last3
     ).otherwise(last2)
+
+
+@register_transform("url_canonicalize")
+class UrlCanonicalize(BaseTransform):
+    """YAML-pipeline form of URL canonicalization: annotate each row with
+    the canonical URL, the scheme-insensitive page key, the canonical
+    host, and the registered domain — then optionally keep-first dedup
+    on the page key.
+
+    config:
+      url_col: url            # input column
+      dedup: false            # true -> keep lowest id_col per page_key
+      id_col: doc_id          # survivor order for dedup
+      drop_malformed: false   # true -> drop rows whose URL didn't parse
+
+    Scale: annotation is a pure map; dedup adds exactly one shuffle on
+    the page key (window keep-first, same shape as dedup_exact).
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        url_col = self.config.get("url_col", "url")
+        if url_col not in df.columns:
+            raise ValueError(f"url_canonicalize: column {url_col!r} not in input")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        url_col = self.config.get("url_col", "url")
+        u = F.col(url_col)
+        host = url_host(u)
+        out = df.withColumns(
+            {
+                "canonical_url": canonicalize_url(u),
+                "page_key": url_dedup_key(u),
+                "host": host,
+                "domain": registered_domain(host),
+            }
+        )
+        if self.config.get("drop_malformed"):
+            out = out.filter(F.col("page_key").isNotNull())
+        if self.config.get("dedup"):
+            from pyspark.sql import Window as W
+
+            id_col = self.config.get("id_col", "doc_id")
+            w = W.partitionBy("page_key").orderBy(F.col(id_col).asc())
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return out

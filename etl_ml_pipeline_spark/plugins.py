@@ -29,6 +29,7 @@ from etl_ml_pipeline_spark.operators import relational as _t_rel  # noqa: F401
 from etl_ml_pipeline_spark.operators import sessionize as _t_sess  # noqa: F401
 from etl_ml_pipeline_spark.operators import similarity as _t_sim  # noqa: F401
 from etl_ml_pipeline_spark.operators import text as _t_text  # noqa: F401
+from etl_ml_pipeline_spark.operators import url as _t_url  # noqa: F401
 from etl_ml_pipeline_spark.operators import validation as _t_val  # noqa: F401
 
 # Sinks

@@ -93,3 +93,35 @@ def test_canonicalization_is_jvm_side_projection(spark):
     plan = df.select(U.url_dedup_key(F.col("url")).alias("k"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_url_canonicalize_transform_dedup(spark):
+    """Registry transform: annotate + keep-first dedup on the page key;
+    malformed rows drop only when asked."""
+    import pytest
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/x?b=2&a=1"),
+            (2, "HTTP://WWW.example.com:80/x/?a=1&b=2&utm_source=t"),
+            (3, "https://other.example.co.uk/y"),
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    cls = TRANSFORMS.get("url_canonicalize")
+    out = cls({"dedup": True}).transform(df).orderBy("doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 3, 4}  # 2 deduped into 1; malformed kept
+    assert rows[1].page_key == "example.com/x?a=1&b=2"
+    assert rows[3].domain == "example.co.uk"
+    assert rows[4].page_key is None
+
+    dropped = cls({"drop_malformed": True}).transform(df)
+    assert dropped.count() == 3
+
+    with pytest.raises(ValueError, match="not in input"):
+        cls({"url_col": "nope"}).validate(df)
