@@ -113,6 +113,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("semantic_dedup", tmp_path / "out7"),
         ("token_budget_mixture", tmp_path / "out8"),
         ("perplexity_gated_corpus", tmp_path / "out9"),
+        ("url_dedup_corpus", tmp_path / "out10"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),
