@@ -259,6 +259,7 @@ def _ranged_with_pid(
     order_cols: list[str],
     fallback_cols: list[str] | None = None,
     pin_input: bool = False,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Assign the two-phase operators' partition id ``__pid`` so that it
     is (a) monotone in the ``order_cols`` ordering and (b) DETERMINISTIC
@@ -375,6 +376,7 @@ def global_running_sum(
     out_col: str = "running_sum",
     num_partitions: int | None = None,
     pin_input: bool = False,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact global running (prefix) sum in total ``order_cols`` order,
     without the single-task sort — the cumulative twin of
@@ -392,7 +394,9 @@ def global_running_sum(
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = _ranged_with_pid(df, parts, order_cols, pin_input=pin_input)
+    ranged = _ranged_with_pid(
+        df, parts, order_cols, pin_input=pin_input, bounds_df=bounds_df
+    )
     w_local = (
         W.partitionBy("__pid")
         .orderBy(*cols)

@@ -13,11 +13,15 @@ and oracle-checks the FINAL packed output, so a green hash certifies
 the whole chain end to end — the integration twin of the per-stage
 entries.
 
-Scale: the chain is one plan with exactly three shuffles at any SF —
-the fingerprint dedup exchange, and the two-phase distributed prefix
-sum's range partition + k-row offset broadcast; scoring, gating, and
-sampling are map-side projections/filters fused into the scan stage by
-whole-stage codegen. No driver materialization between stages.
+Scale: scoring, gating, and sampling are map-side projections/filters
+fused into the scan stage by whole-stage codegen; the data-scale
+shuffles are the fingerprint dedup exchange and the prefix sum's
+__pid hash exchange (each evaluated once per prefix-sum branch — the
+documented two-evaluation trade of the deterministic-bucket design;
+pass pin_input=True to trade a storage write for one evaluation at
+cluster scale), plus the small pack-id aggregation. Bucket bounds come
+from a guaranteed-cheap raw-id scan. No driver materialization between
+stages.
 """
 
 from __future__ import annotations
@@ -59,7 +63,18 @@ def training_data_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = deduped.filter(
         X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate
     ).select("doc_id", "lang", "n_tok")
-    cum = global_running_sum(sampled, "n_tok", ["doc_id"], "cum_tok")
+    # Covering doc_id bounds from the RAW table: a guaranteed
+    # column-pruned scan for the prefix sum's bucket boundaries,
+    # independent of how well the pruner guts the gate+dedup+sample
+    # lineage under the self-derived min/max (filtering only shrinks
+    # the id range, so raw bounds stay valid).
+    bounds = docs.agg(
+        F.min(F.col("doc_id").cast("double")).alias("__lo"),
+        F.max(F.col("doc_id").cast("double")).alias("__hi"),
+    )
+    cum = global_running_sum(
+        sampled, "n_tok", ["doc_id"], "cum_tok", bounds_df=bounds
+    )
     packed = cum.withColumn(
         "pack_id",
         F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET).cast("long"),

@@ -325,9 +325,9 @@ SHOWCASE = [
         "The chained clean->gate->dedup->sample->pack governance plan: "
         "scoring/gating/sampling fuse map-side into the scan stage, the "
         "fingerprint dedup is one exchange + window, and the packing rides "
-        "the pinned two-phase prefix sum (Scan ExistingRDD = the "
-        "localCheckpoint that makes both prefix branches read one physical "
-        "layout).",
+        "the deterministic-bucket two-phase prefix sum (the 1-row bounds "
+        "broadcast makes __pid a pure function of the row, so the two "
+        "prefix branches agree with no materialization).",
     ),
 ]
 
