@@ -737,3 +737,31 @@ def test_grouped_running_sum_matches_naive_window(spark, sf_dir):
         for r in shuffled.select("o_orderkey", "cs").collect()
     }
     assert c == a
+
+
+def test_global_running_sum_pathological_double_keys(spark):
+    """NaN / +-Infinity leading keys must keep exact prefix sums: the
+    bucket id clamps into [lo, hi] (NaN -> top bucket, matching Spark's
+    NaN-sorts-last; -Inf -> bucket 0) instead of floor()ing to long
+    extremes and breaking the bucket/order monotone contract."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    rows = [(float("-inf"), 1), (-5.0, 2), (0.0, 3), (7.5, 4),
+            (float("inf"), 5), (float("nan"), 6)] + [
+        (float(i), 10 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k double, v long")
+    fast = global_running_sum(df, "v", ["k"], "cs", num_partitions=4)
+    naive = df.withColumn(
+        "cs",
+        F.sum("v").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    key = lambda r: (math.isnan(r.k), r.k if not math.isnan(r.k) else 0.0, r.v, r.cs)
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
