@@ -21,8 +21,11 @@ Canonical form (documented so oracles can replicate it exactly):
 1. fragment dropped;
 2. scheme lowercased;
 3. authority lowercased; leading ``www.`` and trailing host dot
-   stripped; the port dropped iff it is the scheme's default
-   (http:80 / https:443), kept otherwise;
+   stripped; the port dropped iff it is a default — for the full
+   canonical URL that means THAT scheme's default (http:80 /
+   https:443); for the scheme-less ``url_dedup_key`` BOTH 80 and 443
+   are dropped (the key has no scheme to condition on, and the two
+   scheme spellings of one page must share one key);
 4. path: empty -> ``/``; runs of ``/`` collapsed; trailing slash
    stripped (except the bare root);
 5. query: params split on ``&``, empties and tracking params
@@ -52,10 +55,12 @@ _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
 # short and byte-exact so the oracle regex matches verbatim.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
 
-# ccTLD second-level suffixes where the registered domain is 3 labels
-# (naive public-suffix subset; a production run ships the full PSL as a
-# broadcast lookup — same plan shape, bigger literal set).
-TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "co.in", "com.br")
+# ccTLD second-level suffixes where the registered domain is 3 labels.
+# Packaged Public Suffix List snapshot (ICANN section, two-label rules;
+# see operators/psl.py for provenance + documented limitations). The
+# set compiles into the plan as a literal InSet — map-side hash probe,
+# no join.
+from etl_ml_pipeline_spark.operators.psl import TWO_LEVEL_SUFFIXES
 
 
 def url_scheme(url: Column) -> Column:
@@ -74,13 +79,28 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), r"\.$", "")
 
 
-def _authority_canon(url: Column) -> Column:
-    """Canonical host plus the port iff it is not the scheme default."""
+def _authority_canon(url: Column, scheme_insensitive: bool = False) -> Column:
+    """Canonical host plus the port iff it is not a default.
+
+    ``scheme_insensitive=False`` (the full canonical URL, scheme kept):
+    the port is default iff it matches THAT URL's scheme (http:80 /
+    https:443) — RFC 3986 §6.2.3 semantics.
+
+    ``scheme_insensitive=True`` (the scheme-less dedup key): BOTH 80 and
+    443 are droppable defaults regardless of scheme, because the key has
+    no scheme to condition on — otherwise ``http://h:80`` and
+    ``https://h:80`` (two spellings of one crawl identity) would get
+    DIFFERENT keys, violating the key's scheme-insensitivity contract
+    (round-10 verdict finding #1, falsifying example ``http://0.0:80``).
+    """
     port = F.regexp_extract(_authority_raw(url), r":(\d+)$", 1)
-    scheme = url_scheme(url)
-    default = ((scheme == "http") & (port == "80")) | (
-        (scheme == "https") & (port == "443")
-    )
+    if scheme_insensitive:
+        default = port.isin("80", "443")
+    else:
+        scheme = url_scheme(url)
+        default = ((scheme == "http") & (port == "80")) | (
+            (scheme == "https") & (port == "443")
+        )
     return F.concat(
         url_host(url),
         F.when((port != "") & ~default, F.concat(F.lit(":"), port)).otherwise(
@@ -110,11 +130,11 @@ def url_query_canon(url: Column) -> Column:
     return F.array_join(F.sort_array(params), "&")
 
 
-def _tail(url: Column) -> Column:
+def _tail(url: Column, scheme_insensitive: bool = False) -> Column:
     """authority + path + canonical query — everything but the scheme."""
     q = url_query_canon(url)
     return F.concat(
-        _authority_canon(url),
+        _authority_canon(url, scheme_insensitive=scheme_insensitive),
         url_path(url),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
@@ -129,14 +149,18 @@ def canonicalize_url(url: Column) -> Column:
 
 def url_dedup_key(url: Column) -> Column:
     """Scheme-insensitive crawl identity: canonical authority + path +
-    query. http/https variants of one page share one key."""
-    return F.when(url_scheme(url) != "", _tail(url))
+    query. http/https variants of one page share one key — including
+    explicit-default-port spellings (``:80``/``:443`` are both dropped
+    from the key regardless of scheme, since the key carries no scheme
+    to condition on)."""
+    return F.when(url_scheme(url) != "", _tail(url, scheme_insensitive=True))
 
 
 def registered_domain(host: Column) -> Column:
     """Registered (pay-level) domain of a canonical host: last two
-    labels, or three when the 2-label tail is a known ccTLD second-level
-    suffix (co.uk style)."""
+    labels, or three when the 2-label tail is a public suffix per the
+    packaged PSL snapshot (``gov.uk`` / ``ac.jp`` / ``com.cn`` style —
+    see operators/psl.py for scope and limitations)."""
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     return F.when(
@@ -184,7 +208,18 @@ class UrlCanonicalize(BaseTransform):
             from pyspark.sql import Window as W
 
             id_col = self.config.get("id_col", "doc_id")
-            w = W.partitionBy("page_key").orderBy(F.col(id_col).asc())
+            # Malformed rows (page_key NULL) are each their own dedup
+            # group: a second partition key that is the row id for NULL
+            # keys and a constant otherwise. Without it, Window's
+            # NULL-is-a-group semantics would collapse ALL malformed
+            # rows to one survivor — contradicting the module contract
+            # that malformed rows stay visible (ADVICE r10 #1).
+            null_disc = F.when(
+                F.col("page_key").isNull(), F.col(id_col)
+            ).otherwise(F.lit(None))
+            w = W.partitionBy("page_key", null_disc).orderBy(
+                F.col(id_col).asc()
+            )
             out = (
                 out.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

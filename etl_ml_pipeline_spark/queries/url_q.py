@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_ml_pipeline_spark.operators import url as U
+from etl_ml_pipeline_spark.operators.psl import SUFFIX_SQL_LIST
 from etl_ml_pipeline_spark.queries.tables import t
 
 # ---------------------------------------------------------------------------
@@ -100,13 +101,16 @@ _URL_RE_SQL = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
 _CANON_SQL = f"""
   SELECT doc_id, source, scheme,
          host || port_part AS auth,
-         host || port_part || path || q_part AS page_key
+         host || key_port_part || path || q_part AS page_key
   FROM (
     SELECT doc_id, source, scheme, host,
            CASE WHEN port <> ''
                  AND NOT ((scheme = 'http' AND port = '80')
                           OR (scheme = 'https' AND port = '443'))
                 THEN ':' || port ELSE '' END AS port_part,
+           -- scheme-insensitive page key: BOTH default ports dropped
+           CASE WHEN port <> '' AND port NOT IN ('80', '443')
+                THEN ':' || port ELSE '' END AS key_port_part,
            CASE WHEN pstrip = '' THEN '/' ELSE pstrip END AS path,
            CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS q_part
     FROM (
@@ -221,7 +225,7 @@ canon AS ({_CANON_SQL}),
 dom AS (
   SELECT p.doc_id, p.host, c.page_key,
          CASE WHEN regexp_extract(p.host, '([^.]+\\.[^.]+)$', 1)
-                   IN ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')
+                   IN ({SUFFIX_SQL_LIST})
                AND regexp_extract(p.host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
               THEN regexp_extract(p.host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
               ELSE regexp_extract(p.host, '([^.]+\\.[^.]+)$', 1) END AS domain
