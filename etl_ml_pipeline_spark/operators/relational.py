@@ -293,20 +293,47 @@ def _ranged_with_pid(
     at sf0.1 the default wins (0.91s vs 1.14s pinned — the write
     dominates a cheap re-scan); by sf10 they cross (3.16s vs 3.07s
     pinned as the tokenize re-evaluation grows with the corpus) — at
-    cluster scale with compute-heavy upstream, pass pin_input=True."""
+    cluster scale with compute-heavy upstream, pass pin_input=True.
+
+    ``bounds_df`` (numeric path only): a 1-row frame with DOUBLE
+    columns ``__lo``/``__hi`` COVERING the finite key range — e.g. a
+    bare min/max over the raw table's id column, computed before heavy
+    transforms. When supplied it replaces the self-derived
+    ``df.agg(min,max)``, so the bucket-bounds branch is a cheap
+    column-pruned scan instead of a third evaluation of the full input
+    lineage (the 100 TB concern on training_data_prep_e2e; pinned by
+    tests/test_plans.py). A superset range only skews bucket BALANCE —
+    out-of-range keys clamp into [0, parts-1], so correctness never
+    depends on the bounds being tight.
+
+    Non-finite keys (explicit clamp semantics, pinned by
+    tests/test_relational_ops.py): NULL -> bucket -1 (sorts first,
+    matching ASC NULLS FIRST); -Inf -> bucket 0; NaN and +Inf -> the
+    top bucket (Spark sorts NaN above +Inf — both land in the last
+    range). ``__lo``/``__hi`` are computed over FINITE keys only, so a
+    single NaN/Inf row no longer degenerates span to NaN/Inf and
+    serializes every finite row into one bucket (ADVICE r10 #4)."""
     lead = order_cols[0]
     dtype = dict(df.dtypes).get(lead, "")
     if not pin_input and (dtype in _NUMERIC_LEADS or dtype.startswith("decimal")):
         x = F.col(lead).cast("double")
-        stats = df.agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"))
+        inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+        if bounds_df is not None:
+            stats = bounds_df
+        else:
+            xf = F.when(~F.isnan(x) & (x < inf) & (x > ninf), x)
+            stats = df.agg(F.min(xf).alias("__lo"), F.max(xf).alias("__hi"))
         span = F.col("__hi") - F.col("__lo")
+        bucket = F.floor((x - F.col("__lo")) / span * parts)
         pid = (
             F.when(x.isNull(), F.lit(-1))
-            .when(span <= 0, F.lit(0))
+            .when(F.isnan(x) | (x == inf), F.lit(parts - 1))
+            .when(x == ninf, F.lit(0))
+            .when(F.col("__lo").isNull() | (span <= 0), F.lit(0))
             .otherwise(
-                F.least(
-                    F.lit(parts - 1).cast("bigint"),
-                    F.floor((x - F.col("__lo")) / span * parts),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.least(F.lit(parts - 1).cast("bigint"), bucket),
                 )
             )
             .cast("int")

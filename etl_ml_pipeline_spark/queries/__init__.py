@@ -246,15 +246,48 @@ _RECORDED_R09 = {
 for _n in _RECORDED_R09:
     _LAST_RECORDED[_n] = 9
 
-# Round-10 rotation (VERDICT r09 ask #1): after the r09 refresh the
-# oldest tier is exactly the six r05 overflow names (`ab_test_events`,
-# `anomaly_mad_events`, `drift_psi_events`, `markov_transitions_events`,
-# `path_top_sequences`, `retention_curve_events`) — they sort right
-# after any new round-10 additions (tier 0 via the .get default) and
-# are recorded exactly at the ≤5-rounds-stale bound. The remaining
-# prefix slots go to the r06 tier. The staleness arithmetic itself is
-# now enforced mechanically by scripts/precommit_check.py (VERDICT r09
-# ask #4), not just by this comment.
+# Round 10 driver records (the exact key set of CORRECTNESS_r10.json —
+# all 50 green: the six round-10 additions at tier 0, the six r05
+# overflow names at the ≤5-round bound, and 38 r06-era refreshes).
+_RECORDED_R10 = {
+    "ab_test_events", "agg_incremental_refresh", "ann_ivf_incremental_topk",
+    "ann_ivf_persisted_topk", "ann_ivfpq_rerank_topk", "ann_recall_battery",
+    "anomaly_mad_events", "assoc_pairs_events",
+    "boilerplate_strip_documents", "corpus_stats_battery",
+    "dedup_fuzzy_ed1_names", "drift_psi_events", "feature_winsorize_events",
+    "graph_triangle_counts", "markov_transitions_events",
+    "multimodal_audio_features", "multimodal_image_ahash_dedup",
+    "multimodal_image_dedup", "path_top_sequences",
+    "phrase_search_documents", "privacy_erasure_audit",
+    "resample_gapfill_events", "retention_curve_events",
+    "sample_temperature_lang", "sample_weighted_priority_documents",
+    "shuffle_epoch_documents", "sketch_cms_frequency",
+    "sketch_heavy_hitters_terms", "sketch_rolling_distinct_users",
+    "split_assign_documents", "stream_cdc_view_replay",
+    "stream_dedup_replay", "stream_interval_join_replay",
+    "stream_running_totals_replay", "stream_session_window_replay",
+    "stream_sessionize_replay", "stream_slide_replay",
+    "stream_static_join_replay", "stream_topk_replay",
+    "stream_tumble_replay", "text_novelty_surprise", "text_novelty_trigram",
+    "training_data_prep_e2e", "unpivot_order_metrics",
+    "url_canonical_dedup", "url_host_dedup_stats",
+    "url_tracking_scrub_stats", "versioned_time_travel",
+    "window_mom_revenue_growth", "window_time_range_rolling",
+}
+for _n in _RECORDED_R10:
+    _LAST_RECORDED[_n] = 10
+
+# Round-11 rotation (VERDICT r10 ask #4): after the r10 refresh the
+# oldest tier is the 12 r06-era names (`anomaly_zscore_events`,
+# `array_function_battery`, `cohort_retention_events`,
+# `datetime_function_battery`, `dq_expectations_orders`,
+# `funnel_events`, `layout_partition_prune_stats`,
+# `null_semantics_battery`, `regexp_function_battery`,
+# `seasonality_weekday_events`, `window_new_vs_returning`,
+# `window_rolling_autocorr_events`) — they hit the ≤5-round staleness
+# bound at r11 and sort directly behind any round-11 additions (tier 0
+# via the .get default); the remaining prefix slots refresh the r07
+# tier. Enforced mechanically by scripts/precommit_check.py.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1413,9 +1413,34 @@ SELECT '{name}' AS index_name, 5 AS k, 10 AS n_queries,
 # ---------------------------------------------------------------------------
 
 
-def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_scoped_index_dir(name: str) -> str:
+    """Session-stable scratch directory for persisted-index queries.
+
+    These catalog entries are re-run many times per session (bench,
+    scale ladder, oracle gate); a fresh ``mkdtemp`` per invocation
+    leaked one full parquet index tree per run (ADVICE r10 #3). A
+    per-process path that each invocation WIPES before writing keeps
+    at most one tree per query name alive, and the whole root is
+    removed at interpreter exit. The returned result DataFrame reads
+    the index lazily, so cleanup cannot happen inside the query
+    function itself — collect a result before re-invoking the same
+    query (every harness here does)."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_idx_{os.getpid()}")
+    if not getattr(_run_scoped_index_dir, "_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _run_scoped_index_dir._registered = True  # type: ignore[attr-defined]
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.operators.ann_index import (
         ivf_index_read,
         ivf_index_write,
@@ -1429,7 +1454,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = _run_scoped_index_dir("ivf_persisted")
     ivf_index_write(corpus, centroids, path)
     stored_cents, stored_lists = ivf_index_read(spark, path)
     queries = emb.filter(
@@ -1502,8 +1527,6 @@ ORDER BY q_id, rank
 
 
 def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_ml_pipeline_spark.operators.ann_index import (
         ivf_index_append,
         ivf_index_read,
@@ -1518,7 +1541,7 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
-    path = tempfile.mkdtemp(prefix="ivf_incr_")
+    path = _run_scoped_index_dir("ivf_incr")
     ivf_index_write(corpus.filter(F.col("c_id") % 2 == 0), centroids, path)
     ivf_index_append(spark, corpus.filter(F.col("c_id") % 2 == 1), path)
     stored_cents, stored_lists = ivf_index_read(spark, path)

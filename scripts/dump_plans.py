@@ -327,7 +327,13 @@ SHOWCASE = [
         "fingerprint dedup is one exchange + window, and the packing rides "
         "the deterministic-bucket two-phase prefix sum (the 1-row bounds "
         "broadcast makes __pid a pure function of the row, so the two "
-        "prefix branches agree with no materialization).",
+        "prefix branches agree with no materialization). Since round 11 "
+        "the bounds branch really is the caller-supplied raw-table scan "
+        "(min/max of doc_id over ReadSchema struct<doc_id:bigint>) — "
+        "exactly 2 WindowGroupLimit pairs in the plan, i.e. the gate+dedup "
+        "lineage is evaluated once per prefix branch and never a third "
+        "time for bounds (pinned by tests/test_plans.py; measured 0.89x "
+        "at sf0.1, 0.92x at sf1 — scripts/r11_bounds_ab.json).",
     ),
 ]
 
