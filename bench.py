@@ -91,6 +91,10 @@ HEADLINE = [
     # would eat the comparison margin (ladder tracks their scaling).
     "url_canonical_dedup",
     "training_data_prep_e2e",
+    # round-11: all three additions stay catalog-only by the standing
+    # rule — ann_ivf_delete_topk writes an index table (fixed table-IO
+    # latency) and the two late-data replays run streaming triggers;
+    # their scale behavior is tracked by the ladder (all sublinear).
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

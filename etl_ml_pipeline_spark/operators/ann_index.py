@@ -91,6 +91,86 @@ def ivf_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     return centroids, lists
 
 
+def ivf_index_delete(ids: DataFrame, path: str, c_id: str = "c_id") -> None:
+    """LOGICAL erasure: append the ids to the index's tombstone table.
+
+    The privacy-deletion story at scale (the index twin of the batch
+    ``privacy_erasure_audit`` query): a delete request must take effect
+    immediately without rewriting petabyte-scale inverted lists, so the
+    delete is an O(delta) append of ids and the serve path anti-joins
+    tombstones (``ivf_topk_from_index(tombstones=...)``). Physical
+    removal of the vector bytes is :func:`ivf_index_vacuum` — the
+    deferred rewrite, exactly Delta/Iceberg delete-vector semantics.
+    Deleting an id not in the index is a harmless no-op tombstone.
+
+    Constraint: tombstones are ID-level, so RE-INSERTING a deleted id
+    (an update) requires :func:`ivf_index_vacuum` between the delete
+    and the append — otherwise the tombstone suppresses the new row
+    too. The update sequence delete -> vacuum -> append is pinned by
+    ``ann_ivf_update_topk``'s oracle (update == rebuild on the
+    modified corpus)."""
+    ids.select(c_id).distinct().write.mode("append").parquet(f"{path}/tombstones")
+
+
+def ivf_index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's live tombstone table, or None when nothing is
+    logically deleted (also after a vacuum, which clears it)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    if not p.getFileSystem(conf).exists(p):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def ivf_index_vacuum(spark: SparkSession, path: str, c_id: str = "c_id") -> dict:
+    """PHYSICAL erasure: rewrite the inverted lists without the
+    tombstoned ids, then drop the tombstone table.
+
+    The GDPR-grade completion of :func:`ivf_index_delete` — after
+    vacuum the deleted vectors' bytes are gone from storage, not just
+    filtered at serve time. One anti-join + one cent_id-partitioned
+    rewrite (the same write shape as build); the swap reuses the
+    compaction rename dance + crash recovery from streaming/
+    dedup_index (entry self-heals a previous mid-swap death). Safe
+    ordering: tombstones are deleted only AFTER the swap, so a crash
+    between swap and tombstone-drop just re-applies an empty anti-join
+    on the next vacuum — serve correctness never regresses.
+
+    Returns {rows_before, rows_deleted, rows_after}."""
+    from etl_ml_pipeline_spark.streaming.dedup_index import (
+        restore_interrupted_compaction,
+        swap_in_rewrite,
+    )
+
+    lists_path = f"{path}/lists"
+    restore_interrupted_compaction(spark, lists_path)
+    tombs = ivf_index_tombstones(spark, path)
+    lists = spark.read.parquet(lists_path)
+    rows_before = lists.count()
+    if tombs is None:
+        return {"rows_before": rows_before, "rows_deleted": 0, "rows_after": rows_before}
+    kept = lists.join(
+        F.broadcast(tombs.select(F.col(c_id).cast("long").alias(c_id))),
+        c_id,
+        "left_anti",
+    )
+    kept.write.mode("overwrite").partitionBy("cent_id").parquet(
+        lists_path + ".__compact_tmp"
+    )
+    swap_in_rewrite(spark, lists_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    tp = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    tp.getFileSystem(conf).delete(tp, True)
+    rows_after = spark.read.parquet(lists_path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_deleted": rows_before - rows_after,
+        "rows_after": rows_after,
+    }
+
+
 def ivf_topk_from_index(
     queries: DataFrame,
     centroids: DataFrame,
@@ -101,13 +181,26 @@ def ivf_topk_from_index(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a stored index: probe the query's n_probe
     nearest centroids, equi-join the probed lists, exact cosine rerank.
     Identical semantics to similarity.ivf_topk minus the corpus
-    assignment — the lists table already carries cent_id."""
+    assignment — the lists table already carries cent_id.
+
+    ``tombstones`` (from :func:`ivf_index_tombstones`): logically
+    deleted ids, excluded via a broadcast anti-join BEFORE the
+    candidate join — map-side, no extra shuffle, and a deleted vector
+    can never appear in results even before a vacuum rewrites the
+    lists."""
     from pyspark.sql import Window as W
 
+    if tombstones is not None:
+        lists = lists.join(
+            F.broadcast(tombstones.select(F.col(c_id).cast("long").alias(c_id))),
+            c_id,
+            "left_anti",
+        )
     qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec)
     cand = lists.join(F.broadcast(qb), "cent_id").withColumn(
         "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))

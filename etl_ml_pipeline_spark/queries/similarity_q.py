@@ -1554,6 +1554,204 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_delete_topk — the privacy-erasure path of the persisted index
+# (operators/ann_index.py: ivf_index_delete / ivf_index_vacuum): build
+# the full index, logically DELETE a slice of the corpus (vec_id % 7 ==
+# 3 — tombstone append, O(delta), no list rewrite), then serve top-k
+# with the tombstone anti-join applied. The oracle is simply full
+# assignment MINUS the deleted candidates, so a green hash proves a
+# deleted vector can never be returned even before vacuum physically
+# rewrites the lists — the GDPR contract an index at 100 TB needs
+# (tombstone now, rewrite on the maintenance schedule; vacuum ==
+# tombstone-serve parity is pinned by tests/test_ann_index.py).
+# Queries are vec_id in [30, 40) to keep the record distinct; deleted
+# ids can still QUERY (a query vector is external input, not an index
+# row). Scale: the tombstone table broadcasts into a map-side anti-join
+# ahead of the probe join — no extra shuffle on the serve path.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_delete,
+        ivf_index_read,
+        ivf_index_tombstones,
+        ivf_index_write,
+        ivf_topk_from_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    path = _run_scoped_index_dir("ivf_delete")
+    ivf_index_write(corpus, centroids, path)
+    ivf_index_delete(corpus.filter(F.col("c_id") % 7 == 3), path)
+    stored_cents, stored_lists = ivf_index_read(spark, path)
+    tombs = ivf_index_tombstones(spark, path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 40)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk_from_index(
+        queries, stored_cents, stored_lists, k=5, n_probe=2, tombstones=tombs
+    )
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_DELETE_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1 AND vec_id % 7 <> 3
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+    WHERE a.vec_id >= 30 AND a.vec_id < 40
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, a.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qprobe q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_update_topk — in-place UPDATE of indexed vectors (re-embedding
+# a slice of the corpus, the recurring production event when the
+# embedding model revs): delete the stale ids (tombstones), vacuum (the
+# id-level tombstone would otherwise suppress the re-inserted rows —
+# the constraint ivf_index_delete documents), then append the new
+# vectors against the FROZEN centroids. vec_id % 9 == 4 gets its
+# embedding REVERSED (deterministic, DuckDB-replicable, changes both
+# the assignment and the cosines); the oracle is a from-scratch
+# assignment of the modified corpus, so a green hash proves
+# delete -> vacuum -> append == rebuild — the invariant that makes the
+# index safely mutable. Queries are vec_id in [40, 50).
+# Scale: delete is an O(delta) append; vacuum is the maintenance
+# rewrite (anti-join + partitioned write); append assigns only the
+# delta. No step touches the unmodified lists' rows twice.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_update_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_append,
+        ivf_index_delete,
+        ivf_index_read,
+        ivf_index_vacuum,
+        ivf_index_write,
+        ivf_topk_from_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    path = _run_scoped_index_dir("ivf_update")
+    ivf_index_write(corpus, centroids, path)
+    stale = corpus.filter(F.col("c_id") % 9 == 4)
+    ivf_index_delete(stale.select("c_id"), path)
+    ivf_index_vacuum(spark, path)
+    ivf_index_append(
+        spark, stale.withColumn("c_vec", F.reverse(F.col("c_vec"))), path
+    )
+    stored_cents, stored_lists = ivf_index_read(spark, path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=2)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_IVF_UPDATE_SQL = """
+WITH vecs AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 9 = 4 THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+         CROSS JOIN cent c
+    WHERE a.vec_id >= 40 AND a.vec_id < 50
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, a.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qprobe q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 _IVF_INCREMENTAL_SQL = """
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1596,6 +1794,8 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
+    "ann_ivf_delete_topk": ann_ivf_delete_topk,
+    "ann_ivf_update_topk": ann_ivf_update_topk,
     "ann_recall_battery": ann_recall_battery,
     "ann_recall_contract": ann_recall_contract,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1619,6 +1819,8 @@ ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
     "ann_ivf_persisted_topk": _IVF_PERSISTED_SQL,
     "ann_ivf_incremental_topk": _IVF_INCREMENTAL_SQL,
+    "ann_ivf_delete_topk": _IVF_DELETE_SQL,
+    "ann_ivf_update_topk": _IVF_UPDATE_SQL,
     "ann_recall_battery": _battery_oracle(),
     "ann_recall_contract": _recall_oracle(),
     "ann_pq_adc_topk": _pq_oracle(),

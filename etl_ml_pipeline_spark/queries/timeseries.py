@@ -1874,8 +1874,207 @@ ORDER BY event_type, rank, total_cents, user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_late_data_window_replay — WATERMARK CORRECTNESS under genuinely
+# late data: the one stateful dimension the other stream replays never
+# pin (they use beyond-span watermarks so nothing is ever dropped).
+# Three mtime-ordered micro-batches where batch 3 carries old stragglers
+# (half of batch 1's time range arrives LAST), over an append-mode
+# 1-day tumbling aggregation with a 3-day watermark.
+#
+# Pinned Spark semantics (verified empirically on this build, and the
+# contract the DuckDB oracle replicates exactly):
+#   * two watermarks are live during batch b (the multi-stateful-
+#     operator design): the LATE-RECORD FILTER uses the PREVIOUS
+#     watermark, max(event time over batches <= b-2) - delay, while
+#     state eviction/emission uses the CURRENT one,
+#     max(batches <= b-1) - delay — the filter lags one batch (a
+#     straggler is dropped only once the watermark that passed its
+#     window has itself been superseded);
+#   * a row is DROPPED iff its window end < that (previous) watermark;
+#   * append mode emits a window iff window_end <= final watermark
+#     (non-strict; availableNow runs a final no-data batch that
+#     advances the watermark to global max - delay and flushes).
+# So batch 3's stragglers (10+ days older than the watermark) are
+# dropped, rows near the watermark survive, and the last ~3 days of
+# windows are never emitted — the exact production behavior of a
+# late-data pipeline, oracle-checked.
+# Value sums ride an exact integer cents column (round-half-up on both
+# engines), so state-merge order cannot drift the hash.
+# Scale: identical to production — one shuffle on the window key per
+# micro-batch, state = open windows only (watermark eviction is the
+# point of this entry).
+# ---------------------------------------------------------------------------
+
+
+def stream_late_data_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import os
+    import uuid
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "value")
+    )
+    t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]  # 1-row driver sync
+    c1 = t0 + _dt.timedelta(days=10)
+    c2 = t0 + _dt.timedelta(days=20)
+    conds = (
+        (F.col("ts") < F.lit(c1)) & (F.col("event_id") % 2 == 0),
+        (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2)),
+        (F.col("ts") >= F.lit(c2))
+        | ((F.col("ts") < F.lit(c1)) & (F.col("event_id") % 2 == 1)),
+    )
+    root = f"{_replay_ckpt_root()}/late_win_{uuid.uuid4().hex}"
+    os.makedirs(root)
+    _write_batches_spark(ev, root, conds=conds)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = (
+        stream.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.col("win.start").cast("string").alias("window_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return _replay(agg, "append").orderBy("window_start")
+
+
+_LATE_WINDOW_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 5 = 0
+),
+b AS (
+  SELECT min(ts) + INTERVAL 10 DAY AS c1,
+         min(ts) + INTERVAL 20 DAY AS c2
+  FROM ev
+),
+tagged AS (
+  SELECT e.*, CASE WHEN e.ts < b.c1 AND e.event_id % 2 = 0 THEN 1
+                   WHEN e.ts >= b.c1 AND e.ts < b.c2 THEN 2
+                   ELSE 3 END AS bid
+  FROM ev e, b
+),
+wm AS (
+  -- the late filter for batch b uses the PREVIOUS watermark
+  -- (batches <= b-2): batch 2's filter watermark is still epoch 0,
+  -- batch 3's is batch 1's max; emission uses the final (current) one
+  SELECT (SELECT max(ts) FROM tagged WHERE bid = 1) - INTERVAL 3 DAY AS f3,
+         (SELECT max(ts) FROM tagged) - INTERVAL 3 DAY AS wf
+),
+kept AS (
+  SELECT t.* FROM tagged t, wm
+  WHERE t.bid <= 2
+     OR (t.bid = 3 AND date_trunc('day', t.ts) + INTERVAL 1 DAY >= wm.f3)
+)
+SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+         AS window_start,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM kept, wm
+GROUP BY date_trunc('day', ts), wm.wf
+HAVING date_trunc('day', min(ts)) + INTERVAL 1 DAY <= wm.wf
+ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_late_dedup_eviction_replay — bounded-state streaming dedup
+# where the watermark actually EVICTS: dropDuplicatesWithinWatermark
+# with a 4-day delay over three micro-batches, each key arriving as an
+# identical same-batch pair (classic at-least-once double delivery)
+# plus one far-late duplicate shifted +22 days into the last batch.
+#
+# Pinned Spark semantics (verified empirically on this build):
+#   * there is NO late-input filter — a record older than the watermark
+#     still passes through and is emitted if no live state matches;
+#   * key state created at event time t expires when the watermark
+#     passes t + delay, but eviction runs at the END of each batch
+#     using the watermark in effect DURING that batch — one batch of
+#     lag vs the naive model;
+#   * an arrival matching live state is dropped; matching expired state
+#     is RE-EMITTED (the documented WithinWatermark contract — dedup is
+#     only guaranteed within the delay of the first arrival).
+# Net: keys from the first ~(batch1 span - 2*delay) days re-emit when
+# their +22d duplicate lands (state evicted at end of batch 2); later
+# keys' duplicates are still deduped. The oracle computes each key's
+# emission count from the same watermark arithmetic. Output is
+# (event_id, n_emits) — within-batch survivor choice is engine-
+# arbitrary, so only stable columns are emitted.
+# Scale: state is one 64-bit key + expiry per live key, bounded by the
+# watermark horizon — the reason WithinWatermark exists.
+# ---------------------------------------------------------------------------
+
+
+def stream_late_dedup_eviction_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid
+
+    from etl_ml_pipeline_spark.streaming.windows import stream_dedup
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "ts")
+    )
+    late = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 22 DAYS"))
+    rows = ev.unionByName(ev).unionByName(late)
+    root = f"{_replay_ckpt_root()}/late_dedup_{uuid.uuid4().hex}"
+    os.makedirs(root)
+    _write_batches_spark(rows, root)  # min(ts)+10d/+20d cuts
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = stream_dedup(stream, keys=("event_id",), ts_col="ts", watermark="4 days")
+    return (
+        _replay(out, "append")
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_emits"))
+        .orderBy("event_id")
+    )
+
+
+# Every key's original arrives in exactly one batch (x2 identical
+# copies -> 1 emit); its +22d duplicate always lands in batch 3. The
+# duplicate re-emits iff the key's state was evicted at the end of
+# batch 2, i.e. ts + 4d < (max ts of batch 1) - 4d. Batch-2/3 originals
+# always survive to batch 3 (their expiry is past the batch-2
+# watermark), so only early batch-1 keys re-emit.
+_LATE_DEDUP_SQL = """
+WITH ev AS (
+  SELECT event_id, ts FROM events WHERE event_id % 11 = 0
+),
+b AS (SELECT min(ts) + INTERVAL 10 DAY AS c1 FROM ev),
+wm2 AS (
+  SELECT max(e.ts) - INTERVAL 4 DAY AS w
+  FROM ev e, b WHERE e.ts < b.c1
+)
+SELECT e.event_id,
+       1 + CASE WHEN e.ts < b.c1
+                 AND e.ts + INTERVAL 4 DAY < wm2.w
+                THEN 1 ELSE 0 END AS n_emits
+FROM ev e, b, wm2
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
+    "stream_late_data_window_replay": stream_late_data_window_replay,
+    "stream_late_dedup_eviction_replay": stream_late_dedup_eviction_replay,
     "concurrency_peak_events": concurrency_peak_events,
     "stream_ttl_eviction_replay": stream_ttl_eviction_replay,
     "stream_topk_multibatch_replay": stream_topk_multibatch_replay,
@@ -1905,6 +2104,8 @@ QUERIES = {
 
 ORACLES = {
     "sma_events": _SMA_SQL,
+    "stream_late_data_window_replay": _LATE_WINDOW_SQL,
+    "stream_late_dedup_eviction_replay": _LATE_DEDUP_SQL,
     "concurrency_peak_events": _CONCURRENCY_SQL,
     "stream_ttl_eviction_replay": _TTL_REPLAY_SQL,
     "stream_topk_multibatch_replay": _TOPK_MULTIBATCH_SQL,

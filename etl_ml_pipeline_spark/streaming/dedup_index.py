@@ -78,6 +78,26 @@ def restore_interrupted_compaction(spark: SparkSession, index_path: str) -> bool
     return restored
 
 
+def swap_in_rewrite(spark: SparkSession, live_path: str) -> None:
+    """Promote a completed ``<live>.__compact_tmp`` rewrite: rename
+    live -> backup, tmp -> live, delete backup. Shared by index
+    compaction here and by ``ann_index.ivf_index_vacuum`` — one swap
+    codepath, one recovery story (:func:`restore_interrupted_compaction`
+    self-heals the crash window between the two renames). Atomic-per-
+    step only on atomic-rename filesystems (HDFS, ABFS, local); on S3A
+    use a manifest/table format or an external lock instead."""
+    fs, live_p, tmp_p, bak_p = _fs_paths(spark, live_path)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+    if not fs.rename(live_p, bak_p):
+        raise IOError(f"swap_in_rewrite: rename {live_path} -> backup failed")
+    if not fs.rename(tmp_p, live_p):
+        # roll back so the live directory is never left missing
+        fs.rename(bak_p, live_p)
+        raise IOError(f"swap_in_rewrite: rename tmp -> {live_path} failed")
+    fs.delete(bak_p, True)
+
+
 def compact_minhash_index(
     spark: SparkSession,
     index_path: str,
@@ -138,23 +158,13 @@ def compact_minhash_index(
         nbytes = max(1, math.ceil(nbytes * rows_kept / rows_before))
     n_out = max(1, math.ceil(nbytes / target_file_bytes))
     tmp = index_path.rstrip("/") + ".__compact_tmp"
-    bak = index_path.rstrip("/") + ".__compact_bak"
     (
         kept.repartitionByRange(n_out, "id")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    fs, live_p, tmp_p, bak_p = _fs_paths(spark, index_path)
-    if fs.exists(bak_p):
-        fs.delete(bak_p, True)
-    if not fs.rename(live_p, bak_p):
-        raise IOError(f"compact_minhash_index: rename {index_path} -> {bak} failed")
-    if not fs.rename(tmp_p, live_p):
-        # roll back so the live index is never left missing
-        fs.rename(bak_p, live_p)
-        raise IOError(f"compact_minhash_index: rename {tmp} -> {index_path} failed")
-    fs.delete(bak_p, True)
+    swap_in_rewrite(spark, index_path)
     after = spark.read.parquet(index_path)
     return {
         "files_before": files_before,

@@ -116,6 +116,14 @@ QUERIES = [
     "ann_ivf_persisted_topk",
     "ann_ivf_incremental_topk",
     "training_data_prep_e2e",
+    # round-11 families: the tombstone-serve privacy-erasure path of
+    # the persisted IVF index (broadcast anti-join ahead of the probe
+    # join) and the two late-data watermark-correctness replays (state
+    # eviction + late-drop are the per-batch work being measured).
+    "ann_ivf_delete_topk",
+    "ann_ivf_update_topk",
+    "stream_late_data_window_replay",
+    "stream_late_dedup_eviction_replay",
 ]
 
 

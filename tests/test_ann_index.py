@@ -85,3 +85,72 @@ def test_lists_partitioning_prunes_probed_cells(spark, tmp_path):
     assert "isnotnull(cent_id" in plan or "cent_id" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0]
+
+
+def test_delete_tombstones_then_vacuum_equals_rebuild(spark, tmp_path):
+    """Privacy-erasure contract (VERDICT r10 ask #8): a tombstoned id is
+    excluded at serve time immediately; vacuum physically removes the
+    rows and serves identically; both equal a from-scratch rebuild on
+    the filtered corpus."""
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_delete,
+        ivf_index_tombstones,
+        ivf_index_vacuum,
+    )
+
+    corpus = _corpus(spark)
+    cents = _centroids(corpus)
+    path = str(tmp_path / "idx")
+    ivf_index_write(corpus, cents, path)
+    deleted = corpus.filter(F.col("c_id") % 4 == 1).select("c_id")
+    ivf_index_delete(deleted, path)
+
+    q = _queries(corpus, 20, 26)
+    tombs = ivf_index_tombstones(spark, path)
+    assert tombs is not None
+    served_tomb = ivf_topk_from_index(
+        q, *ivf_index_read(spark, path), k=4, n_probe=2, tombstones=tombs
+    )
+    rows_tomb = _rows(served_tomb)
+    assert all(r[2] % 4 != 1 for r in rows_tomb)  # no deleted id served
+
+    stats = ivf_index_vacuum(spark, path)
+    assert stats == {"rows_before": 120, "rows_deleted": 30, "rows_after": 90}
+    assert ivf_index_tombstones(spark, path) is None  # cleared
+    _, lists = ivf_index_read(spark, path)
+    assert lists.filter(F.col("c_id") % 4 == 1).count() == 0  # bytes gone
+    served_vac = ivf_topk_from_index(
+        q, *ivf_index_read(spark, path), k=4, n_probe=2
+    )
+    assert _rows(served_vac) == rows_tomb
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_index_write(corpus.filter(F.col("c_id") % 4 != 1), cents, rebuilt)
+    want = ivf_topk_from_index(
+        q, *ivf_index_read(spark, rebuilt), k=4, n_probe=2
+    )
+    assert _rows(want) == rows_tomb
+
+    # idempotent: vacuum with no tombstones is a no-op
+    stats2 = ivf_index_vacuum(spark, path)
+    assert stats2 == {"rows_before": 90, "rows_deleted": 0, "rows_after": 90}
+
+
+def test_vacuum_self_heals_interrupted_swap(spark, tmp_path):
+    """The lists rewrite reuses the compaction swap dance; a death
+    between the two renames must auto-restore on the next vacuum."""
+    import os
+    import shutil
+
+    from etl_ml_pipeline_spark.operators.ann_index import ivf_index_vacuum
+
+    corpus = _corpus(spark)
+    path = str(tmp_path / "idx")
+    ivf_index_write(corpus, _centroids(corpus), path)
+    lists = f"{path}/lists"
+    # simulate the crash window: live renamed away, tmp half-written
+    shutil.move(lists, lists + ".__compact_bak")
+    os.makedirs(lists + ".__compact_tmp")
+    stats = ivf_index_vacuum(spark, path)  # entry self-heals, then no-op
+    assert stats["rows_after"] == 120
+    assert not os.path.exists(lists + ".__compact_bak")

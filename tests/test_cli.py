@@ -133,8 +133,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 212, sorted(qs)
-    assert len(oracles) == 211, sorted(oracles)
+    assert len(qs) == 216, sorted(qs)
+    assert len(oracles) == 215, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
@@ -155,33 +155,41 @@ def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
     in emission order, so emission is triaged: never-driver-recorded
     queries lead (tier 0 = new this round), then stale driver rows
-    oldest-first (r05 overflow < r06 < ... < r09 after the round-10
-    rotation refresh)."""
+    oldest-first (r06 < r07 < ... < r10 after the round-11 rotation
+    refresh)."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
     keys = list(all_queries())
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-driver-recorded names (tier 0 round-10 additions) lead the
+    # never-driver-recorded names (tier 0 round-11 additions) lead the
     # prefix
     never = [k for k in keys if tier(k) <= 0]
     assert keys[: len(never)] == never
-    # the oldest stale tier is the six r05 overflow names, due exactly
-    # at the <=5-rounds-stale bound in round 10; they come right after
+    assert sorted(never) == sorted([
+        "ann_ivf_delete_topk", "ann_ivf_update_topk",
+        "stream_late_data_window_replay",
+        "stream_late_dedup_eviction_replay",
+    ])
+    # the oldest stale tier is the twelve r06-era names, due exactly
+    # at the <=5-rounds-stale bound in round 11; they come right after
     # the never-recorded block, and together they must fit the ~50
     # prefix or the staleness contract breaks by arithmetic
     recorded = [v for v in _LAST_RECORDED.values() if v > 0]
-    assert min(recorded) == 5
-    r05 = [k for k in keys if _LAST_RECORDED.get(k) == 5]
-    assert sorted(r05) == sorted([
-        "ab_test_events", "anomaly_mad_events", "drift_psi_events",
-        "markov_transitions_events", "path_top_sequences",
-        "retention_curve_events",
+    assert min(recorded) == 6
+    r06 = [k for k in keys if _LAST_RECORDED.get(k) == 6]
+    assert sorted(r06) == sorted([
+        "anomaly_zscore_events", "array_function_battery",
+        "cohort_retention_events", "datetime_function_battery",
+        "dq_expectations_orders", "funnel_events",
+        "layout_partition_prune_stats", "null_semantics_battery",
+        "regexp_function_battery", "seasonality_weekday_events",
+        "window_new_vs_returning", "window_rolling_autocorr_events",
     ])
-    assert keys[len(never) : len(never) + len(r05)] == r05
-    assert len(never) + len(r05) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 9
+    assert keys[len(never) : len(never) + len(r06)] == r06
+    assert len(never) + len(r06) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 10
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 

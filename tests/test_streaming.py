@@ -112,17 +112,49 @@ def test_stateful_running_totals_across_batches(spark, events_dir, tmp_path):
 
 
 def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Pins the engine's REAL late-data contract, which the
+    stream_late_data_window_replay oracle replicates (round-11; the
+    earlier version of this test claimed batch 2's straggler was
+    ignored — it is not):
+
+    * the late-record filter uses the PREVIOUS watermark — one batch of
+      lag (max event time over batches <= b-2, minus delay) — so a
+      straggler in batch 2 is still ACCEPTED (filter watermark is epoch
+      0) even though batch 1 already advanced the current watermark
+      past its window;
+    * by batch 3 that watermark has been superseded and the same-age
+      straggler IS dropped;
+    * append mode emits only windows with end <= final watermark.
+    If a Spark upgrade changes any of this, the replay oracles must be
+    updated in lockstep — this test is the tripwire."""
+    import os
+
     d = tmp_path / "late_in"
     _write_events(d, "b1.json", [(1, "2024-01-01 10:00:00", 1.0),
                                  (1, "2024-01-01 23:00:00", 1.0)])
-    # batch 2 arrives with an event 13h older than the max seen ts;
-    # watermark=1h -> its window is already closed and it must be ignored
+    # 13h older than the max seen ts, but the FILTER watermark during
+    # batch 2 is still epoch 0 -> accepted (lag-one contract)
     _write_events(d, "b2.json", [(1, "2024-01-01 09:59:00", 99.0)])
+    # by batch 3 the filter watermark is max(b1) - 1h = 22:00 -> the
+    # 11:30 straggler's window end (12:00) is behind it -> dropped
+    _write_events(d, "b3.json", [(1, "2024-01-01 11:30:00", 50.0),
+                                 (1, "2024-01-01 23:30:00", 2.0)])
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json"), 1):
+        t = 1_700_000_000 + i * 10
+        os.utime(d / name, (t, t))
     stream = read_json_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, window="1 hour", watermark="1 hour")
     run_available_now(agg, "late_out", str(tmp_path / "ckpt"), output_mode="append")
-    rows = {str(r["window_start"]): r["n_events"] for r in spark.table("late_out").collect()}
-    assert rows.get("2024-01-01 10:00:00") == 1  # late 09:59 event not counted
+    rows = {
+        str(r["window_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("late_out").collect()
+    }
+    # batch-2 straggler accepted; batch-3 straggler dropped; the 23:00
+    # and 23:30 windows end past the final watermark (22:30) -> unemitted
+    assert rows == {
+        "2024-01-01 09:00:00": (1, 99.0),
+        "2024-01-01 10:00:00": (1, 1.0),
+    }
 
 
 def test_stream_upsert_materialized_view(spark, events_dir, tmp_path):
