@@ -2071,10 +2071,269 @@ ORDER BY e.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_late_join_replay — stream-stream INNER time-bound join under
+# late data: clicks joined to purchases within 1 day per user, 3-day
+# watermark on BOTH sides, three micro-batches where half of the
+# first-batch purchases arrive LAST (the at-least-once upstream that
+# delivers a partition late). Completes the streaming-correctness triad
+# (windowed agg, dedup, join — each with a watermark that actually
+# bites).
+#
+# Pinned Spark semantics (verified empirically on this build; the
+# DuckDB oracle replicates them exactly):
+#   * the effective watermark is the MIN across both sides
+#     (multipleWatermarkPolicy=min): W_b = min(maxL, maxR over batches
+#     <= b-1) - delay; W_1 = epoch 0;
+#   * each side's INPUT is filtered against the PREVIOUS watermark
+#     (one batch of lag, same as the aggregation path): a row arriving
+#     in batch b is dropped iff ts < W_{b-1};
+#   * join STATE eviction runs at the end of batch b with the
+#     during-batch watermark W_b: a left row is evicted once
+#     lts + join_window < W_b (no future right row can match it), a
+#     right row once rts < W_b;
+#   * inner-join pairs emit as soon as both rows have been seen (same
+#     batch, or one side matched against the other's surviving state).
+# Net: a cross-batch pair survives iff the late arrival clears the
+# lagged input filter AND its partner's state outlived every
+# intervening eviction — the oracle enumerates all qualifying pairs and
+# applies exactly that predicate.
+# Scale: per micro-batch, one shuffle of each side on user_id; state is
+# bounded by the watermark horizon on both sides (the point of this
+# entry — without the watermark, join state grows without bound).
+# ---------------------------------------------------------------------------
+
+
+def _late_join_replay(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared harness for the inner/left-outer late-join replays:
+    clicks and purchases as two 3-batch file streams (purchases' first
+    time slice half-delivered last), watermark 3 days on both sides,
+    joined on user within [lts, lts + 1 day]."""
+    import datetime as _dt
+    import os
+    import uuid
+
+    ev = _events(spark, sf_dir)
+    t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]  # 1-row driver sync
+    c1 = t0 + _dt.timedelta(days=10)
+    c2 = t0 + _dt.timedelta(days=20)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("buy_id")
+    )
+    root = f"{_replay_ckpt_root()}/late_join_{uuid.uuid4().hex}"
+    os.makedirs(f"{root}/L")
+    os.makedirs(f"{root}/R")
+    _write_batches_spark(
+        clicks,
+        f"{root}/L",
+        conds=(
+            F.col("lts") < F.lit(c1),
+            (F.col("lts") >= F.lit(c1)) & (F.col("lts") < F.lit(c2)),
+            F.col("lts") >= F.lit(c2),
+        ),
+    )
+    _write_batches_spark(
+        buys,
+        f"{root}/R",
+        conds=(
+            (F.col("rts") < F.lit(c1)) & (F.col("buy_id") % 2 == 0),
+            (F.col("rts") >= F.lit(c1)) & (F.col("rts") < F.lit(c2)),
+            (F.col("rts") >= F.lit(c2))
+            | ((F.col("rts") < F.lit(c1)) & (F.col("buy_id") % 2 == 1)),
+        ),
+    )
+    ls = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/L")
+        .withWatermark("lts", "3 days")
+    )
+    rs = (
+        spark.readStream.schema(buys.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/R")
+        .withWatermark("rts", "3 days")
+    )
+    j = ls.join(
+        rs,
+        (ls.user_id == rs.user_id)
+        & (rs.rts >= ls.lts)
+        & (rs.rts <= ls.lts + F.expr("INTERVAL 1 DAY")),
+        how,
+    ).select(ls.user_id, "lts", "click_id", "buy_id")
+    return _replay(j, "append")
+
+
+def stream_late_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _late_join_replay(spark, sf_dir, "inner")
+        .groupBy(F.to_date("lts").cast("string").alias("click_day"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("buy_id").alias("n_buys"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("click_day")
+    )
+
+
+_LATE_JOIN_SQL = """
+WITH b AS (
+  SELECT min(ts) + INTERVAL 10 DAY AS c1,
+         min(ts) + INTERVAL 20 DAY AS c2
+  FROM events
+),
+L AS (
+  SELECT user_id, ts AS lts, event_id AS click_id,
+         CASE WHEN ts < b.c1 THEN 1 WHEN ts < b.c2 THEN 2 ELSE 3 END AS bl
+  FROM events, b WHERE event_type = 'click'
+),
+R AS (
+  SELECT user_id, ts AS rts, event_id AS buy_id,
+         CASE WHEN ts < b.c1 AND event_id % 2 = 0 THEN 1
+              WHEN ts >= b.c1 AND ts < b.c2 THEN 2
+              ELSE 3 END AS br
+  FROM events, b WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(lts) FROM L WHERE bl = 1),
+               (SELECT max(rts) FROM R WHERE br = 1))
+           - INTERVAL 3 DAY AS w2
+),
+emitted AS (
+  SELECT l.user_id, l.lts, l.click_id, r.buy_id
+  FROM L l
+  JOIN R r ON l.user_id = r.user_id
+          AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 1 DAY,
+       wm
+  WHERE
+    -- lagged input filter (prev wm is epoch 0 for batches 1-2)
+        (r.br <= 2 OR r.rts >= wm.w2)
+    AND (l.bl <= 2 OR l.lts >= wm.w2)
+    -- cross-batch pairs need the earlier row's state to survive every
+    -- intervening end-of-batch eviction (W_1 = 0, so only W_2 bites)
+    AND (NOT (l.bl < r.br AND r.br = 3)
+         OR l.lts + INTERVAL 1 DAY >= wm.w2)
+    AND (NOT (r.br < l.bl AND l.bl = 3) OR r.rts >= wm.w2)
+)
+SELECT CAST(CAST(lts AS DATE) AS VARCHAR) AS click_day,
+       count(*) AS n_pairs,
+       count(DISTINCT buy_id) AS n_buys,
+       count(DISTINCT user_id) AS n_users
+FROM emitted
+GROUP BY 1
+ORDER BY click_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_late_outer_join_replay — LEFT OUTER stream-stream join under
+# the same late-delivery harness: the production "clicks with no
+# purchase within a day" attribution query, where the NULL-padded rows
+# are the interesting output and their EMISSION TIMING is the
+# correctness trap. Pinned empirically (same build, same harness):
+#   * a matched left row emits its pair(s) like the inner join;
+#   * an UNMATCHED left row emits (l, NULL) only when its state is
+#     evicted — i.e. once the min-across-sides watermark passes
+#     lts + join_window;
+#   * left rows still live at stream end (lts + window >= final
+#     watermark) emit NOTHING — availableNow's final no-data batch
+#     flushes exactly the evictable ones.
+# A row is "unmatched" against the EMITTED pair set, not the raw join
+# condition: a click whose only purchase was late-dropped does produce
+# a NULL row — the oracle encodes that by reusing the inner-join
+# predicate. Scale: same shape as the inner replay; the NULL-row flush
+# is part of the eviction pass, no extra shuffle.
+# ---------------------------------------------------------------------------
+
+
+def stream_late_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _late_join_replay(spark, sf_dir, "leftOuter")
+    return (
+        out.groupBy(F.to_date("lts").cast("string").alias("click_day"))
+        .agg(
+            F.count("buy_id").alias("n_pairs"),
+            F.sum(F.col("buy_id").isNull().cast("int")).alias("n_unmatched"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("click_day")
+    )
+
+
+_LATE_OUTER_JOIN_SQL = """
+WITH b AS (
+  SELECT min(ts) + INTERVAL 10 DAY AS c1,
+         min(ts) + INTERVAL 20 DAY AS c2
+  FROM events
+),
+L AS (
+  SELECT user_id, ts AS lts, event_id AS click_id,
+         CASE WHEN ts < b.c1 THEN 1 WHEN ts < b.c2 THEN 2 ELSE 3 END AS bl
+  FROM events, b WHERE event_type = 'click'
+),
+R AS (
+  SELECT user_id, ts AS rts, event_id AS buy_id,
+         CASE WHEN ts < b.c1 AND event_id % 2 = 0 THEN 1
+              WHEN ts >= b.c1 AND ts < b.c2 THEN 2
+              ELSE 3 END AS br
+  FROM events, b WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(lts) FROM L WHERE bl = 1),
+               (SELECT max(rts) FROM R WHERE br = 1))
+           - INTERVAL 3 DAY AS w2,
+         least((SELECT max(lts) FROM L), (SELECT max(rts) FROM R))
+           - INTERVAL 3 DAY AS wf
+),
+emitted AS (
+  SELECT l.user_id, l.lts, l.click_id, r.buy_id
+  FROM L l
+  JOIN R r ON l.user_id = r.user_id
+          AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 1 DAY,
+       wm
+  WHERE
+        (r.br <= 2 OR r.rts >= wm.w2)
+    AND (l.bl <= 2 OR l.lts >= wm.w2)
+    AND (NOT (l.bl < r.br AND r.br = 3)
+         OR l.lts + INTERVAL 1 DAY >= wm.w2)
+    AND (NOT (r.br < l.bl AND l.bl = 3) OR r.rts >= wm.w2)
+),
+null_rows AS (
+  -- unmatched-against-EMITTED left rows whose state was evicted by
+  -- stream end (lts + window < final watermark); later rows stay
+  -- parked in state and emit nothing
+  SELECT l.user_id, l.lts, l.click_id
+  FROM L l, wm
+  WHERE l.lts + INTERVAL 1 DAY < wm.wf
+    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.click_id = l.click_id)
+)
+SELECT click_day, n_pairs, n_unmatched, n_users
+FROM (
+  SELECT CAST(CAST(lts AS DATE) AS VARCHAR) AS click_day,
+         count(buy_id) AS n_pairs,
+         CAST(sum(CASE WHEN buy_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched,
+         count(DISTINCT user_id) AS n_users
+  FROM (
+    SELECT user_id, lts, buy_id FROM emitted
+    UNION ALL
+    SELECT user_id, lts, NULL AS buy_id FROM null_rows
+  )
+  GROUP BY 1
+)
+ORDER BY click_day
+"""
+
+
 QUERIES = {
     "sma_events": sma_events,
     "stream_late_data_window_replay": stream_late_data_window_replay,
     "stream_late_dedup_eviction_replay": stream_late_dedup_eviction_replay,
+    "stream_late_join_replay": stream_late_join_replay,
+    "stream_late_outer_join_replay": stream_late_outer_join_replay,
     "concurrency_peak_events": concurrency_peak_events,
     "stream_ttl_eviction_replay": stream_ttl_eviction_replay,
     "stream_topk_multibatch_replay": stream_topk_multibatch_replay,
@@ -2106,6 +2365,8 @@ ORACLES = {
     "sma_events": _SMA_SQL,
     "stream_late_data_window_replay": _LATE_WINDOW_SQL,
     "stream_late_dedup_eviction_replay": _LATE_DEDUP_SQL,
+    "stream_late_join_replay": _LATE_JOIN_SQL,
+    "stream_late_outer_join_replay": _LATE_OUTER_JOIN_SQL,
     "concurrency_peak_events": _CONCURRENCY_SQL,
     "stream_ttl_eviction_replay": _TTL_REPLAY_SQL,
     "stream_topk_multibatch_replay": _TOPK_MULTIBATCH_SQL,

@@ -124,6 +124,8 @@ QUERIES = [
     "ann_ivf_update_topk",
     "stream_late_data_window_replay",
     "stream_late_dedup_eviction_replay",
+    "stream_late_join_replay",
+    "stream_late_outer_join_replay",
 ]
 
 
