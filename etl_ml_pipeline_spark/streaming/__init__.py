@@ -4,6 +4,10 @@ from etl_ml_pipeline_spark.streaming.joins import (  # noqa: F401
     stateful_sessionizer,
     stream_stream_interval_join,
 )
+from etl_ml_pipeline_spark.streaming.tws import (  # noqa: F401
+    tws_available,
+    tws_running_totals,
+)
 from etl_ml_pipeline_spark.streaming.windows import (  # noqa: F401
     read_json_stream,
     run_available_now,

@@ -578,3 +578,79 @@ def test_stateful_topk_across_triggers(spark, tmp_path):
         (1, 101, 500), (2, 103, 400),          # b2: 103 displaces 102
         (1, 102, 1200), (2, 101, 500),         # b3: 102 overtakes (3+9)
     ]
+
+
+def test_transform_with_state_port(spark, tmp_path):
+    """The transformWithStateInPandas port of the running-totals kernel
+    (streaming/tws.py). google.protobuf is absent in this container, so
+    by default this pins the GATE contract (clear ImportError naming
+    the exercised fallback); when the dependency is present the full
+    3-batch replay runs and must match stateful_running_totals'
+    arithmetic."""
+    from etl_ml_pipeline_spark.streaming.tws import (
+        tws_available,
+        tws_running_totals,
+    )
+
+    rows_b1 = [(1, 100), (1, 50), (2, 10)]
+    rows_b2 = [(1, 25), (3, 7)]
+
+    if not tws_available():
+        import pytest
+
+        df = spark.createDataFrame(rows_b1, "user_id long, cents long")
+        with pytest.raises(ImportError, match="applyInPandasWithState"):
+            tws_running_totals(df)
+        return
+
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    tws_spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .getOrCreate()
+    )
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    for i, rows in enumerate((rows_b1, rows_b2), 1):
+        df = tws_spark.createDataFrame(rows, "user_id long, cents long")
+        tmp = str(tmp_path / f"_t{i}")
+        df.coalesce(1).write.parquet(tmp)
+        import glob as _glob
+        import os
+        import shutil
+
+        (p,) = _glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(p, str(d / f"b{i}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(d / f"b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+    stream = (
+        tws_spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = tws_running_totals(stream)
+    name = f"tws_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    pdf = tws_spark.table(name).toPandas()
+    final = {
+        int(r.user_id): (int(r.n), int(r.total_cents))
+        for r in pdf.itertuples()
+    }
+    assert final == {1: (3, 175), 2: (1, 10), 3: (1, 7)}
