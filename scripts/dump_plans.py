@@ -321,6 +321,15 @@ SHOWCASE = [
         "output sort — no joins, no Python.",
     ),
     (
+        "ann_ivf_delete_topk",
+        "The tombstone-serve privacy-erasure plan (round 11): the "
+        "tombstone table broadcasts into a map-side LEFT ANTI join over "
+        "the partition-pruned inverted lists BEFORE the probe join, so "
+        "excluding deleted vectors adds no shuffle — the serve path "
+        "stays probe-join + per-query window, and a deleted id can "
+        "never reach the rerank.",
+    ),
+    (
         "training_data_prep_e2e",
         "The chained clean->gate->dedup->sample->pack governance plan: "
         "scoring/gating/sampling fuse map-side into the scan stage, the "

@@ -113,6 +113,10 @@ def test_delete_tombstones_then_vacuum_equals_rebuild(spark, tmp_path):
     )
     rows_tomb = _rows(served_tomb)
     assert all(r[2] % 4 != 1 for r in rows_tomb)  # no deleted id served
+    # plan pin: tombstones exclude via a broadcast ANTI join (map-side,
+    # no extra shuffle on the serve path)
+    plan = served_tomb._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
 
     stats = ivf_index_vacuum(spark, path)
     assert stats == {"rows_before": 120, "rows_deleted": 30, "rows_after": 90}
