@@ -415,6 +415,14 @@ def global_running_sum(
     integer/decimal values; for doubles the result equals the naive
     window's value only up to float re-association (sums are grouped by
     partition) — use longs for money/token counts, as the callers here do.
+
+    ``order_cols`` should be a TOTAL order (append a unique tiebreak
+    column if the key can repeat): with duplicate full ordering tuples
+    the per-row prefix sums are tie-order-dependent in ANY engine —
+    the naive window and this operator may legitimately attach
+    different cumulative values to the tied rows (found by the
+    round-11 randomized hunt; every caller here orders by a unique
+    id). Pinned by tests/test_plans.py's prefix-sum property test.
     """
     from pyspark.sql import Window as W
 

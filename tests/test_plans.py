@@ -832,3 +832,66 @@ def test_global_running_sum_bounds_df_is_consumed(spark, sf_dir):
     assert plan.count("WindowGroupLimit") == 4, plan.count("WindowGroupLimit")
     # and the bounds branch reads ONLY doc_id from the raw table
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_prefix_sum_property_pathological_keys(spark):
+    """Property form of the pathological-keys pin (round-11 randomized
+    hunt, promoted): for ANY double key mix (NULL / NaN / +-Inf /
+    finite, duplicates included) under a TOTAL order (unique v as the
+    tiebreak) and any partition count, the two-phase operators match
+    the naive single-partition windows exactly. Runs derandomized
+    under the gate profile; HYPOTHESIS_PROFILE=explore randomizes."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    keys = st.one_of(
+        st.none(),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.integers(-5, 5).map(float),
+    )
+
+    def kk(k):
+        return (
+            k is None,
+            isinstance(k, float) and math.isnan(k),
+            k if (k is not None and not math.isnan(k)) else 0.0,
+        )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(keys, min_size=1, max_size=25),
+        parts=st.integers(1, 5),
+    )
+    def check(rows, parts):
+        data = [(k, i + 1) for i, k in enumerate(rows)]
+        df = spark.createDataFrame(data, "k double, v long")
+        fast = global_running_sum(df, "v", ["k", "v"], "cs", num_partitions=parts)
+        naive = df.withColumn(
+            "cs",
+            F.sum("v").over(
+                W.orderBy("k", "v").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        assert sorted((kk(r.k), r.v, r.cs) for r in fast.collect()) == sorted(
+            (kk(r.k), r.v, r.cs) for r in naive.collect()
+        ), (rows, parts)
+        frn = global_row_number(df, ["k", "v"], "rn", num_partitions=parts)
+        nrn = df.withColumn("rn", F.row_number().over(W.orderBy("k", "v")))
+        assert sorted((kk(r.k), r.v, r.rn) for r in frn.collect()) == sorted(
+            (kk(r.k), r.v, r.rn) for r in nrn.collect()
+        ), (rows, parts)
+
+    check()
