@@ -168,6 +168,57 @@ def registered_domain(host: Column) -> Column:
     ).otherwise(last2)
 
 
+@register_transform("url_blocklist")
+class UrlBlocklist(BaseTransform):
+    """Domain blocklist / allowlist filtering — the URL-filtering stage
+    of a crawl pipeline (UT1-style blocklists, partner allowlists): a
+    row survives based on its REGISTERED domain (PSL-aware, so
+    ``spam.gov.uk`` matches a ``spam.gov.uk`` entry, not ``gov.uk``'s
+    whole namespace).
+
+    config:
+      url_col: url            # input column
+      domains: []             # registered domains to match
+      mode: deny              # deny -> drop matching; allow -> keep ONLY matching
+      keep_malformed: true    # unparseable URLs: kept in deny mode by
+                              # default (visible downstream), always
+                              # dropped in allow mode (cannot prove
+                              # membership)
+
+    Scale: a pure map — the domain list compiles into the plan as a
+    literal InSet next to the canonicalization algebra; no join, no
+    shuffle. For million-entry production blocklists swap the isin for
+    a broadcast left-semi/anti join on the same derived column (same
+    semantics; the isin form is exact for config-sized lists).
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        url_col = self.config.get("url_col", "url")
+        if url_col not in df.columns:
+            raise ValueError(f"url_blocklist: column {url_col!r} not in input")
+        mode = self.config.get("mode", "deny")
+        if mode not in ("deny", "allow"):
+            raise ValueError(f"url_blocklist: mode must be deny|allow, got {mode!r}")
+        if not self.config.get("domains"):
+            raise ValueError("url_blocklist: config needs a non-empty 'domains' list")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        url_col = self.config.get("url_col", "url")
+        mode = self.config.get("mode", "deny")
+        keep_malformed = self.config.get("keep_malformed", True)
+        domains = [d.lower() for d in self.config["domains"]]
+        u = F.col(url_col)
+        dom = F.when(
+            url_scheme(u) != "", registered_domain(url_host(u))
+        )  # NULL for malformed, like the dedup key
+        hit = dom.isin(*domains)
+        if mode == "deny":
+            keep = ~F.coalesce(hit, F.lit(not keep_malformed))
+        else:
+            keep = F.coalesce(hit, F.lit(False))
+        return df.filter(keep)
+
+
 @register_transform("url_canonicalize")
 class UrlCanonicalize(BaseTransform):
     """YAML-pipeline form of URL canonicalization: annotate each row with

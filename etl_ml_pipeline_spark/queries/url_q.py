@@ -305,14 +305,89 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# url_blocklist_stats — the URL-filtering stage (round 11): a deny-list
+# of registered domains applied by the `url_blocklist` registry
+# transform, reported per source as total/kept/blocked (the audit table
+# a crawl-cleaning run publishes). The synthesized hosts roll up to
+# four registered domains (example{0,1,2}.com + example3.co.uk — the
+# ccTLD one exercises the PSL branch); the deny list blocks two of
+# them, so every source shows a ~half split. Exercises the TRANSFORM
+# itself (not a re-derivation), joined back against per-source totals.
+# Scale: the domain check is a map-side InSet beside the
+# canonicalization algebra — no join, no shuffle beyond the rollup's
+# own groupBy; production-sized blocklists swap to a broadcast
+# semi/anti join on the same derived column.
+# ---------------------------------------------------------------------------
+
+_BLOCKED_DOMAINS = ("example1.com", "example3.co.uk")
+
+
+def url_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.url import UrlBlocklist
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = _with_urls(docs)
+    kept = UrlBlocklist(
+        {"url_col": "url", "domains": list(_BLOCKED_DOMAINS), "mode": "deny"}
+    ).transform(u)
+    totals = u.groupBy("source").agg(F.count("*").alias("n_total"))
+    kept_counts = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_blocked"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOCKLIST_SQL_SET = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+
+_BLOCKLIST_SQL = f"""
+WITH urls AS ({_URLGEN_SQL}),
+d AS (
+  SELECT source,
+         CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                   IN ({{suffixes}})
+               AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+              THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+              ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+  FROM (
+    SELECT source,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+               ':[0-9]+$', ''), '^www\\.', ''), '\\.$', '') AS host
+    FROM urls
+  )
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN domain IN ({_BLOCKLIST_SQL_SET}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN domain IN ({_BLOCKLIST_SQL_SET}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked
+FROM d
+GROUP BY source
+ORDER BY source
+""".replace("{suffixes}", SUFFIX_SQL_LIST)
+
+
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
+    "url_blocklist_stats": url_blocklist_stats,
     "url_host_dedup_stats": url_host_dedup_stats,
     "url_tracking_scrub_stats": url_tracking_scrub_stats,
 }
 
 ORACLES = {
     "url_canonical_dedup": _CANON_DEDUP_SQL,
+    "url_blocklist_stats": _BLOCKLIST_SQL,
     "url_host_dedup_stats": _HOST_STATS_SQL,
     "url_tracking_scrub_stats": _TRACKING_SQL,
 }

@@ -126,6 +126,7 @@ QUERIES = [
     "stream_late_dedup_eviction_replay",
     "stream_late_join_replay",
     "stream_late_outer_join_replay",
+    "url_blocklist_stats",
 ]
 
 

@@ -133,8 +133,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 218, sorted(qs)
-    assert len(oracles) == 217, sorted(oracles)
+    assert len(qs) == 219, sorted(qs)
+    assert len(oracles) == 218, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
@@ -171,7 +171,7 @@ def test_query_emission_triage_order():
         "ann_ivf_delete_topk", "ann_ivf_update_topk",
         "stream_late_data_window_replay",
         "stream_late_dedup_eviction_replay", "stream_late_join_replay",
-        "stream_late_outer_join_replay",
+        "stream_late_outer_join_replay", "url_blocklist_stats",
     ])
     # the oldest stale tier is the twelve r06-era names, due exactly
     # at the <=5-rounds-stale bound in round 11; they come right after

@@ -196,3 +196,42 @@ def test_url_canonicalize_transform_dedup(spark):
 
     with pytest.raises(ValueError, match="not in input"):
         cls({"url_col": "nope"}).validate(df)
+
+
+def test_url_blocklist_transform_modes(spark):
+    """url_blocklist registry transform: PSL-aware registered-domain
+    deny/allow filtering with documented malformed-row handling (deny
+    keeps them unless keep_malformed=false; allow always drops — it
+    cannot prove membership)."""
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.spam.gov.uk/x"),   # registered: spam.gov.uk
+            (2, "https://news.gov.uk/y"),      # registered: news.gov.uk
+            (3, "http://WWW.Spam.COM:80/z"),   # registered: spam.com
+            (4, "https://ok.example.com/w"),   # registered: example.com
+            (5, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    cls = TRANSFORMS.get("url_blocklist")
+    deny = cls({"domains": ["spam.gov.uk", "SPAM.com"], "mode": "deny"})
+    assert sorted(r.doc_id for r in deny.transform(df).collect()) == [2, 4, 5]
+    deny_strict = cls(
+        {"domains": ["spam.gov.uk", "spam.com"], "mode": "deny",
+         "keep_malformed": False}
+    )
+    assert sorted(r.doc_id for r in deny_strict.transform(df).collect()) == [2, 4]
+    allow = cls({"domains": ["spam.gov.uk", "example.com"], "mode": "allow"})
+    assert sorted(r.doc_id for r in allow.transform(df).collect()) == [1, 4]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty 'domains'"):
+        cls({"mode": "deny"}).validate(df)
+    with pytest.raises(ValueError, match="deny|allow"):
+        cls({"domains": ["x.com"], "mode": "nope"}).validate(df)
+    with pytest.raises(ValueError, match="not in input"):
+        cls({"domains": ["x.com"], "url_col": "nope"}).validate(df)
