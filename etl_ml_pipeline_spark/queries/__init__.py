@@ -277,17 +277,49 @@ _RECORDED_R10 = {
 for _n in _RECORDED_R10:
     _LAST_RECORDED[_n] = 10
 
-# Round-11 rotation (VERDICT r10 ask #4): after the r10 refresh the
-# oldest tier is the 12 r06-era names (`anomaly_zscore_events`,
-# `array_function_battery`, `cohort_retention_events`,
-# `datetime_function_battery`, `dq_expectations_orders`,
-# `funnel_events`, `layout_partition_prune_stats`,
-# `null_semantics_battery`, `regexp_function_battery`,
-# `seasonality_weekday_events`, `window_new_vs_returning`,
-# `window_rolling_autocorr_events`) — they hit the ≤5-round staleness
-# bound at r11 and sort directly behind any round-11 additions (tier 0
-# via the .get default); the remaining prefix slots refresh the r07
-# tier. Enforced mechanically by scripts/precommit_check.py.
+# Round 11 driver records (the exact key set of CORRECTNESS_r11.json —
+# all 50 green: the 7 round-11 additions at tier 0, the 12 r06-era
+# names at the ≤5-round bound, and 31 r07-era refreshes).
+_RECORDED_R11 = {
+    "ann_ivf_delete_topk", "ann_ivf_update_topk", "anomaly_zscore_events",
+    "array_function_battery", "cdc_current_orders",
+    "cohort_retention_events", "concurrency_peak_events",
+    "datetime_function_battery", "dedup_cluster_canonical",
+    "dedup_exact_documents", "dedup_minhash_documents",
+    "dedup_ngram_jaccard", "dedup_semantic_clusters",
+    "dedup_simhash_documents", "dq_expectations_orders", "funnel_events",
+    "layout_partition_prune_stats", "null_semantics_battery",
+    "q1_pricing_summary", "regexp_function_battery", "scd2_order_history",
+    "scd2_point_in_time_join", "seasonality_weekday_events",
+    "sketch_kll_price_quantiles", "sketch_theta_audience_overlap",
+    "stream_late_data_window_replay", "stream_late_dedup_eviction_replay",
+    "stream_late_join_replay", "stream_late_outer_join_replay",
+    "stream_topk_multibatch_replay", "stream_ttl_eviction_replay",
+    "text_bm25_top_terms", "text_bpe_encode_stats", "text_bpe_roundtrip",
+    "text_bpe_token_stats", "text_contamination", "text_fingerprint_hist",
+    "text_gopher_rules", "text_langid_confusion",
+    "text_model_quality_score", "text_pii_scrub", "text_quality_docs",
+    "text_repetition_stats", "text_token_stats", "text_vocab_coverage",
+    "text_vocab_topk", "text_winnow_sketch", "url_blocklist_stats",
+    "window_new_vs_returning", "window_rolling_autocorr_events",
+}
+for _n in _RECORDED_R11:
+    _LAST_RECORDED[_n] = 11
+
+# Round-12 rotation (ROADMAP round-11 rotation note): after the r11
+# refresh the oldest tier is the 19 r07 OVERFLOW names
+# (`ann_bruteforce_topk`, `ann_ivf_topk`, `ann_ivfpq_topk`,
+# `ann_lsh_topk`, `ann_pq_adc_topk`, `cube_status_priority`,
+# `curriculum_order_documents`, `embedding_label_centroids`,
+# `embedding_near_dup_pairs`, `embedding_quantize_sq8`,
+# `multimodal_image_features`, `pack_documents_budget`,
+# `pagerank_supply`, `rfm_segmentation_events`, `sample_dsir_weights`,
+# `sample_exact_allocation`, `sample_hash_documents`,
+# `sample_mixture_lang`, `sample_stratified_lang`) — they hit the
+# ≤5-round staleness bound at r12 and sort directly behind any
+# round-12 additions (tier 0 via the .get default); the remaining
+# prefix slots refresh the r08 tier. Enforced mechanically by
+# scripts/precommit_check.py.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
