@@ -137,6 +137,9 @@ def ivf_index_vacuum(spark: SparkSession, path: str, c_id: str = "c_id") -> dict
     between swap and tombstone-drop just re-applies an empty anti-join
     on the next vacuum — serve correctness never regresses.
 
+    Refuses (ValueError, storage untouched) when every row is
+    tombstoned — see the inline note.
+
     Returns {rows_before, rows_deleted, rows_after}."""
     from etl_ml_pipeline_spark.streaming.dedup_index import (
         restore_interrupted_compaction,
@@ -155,6 +158,22 @@ def ivf_index_vacuum(spark: SparkSession, path: str, c_id: str = "c_id") -> dict
         c_id,
         "left_anti",
     )
+    # ADVICE r11 #2: an all-tombstoned index must NOT be vacuumed into
+    # an empty partitioned directory — partitionBy writes zero part
+    # files for zero rows, so the post-swap read can't infer a schema
+    # and every later serve breaks AFTER the live lists were already
+    # swapped away. Refuse before touching storage: serve correctness
+    # is unaffected (tombstones still filter at read time), and
+    # erasing an entire index is an explicit drop/rebuild, not a
+    # vacuum.
+    kept_rows = kept.count()
+    if kept_rows == 0:
+        raise ValueError(
+            "ivf_index_vacuum: every row is tombstoned — vacuuming to an "
+            "empty index would leave an unreadable lists directory; drop "
+            "and rebuild the index instead (tombstones keep filtering "
+            "deleted ids at serve time meanwhile)"
+        )
     kept.write.mode("overwrite").partitionBy("cent_id").parquet(
         lists_path + ".__compact_tmp"
     )

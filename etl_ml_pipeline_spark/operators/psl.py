@@ -24,6 +24,14 @@ registrar-grade accuracy — same plan shape, bigger literal set):
 - three-label public suffixes (``pref.aichi.jp``, ``act.edu.au``) and
   wildcard rules (``*.ck``) are not modeled — those hosts fall back to
   a two- or three-label rollup;
+- a few packaged entries flatten what the real PSL expresses as a
+  WILDCARD rule — ``sch.uk`` is ``*.sch.uk`` upstream (every
+  ``<school>.sch.uk`` is itself a public suffix, so the registrable
+  domain of ``www.x.sch.uk`` is ``www.x.sch.uk``, four labels), and
+  this snapshot instead rolls such hosts up to ``x.sch.uk`` — one
+  label short. These entries intentionally approximate ``*.suffix``
+  rules as plain two-label rules; a future full-PSL swap must model
+  the wildcard class explicitly rather than inherit them as-is;
 - the PRIVATE section (``github.io``-style operator namespaces) is
   deliberately excluded: for crawl budgeting you usually WANT all of
   ``github.io`` rolled into one pay-level domain.

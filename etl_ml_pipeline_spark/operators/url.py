@@ -206,7 +206,13 @@ class UrlBlocklist(BaseTransform):
         url_col = self.config.get("url_col", "url")
         mode = self.config.get("mode", "deny")
         keep_malformed = self.config.get("keep_malformed", True)
-        domains = [d.lower() for d in self.config["domains"]]
+        # ADVICE r11 #3: a runner that skips validate() must still get
+        # the documented ValueError (not a bare KeyError), and YAML
+        # scalars that aren't strings must not crash on .lower().
+        raw = self.config.get("domains")
+        if not raw:
+            raise ValueError("url_blocklist: config needs a non-empty 'domains' list")
+        domains = [str(d).lower() for d in raw]
         u = F.col(url_col)
         dom = F.when(
             url_scheme(u) != "", registered_domain(url_host(u))

@@ -1418,13 +1418,17 @@ def _run_scoped_index_dir(name: str) -> str:
 
     These catalog entries are re-run many times per session (bench,
     scale ladder, oracle gate); a fresh ``mkdtemp`` per invocation
-    leaked one full parquet index tree per run (ADVICE r10 #3). A
-    per-process path that each invocation WIPES before writing keeps
-    at most one tree per query name alive, and the whole root is
-    removed at interpreter exit. The returned result DataFrame reads
-    the index lazily, so cleanup cannot happen inside the query
-    function itself — collect a result before re-invoking the same
-    query (every harness here does)."""
+    leaked one full parquet index tree per run (ADVICE r10 #3). Each
+    invocation gets a VERSIONED subdirectory (monotonic per-name
+    counter) and the previous generation is deleted on the next call
+    (ADVICE r11 #1: wiping the same path at invocation start broke
+    DataFrames returned by a prior invocation that still read it
+    lazily — harnesses that build several invocations' results before
+    collecting would silently read a mid-rewrite index). With
+    generations, a previously returned DataFrame stays valid until
+    the NEXT call for the same name, which is the strongest guarantee
+    a one-tree-alive bound allows; the whole root is removed at
+    interpreter exit."""
     import atexit
     import os
     import shutil
@@ -1434,7 +1438,13 @@ def _run_scoped_index_dir(name: str) -> str:
     if not getattr(_run_scoped_index_dir, "_registered", False):
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _run_scoped_index_dir._registered = True  # type: ignore[attr-defined]
-    path = os.path.join(root, name)
+    gens: dict[str, int] = getattr(_run_scoped_index_dir, "_gens", None) or {}
+    _run_scoped_index_dir._gens = gens  # type: ignore[attr-defined]
+    gen = gens.get(name, 0) + 1
+    gens[name] = gen
+    if gen > 1:
+        shutil.rmtree(os.path.join(root, f"{name}.g{gen - 1}"), ignore_errors=True)
+    path = os.path.join(root, f"{name}.g{gen}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -158,3 +158,37 @@ def test_vacuum_self_heals_interrupted_swap(spark, tmp_path):
     stats = ivf_index_vacuum(spark, path)  # entry self-heals, then no-op
     assert stats["rows_after"] == 120
     assert not os.path.exists(lists + ".__compact_bak")
+
+
+def test_vacuum_refuses_all_tombstoned(spark, tmp_path):
+    """ADVICE r11 #2: vacuuming an index whose every row is tombstoned
+    must refuse BEFORE touching storage — a zero-row partitionBy
+    overwrite writes no part files, so the post-swap read would fail
+    schema inference after the live lists were already swapped away.
+    Serve stays correct meanwhile (tombstones filter at read time)."""
+    import pytest
+
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_delete,
+        ivf_index_tombstones,
+        ivf_index_vacuum,
+    )
+
+    corpus = _corpus(spark)
+    path = str(tmp_path / "idx")
+    ivf_index_write(corpus, _centroids(corpus), path)
+    ivf_index_delete(corpus.select("c_id"), path)  # tombstone everything
+
+    with pytest.raises(ValueError, match="every row is tombstoned"):
+        ivf_index_vacuum(spark, path)
+
+    # storage untouched: lists still readable, tombstones still live,
+    # and serving with them yields no rows (all ids deleted)
+    cents, lists = ivf_index_read(spark, path)
+    assert lists.count() == 120
+    tombs = ivf_index_tombstones(spark, path)
+    assert tombs is not None
+    served = ivf_topk_from_index(
+        _queries(corpus), cents, lists, k=4, n_probe=2, tombstones=tombs
+    )
+    assert served.count() == 0

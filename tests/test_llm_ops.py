@@ -1326,3 +1326,25 @@ def test_perplexity_bucket_transform_tertiles_and_gate(spark):
 
     with pytest.raises(ValueError, match="unknown buckets"):
         PerplexityBucket({"keep": ["head", "bogus"]}).validate(df)
+
+
+def test_run_scoped_index_dir_generations():
+    """ADVICE r11 #1: each invocation gets a fresh generation directory
+    and the PREVIOUS generation is deleted on the next call — so a
+    DataFrame returned by invocation N-1 reads a stable tree until
+    invocation N runs, and a stale read then fails loudly (missing
+    path) instead of silently scanning a mid-rewrite index."""
+    import os
+
+    from etl_ml_pipeline_spark.queries.similarity_q import _run_scoped_index_dir
+
+    p1 = _run_scoped_index_dir("gen_probe")
+    open(os.path.join(p1, "marker"), "w").write("g1")
+    p2 = _run_scoped_index_dir("gen_probe")
+    assert p1 != p2
+    assert not os.path.exists(p1)  # previous generation reclaimed
+    assert os.path.isdir(p2)
+    # the one-tree-alive bound holds per name
+    root = os.path.dirname(p2)
+    gens = [d for d in os.listdir(root) if d.startswith("gen_probe.g")]
+    assert gens == [os.path.basename(p2)]

@@ -235,3 +235,26 @@ def test_url_blocklist_transform_modes(spark):
         cls({"domains": ["x.com"], "mode": "nope"}).validate(df)
     with pytest.raises(ValueError, match="not in input"):
         cls({"domains": ["x.com"], "url_col": "nope"}).validate(df)
+
+
+def test_url_blocklist_transform_without_validate(spark):
+    """ADVICE r11 #3: a runner that skips validate() still gets the
+    documented ValueError for a missing/empty domains list (not a bare
+    KeyError), and non-string YAML scalars are coerced, not crashed on."""
+    import pytest
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "https://b.org/y")],
+        "doc_id long, url string",
+    )
+    cls = TRANSFORMS.get("url_blocklist")
+    with pytest.raises(ValueError, match="non-empty 'domains'"):
+        cls({"mode": "deny"}).transform(df)
+    with pytest.raises(ValueError, match="non-empty 'domains'"):
+        cls({"domains": [], "mode": "deny"}).transform(df)
+    # a numeric entry (YAML `- 123`) must coerce via str(), not crash
+    out = cls({"domains": [123, "EXAMPLE.com"], "mode": "deny"}).transform(df)
+    assert sorted(r.doc_id for r in out.collect()) == [2]
