@@ -1800,8 +1800,172 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_filtered_topk — metadata-filtered ANN (the production RAG serve
+# shape: "top-k nearest among documents matching a predicate"). The
+# corpus side is restricted by a BROADCAST SEMI-JOIN against the
+# allowed doc-id set derived from the documents table (lang in
+# (en, fr)) BEFORE centroid assignment and candidate rerank, so
+# disallowed vectors never cost an exact distance. Queries are drawn
+# from the unfiltered corpus (a caller's query need not pass its own
+# filter); vec_id in [30, 40) keeps the record distinct from the
+# other ann_* entries. Pre- vs post-filtering is result-identical
+# here because IVF assignment is per-vector — with a persisted index
+# the same semi-join applies to the probed lists (see
+# ivf_topk_from_index's tombstone path, the identical plan shape).
+# Scale: filter = map-side broadcast semi-join; candidate generation
+# stays the cent_id equi-join; no all-pairs, no extra shuffle.
+# ---------------------------------------------------------------------------
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang").isin("en", "fr")).select(
+        F.col("doc_id").alias("c_id")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 40)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    ).join(F.broadcast(allowed), "c_id", "left_semi")
+    out = ivf_topk(queries, corpus, centroids, k=5, n_probe=2)
+    return out.select(
+        "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
+    ).orderBy("q_id", "rank")
+
+
+_FILTERED_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+allowed AS (
+  SELECT doc_id AS c_id FROM documents WHERE lang IN ('en', 'fr')
+),
+corpus AS (
+  SELECT vec_id, v FROM vecs WHERE vec_id IN (SELECT c_id FROM allowed)
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM corpus a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, cent_id FROM (
+    SELECT a.vec_id, a.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+    WHERE a.vec_id >= 30 AND a.vec_id < 40
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id, a.cent_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM q JOIN assigned a USING (cent_id)
+),
+ranked AS (
+  SELECT q_id, c_id, cent_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, c_id, floor(cos * 10000) / 10000 AS cos, cent_id
+FROM ranked
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_snapshots — distribution drift between two corpus
+# snapshots (the re-embedding / model-upgrade audit: did this label's
+# region move?). Snapshots A/B are the vec_id parity halves; per label
+# the two per-dimension centroids are computed via posexplode + avg
+# (no vectors collected, same shape as embedding_label_centroids),
+# then compared: cosine(centA, centB) and the L2 displacement. At
+# 100 TB both snapshots reduce map-side to |labels| x dim partials —
+# the output is labels rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    cent = dims.groupBy("label", "snap", "pos").agg(F.avg("x").alias("cx"))
+    a = cent.filter(F.col("snap") == 0).select(
+        "label", "pos", F.col("cx").alias("ca")
+    )
+    b = cent.filter(F.col("snap") == 1).select(
+        "label", "pos", F.col("cx").alias("cb")
+    )
+    j = a.join(b, ["label", "pos"])
+    return (
+        j.groupBy("label")
+        .agg(
+            _trunc4(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("centroid_cos"),
+            _trunc4(
+                F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2))
+            ).alias("drift_l2"),
+        )
+        .orderBy("label")
+    )
+
+
+_DRIFT_SQL = """
+WITH vecs AS (
+  SELECT label, vec_id % 2 AS snap, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT label, snap, unnest(range(len(v))) AS pos, unnest(v) AS x FROM vecs
+),
+cent AS (
+  SELECT label, snap, pos, avg(x) AS cx FROM dims GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.label, a.pos, a.cx AS ca, b.cx AS cb
+  FROM (SELECT * FROM cent WHERE snap = 0) a
+  JOIN (SELECT * FROM cent WHERE snap = 1) b USING (label, pos)
+)
+SELECT label,
+       floor(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb)))
+             * 10000) / 10000 AS centroid_cos,
+       floor(sqrt(sum((ca - cb) * (ca - cb))) * 10000) / 10000 AS drift_l2
+FROM j
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_filtered_topk": ann_filtered_topk,
+    "embedding_drift_snapshots": embedding_drift_snapshots,
     "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
     "ann_ivf_delete_topk": ann_ivf_delete_topk,
@@ -1827,6 +1991,8 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "ann_filtered_topk": _FILTERED_SQL,
+    "embedding_drift_snapshots": _DRIFT_SQL,
     "ann_ivf_persisted_topk": _IVF_PERSISTED_SQL,
     "ann_ivf_incremental_topk": _IVF_INCREMENTAL_SQL,
     "ann_ivf_delete_topk": _IVF_DELETE_SQL,
