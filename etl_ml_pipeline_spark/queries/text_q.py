@@ -1900,7 +1900,197 @@ ORDER BY rule
 """
 
 
+# ---------------------------------------------------------------------------
+# split_decontamination_stats — cross-split contamination audit: after
+# the deterministic hash split (80/20 train/held-out), how many
+# held-out documents share word 5-grams with ANY training document?
+# This is the decontamination gate every benchmark/eval split must
+# pass before the train side ships (published pipelines use 8-13-gram
+# overlap; 5 here for the synthetic corpus). Rides the same
+# distinct-gram-hash equi-join as text_contamination — never a text
+# comparison — then folds to per-language rates.
+# Scale: both sides explode to distinct (id, 60-bit gram hash) pairs,
+# meet in ONE equi-join, and the output is |langs| rows. The held-out
+# side is 20% of the corpus by construction; at 100 TB the gram join
+# shuffles token-scale data once, same as the dedup family.
+# ---------------------------------------------------------------------------
+
+
+def split_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import (
+        contamination_pairs,
+        token_hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    h = token_hash60(F.col("doc_id").cast("string")) % 10
+    train = docs.filter(h < 8)
+    test = docs.filter(h >= 8)
+    pairs = contamination_pairs(test, train, n=5, min_shared=1)
+    per_doc = pairs.groupBy("corpus_id").agg(
+        F.count("*").alias("n_partners"), F.sum("n_shared").alias("shared")
+    )
+    j = test.select("doc_id", "lang").join(
+        per_doc, F.col("doc_id") == F.col("corpus_id"), "left"
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.count("corpus_id").alias("n_contaminated"),
+            (
+                F.floor(F.count("corpus_id") * 10000 / F.count("*")) / 10000
+            ).alias("contamination_rate"),
+            F.coalesce(F.sum("shared"), F.lit(0)).cast("long").alias(
+                "shared_grams"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b,
+         {_TOKS_DUCK} AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, b,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, b, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams
+),
+train AS (SELECT doc_id AS bench_id, gh FROM hashed WHERE b < 8),
+test_g AS (SELECT doc_id AS corpus_id, gh FROM hashed WHERE b >= 8),
+pairs AS (
+  SELECT corpus_id, bench_id, count(*) AS n_shared
+  FROM test_g JOIN train USING (gh)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT corpus_id, count(*) AS n_partners, sum(n_shared) AS shared
+  FROM pairs GROUP BY 1
+),
+test_docs AS (SELECT doc_id, lang FROM toks WHERE b >= 8)
+SELECT d.lang,
+       count(*) AS n_test,
+       count(p.corpus_id) AS n_contaminated,
+       floor(count(p.corpus_id) * 10000 / count(*)) / 10000
+         AS contamination_rate,
+       CAST(coalesce(sum(p.shared), 0) AS BIGINT) AS shared_grams
+FROM test_docs d LEFT JOIN per_doc p ON d.doc_id = p.corpus_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_calibration_bins — calibration audit for the model-based
+# quality filter: bucket the classifier score into deciles and compare
+# against an independent heuristic label (3 <= non-space chars per
+# token <= 12 — a crude "natural prose" check), per bin. The plot
+# every score-gated corpus needs before picking min_score: if the
+# rate isn't monotone in the bin, the filter threshold is noise.
+# Floats: the score is the 1e-6-floored sigmoid (the pinned
+# text_model_quality_score grid), the decile is floor(score*10) of
+# that stable grid, the rate is exact-integer arithmetic, and
+# min/max of identical double sets are order-independent — no
+# accumulation-order hazard anywhere.
+# Scale: one token explode + broadcast weight join + two small
+# groupBys; the label is a map-side length computation.
+# ---------------------------------------------------------------------------
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import hashed_linear_score
+
+    docs = t(spark, sf_dir, "documents")
+    weights = spark.range(_QM_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 97 - 48).cast("double").alias("weight"),
+    )
+    scored = hashed_linear_score(docs, weights, n_buckets=_QM_BUCKETS)
+    s6 = F.floor(F.col("score") * 1e6) / 1e6
+    labeled = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonspace"),
+    )
+    j = scored.join(labeled, "doc_id").select(
+        F.floor(s6 * 10).cast("int").alias("bin"),
+        s6.alias("s6"),
+        (
+            (F.col("n_nonspace") >= 3 * F.col("n_tok"))
+            & (F.col("n_nonspace") <= 12 * F.col("n_tok"))
+        ).cast("long").alias("good"),
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("good").alias("n_good"),
+            (F.floor(F.sum("good") * 10000 / F.count("*")) / 10000).alias(
+                "good_rate"
+            ),
+            F.min("s6").alias("min_score"),
+            F.max("s6").alias("max_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CALIBRATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_QM_BUCKETS} AS bucket
+  FROM toks
+),
+weights AS (
+  SELECT range AS bucket, CAST(range % 97 - 48 AS DOUBLE) AS weight
+  FROM range({_QM_BUCKETS})
+),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_tok,
+         floor(1.0 / (1.0 + exp(-(sum(coalesce(w.weight, 0.0)) / count(*))))
+               * 1e6) / 1e6 AS s6
+  FROM bucketed b LEFT JOIN weights w USING (bucket)
+  GROUP BY 1
+),
+labeled AS (
+  SELECT doc_id, len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+j AS (
+  SELECT CAST(floor(s.s6 * 10) AS INT) AS bin, s.s6,
+         CASE WHEN l.n_nonspace >= 3 * s.n_tok
+                   AND l.n_nonspace <= 12 * s.n_tok
+              THEN 1 ELSE 0 END AS good
+  FROM scored s JOIN labeled l USING (doc_id)
+)
+SELECT bin,
+       count(*) AS n_docs,
+       CAST(sum(good) AS BIGINT) AS n_good,
+       floor(sum(good) * 10000 / count(*)) / 10000 AS good_rate,
+       min(s6) AS min_score,
+       max(s6) AS max_score
+FROM j
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
+    "split_decontamination_stats": split_decontamination_stats,
+    "quality_calibration_bins": quality_calibration_bins,
     "corpus_stats_battery": corpus_stats_battery,
     "text_vocab_coverage": text_vocab_coverage,
     "text_gopher_rules": text_gopher_rules,
@@ -1930,6 +2120,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "split_decontamination_stats": _DECONTAM_SQL,
+    "quality_calibration_bins": _CALIBRATION_SQL,
     "phrase_search_documents": _PHRASE_SQL,
     "corpus_stats_battery": _CORPUS_STATS_SQL,
     "text_vocab_coverage": _VOCAB_COVERAGE_SQL,
