@@ -1545,7 +1545,61 @@ ORDER BY r_tier, f_tier, m_tier
 """
 
 
+# ---------------------------------------------------------------------------
+# privacy_dp_group_counts — differentially-private aggregate release:
+# per-(lang, source) document counts with Laplace(1/epsilon) noise,
+# epsilon = 1. The noise draw is DERANDOMIZED for engine parity: the
+# uniform comes from the group key's 60-bit hash (u = (h mod 1e6 +
+# 0.5)/1e6, bounded away from the ln() poles), pushed through the
+# Laplace inverse CDF -sgn(u-.5)*b*ln(1-2|u-.5|). A production release
+# swaps the hash-uniform for a real RNG — one expression, same plan.
+# The true count is emitted alongside for calibration AUDIT only
+# (a real release drops it, and must also enumerate absent groups —
+# releasing only non-empty groups leaks their existence; documented
+# limitation, the synthetic key domain here is fully present).
+# Scale: one groupBy; noise is a map-side expression on |groups| rows.
+# ---------------------------------------------------------------------------
+
+
+def privacy_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import token_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n_true"))
+    h = token_hash60(F.concat_ws("|", F.col("lang"), F.col("source")))
+    u = (h % 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    c = u - F.lit(0.5)
+    noise = -F.signum(c) * F.log(F.lit(1.0) - 2 * F.abs(c))
+    return g.select(
+        "lang",
+        "source",
+        "n_true",
+        (F.floor((F.col("n_true") + noise) * 10000) / 10000).alias("dp_count"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("lang", "source")
+
+
+_DP_COUNTS_SQL = """
+WITH g AS (
+  SELECT lang, source, count(*) AS n_true FROM documents GROUP BY 1, 2
+),
+n AS (
+  SELECT lang, source, n_true,
+         (('0x' || substr(md5(lang || '|' || source), 1, 15))::BIGINT
+           % 1000000 + 0.5) / 1000000.0 AS u
+  FROM g
+)
+SELECT lang, source, n_true,
+       floor((n_true + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))))
+             * 10000) / 10000 AS dp_count,
+       1.0 AS epsilon
+FROM n
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
+    "privacy_dp_group_counts": privacy_dp_group_counts,
     "feature_winsorize_events": feature_winsorize_events,
     "rfm_segmentation_events": rfm_segmentation_events,
     "privacy_k_anonymity": privacy_k_anonymity,
@@ -1568,6 +1622,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "privacy_dp_group_counts": _DP_COUNTS_SQL,
     "feature_winsorize_events": _WINSORIZE_SQL,
     "privacy_k_anonymity": _K_ANON_SQL,
     "privacy_erasure_audit": _ERASURE_SQL,

@@ -358,14 +358,84 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# layout_compaction_plan — small-file compaction planning (the OPTIMIZE
+# / bin-packing maintenance pass every lakehouse table needs): treat
+# each document as a data file (size = n_chars), walk files in id
+# order, and cut output bins at a target size via the cumulative size
+# — bin = floor(exclusive-prefix-sum / target), the same adjacent
+# bin-packing Delta's OPTIMIZE performs. The plan output (files,
+# bytes, id span per bin) is what a table service would hand to the
+# rewrite jobs.
+# Scale: rides global_running_sum's two-phase prefix sum (range
+# repartition by arithmetic buckets + local cumsum windows + broadcast
+# offsets) with covering bounds from the raw scan — planning over
+# millions of file-manifest rows is a metadata-scale Spark job, never
+# a single-task sort. Exact: sizes are longs.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 25_000  # target output size (chars stand in for bytes)
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    files = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    bounds = files.agg(
+        F.min(F.col("file_id").cast("double")).alias("__lo"),
+        F.max(F.col("file_id").cast("double")).alias("__hi"),
+    )
+    cum = global_running_sum(
+        files, "bytes", ["file_id"], "cum_bytes", bounds_df=bounds
+    )
+    binned = cum.withColumn(
+        "bin",
+        F.floor((F.col("cum_bytes") - F.col("bytes")) / _COMPACT_TARGET).cast(
+            "long"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("bin")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH cum AS (
+  SELECT doc_id AS file_id, n_chars AS bytes,
+         sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM documents
+)
+SELECT CAST(floor((cum_bytes - bytes) / {_COMPACT_TARGET}) AS BIGINT) AS bin,
+       count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       min(file_id) AS first_file,
+       max(file_id) AS last_file
+FROM cum
+GROUP BY 1
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "bloom_prune_brand_revenue": bloom_prune_brand_revenue,
     "layout_zorder_prune_stats": layout_zorder_prune_stats,
     "layout_bucketed_join_stats": layout_bucketed_join_stats,
+    "layout_compaction_plan": layout_compaction_plan,
 }
 
 ORACLES = {
     "bloom_prune_brand_revenue": _BLOOM_BRAND_SQL,
     "layout_zorder_prune_stats": _ZORDER_SQL,
     "layout_bucketed_join_stats": _BUCKETED_JOIN_SQL,
+    "layout_compaction_plan": _COMPACTION_SQL,
 }

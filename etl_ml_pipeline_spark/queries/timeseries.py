@@ -2328,7 +2328,69 @@ ORDER BY click_day
 """
 
 
+# ---------------------------------------------------------------------------
+# sft_episode_construction — behavior-sequence training-example
+# construction: per user, the time-ordered event-type sequence becomes
+# one episode (the SFT/next-action-model prep step that turns a raw
+# event log into model inputs). Emits the episode length, an md5
+# fingerprint of the space-joined sequence (keeps the oracle payload
+# narrow — the downstream writer would carry the sequence itself), and
+# the final event type as the label. user_id < 300 bounds the per-row
+# output, the usual oracle convention.
+# Scale: ONE user-key shuffle; the per-user collect is bounded by a
+# user's own event count (the natural episode bound — a cap/windowed
+# variant slots into the same plan for heavy users). array_sort on
+# (ts, event_id) structs makes the sequence deterministic under any
+# partitioning; no Python anywhere.
+# ---------------------------------------------------------------------------
+
+
+def sft_episode_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    episode = F.array_join(
+        F.transform(F.col("seq"), lambda x: x["event_type"]), " "
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("episode_len"),
+        F.md5(episode).alias("episode_md5"),
+        F.element_at("seq", -1)["event_type"].alias("label"),
+    ).orderBy("user_id")
+
+
+_SFT_EPISODE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 300
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS episode_len,
+         md5(string_agg(event_type, ' ' ORDER BY ts, event_id))
+           AS episode_md5
+  FROM e GROUP BY 1
+),
+last AS (
+  SELECT user_id, event_type AS label FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT a.user_id, CAST(a.episode_len AS BIGINT) AS episode_len,
+       a.episode_md5, l.label
+FROM agg a JOIN last l USING (user_id)
+ORDER BY a.user_id
+"""
+
+
 QUERIES = {
+    "sft_episode_construction": sft_episode_construction,
     "sma_events": sma_events,
     "stream_late_data_window_replay": stream_late_data_window_replay,
     "stream_late_dedup_eviction_replay": stream_late_dedup_eviction_replay,
@@ -2362,6 +2424,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sft_episode_construction": _SFT_EPISODE_SQL,
     "sma_events": _SMA_SQL,
     "stream_late_data_window_replay": _LATE_WINDOW_SQL,
     "stream_late_dedup_eviction_replay": _LATE_DEDUP_SQL,
