@@ -95,6 +95,16 @@ HEADLINE = [
     # rule — ann_ivf_delete_topk writes an index table (fixed table-IO
     # latency) and the two late-data replays run streaming triggers;
     # their scale behavior is tracked by the ladder (all sublinear).
+    # round-12: metadata-filtered ANN (broadcast semi-join ahead of
+    # assignment), the cross-split gram-join decontamination shape, and
+    # the decontamination-gated governance chain. The other four
+    # additions stay catalog-only: compaction planning re-rides the
+    # already-benched prefix sum, and calibration bins / DP counts /
+    # episode construction are sub-second single-shuffle shapes the
+    # ladder tracks.
+    "ann_filtered_topk",
+    "split_decontamination_stats",
+    "training_data_prep_decontam_e2e",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

@@ -531,6 +531,70 @@ class QualityModelScore(BaseTransform):
         return out
 
 
+@register_transform("decontaminate")
+class Decontaminate(BaseTransform):
+    """Drop rows that share word n-grams with a benchmark / held-out
+    set — the YAML-pipeline form of the decontamination gate
+    (``contamination_pairs``; see split_decontamination_stats and the
+    decontam e2e for the audited semantics).
+
+    config:
+      benchmark_path: PATH     # parquet of benchmark docs (text_col +
+                               # id_col schema), read lazily; OR
+      holdout_pct: INT         # derive the benchmark as the hash
+                               # split's top holdout_pct% of THIS input
+                               # (rows hash(id) % 100 >= 100 - pct);
+                               # the output then contains only clean
+                               # NON-holdout rows
+      text_col: text
+      id_col: doc_id
+      n: 5                     # gram size (8-13 in published pipelines)
+      min_shared: 1            # grams shared to count as contaminated
+
+    Exactly one of benchmark_path / holdout_pct is required.
+    Scale: one token-scale gram-hash equi-join + one id-keyed
+    anti-join; the benchmark side is typically small enough for the
+    optimizer to broadcast."""
+
+    def validate(self, df: DataFrame) -> None:
+        cfg = self.config
+        if ("benchmark_path" in cfg) == ("holdout_pct" in cfg):
+            raise ValueError(
+                "decontaminate: config needs exactly one of "
+                "'benchmark_path' or 'holdout_pct'"
+            )
+        for key in (cfg.get("text_col", "text"), cfg.get("id_col", "doc_id")):
+            if key not in df.columns:
+                raise ValueError(f"decontaminate: column {key!r} not in input")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        self.validate(df)
+        text_col = cfg.get("text_col", "text")
+        id_col = cfg.get("id_col", "doc_id")
+        if "benchmark_path" in cfg:
+            corpus = df
+            bench = df.sparkSession.read.parquet(str(cfg["benchmark_path"]))
+        else:
+            pct = int(cfg["holdout_pct"])
+            h = token_hash60(F.col(id_col).cast("string")) % 100
+            corpus = df.filter(h < 100 - pct)
+            bench = df.filter(h >= 100 - pct)
+        pairs = contamination_pairs(
+            corpus,
+            bench,
+            text_col=text_col,
+            id_col=id_col,
+            n=int(cfg.get("n", 5)),
+            min_shared=int(cfg.get("min_shared", 1)),
+        )
+        return corpus.join(
+            pairs.select("corpus_id").distinct(),
+            F.col(id_col) == F.col("corpus_id"),
+            "left_anti",
+        )
+
+
 @register_transform("pii_scrub")
 class PiiScrub(BaseTransform):
     """Adds pii counts and replaces the text column with its scrubbed

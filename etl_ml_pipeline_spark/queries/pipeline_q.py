@@ -149,10 +149,170 @@ ORDER BY pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# training_data_prep_decontam_e2e — the round-12 flagship: the same
+# governance chain with the DECONTAMINATION stage a real pre-training
+# prep runs between dedup and sampling. The corpus is hash-split
+# 80/20; the pipeline prepares the TRAIN side and drops any training
+# document that shares a word 5-gram with the held-out side (the
+# leakage gate split_decontamination_stats audits, here enforced
+# in-plan via one anti-join). Oracle-checks the final packed output,
+# so a green hash certifies score -> gate -> dedup -> decontaminate ->
+# sample -> pack composed as ONE lazy plan.
+# Scale: adds exactly one token-scale gram-hash equi-join (the dedup
+# family's budget) and one id-keyed anti-join to the e2e plan; the
+# held-out gram side is 20% of the corpus by construction. Everything
+# else is inherited: map-side score/gate/sample fused into the scan,
+# one dedup exchange, deterministic-bucket prefix sum with raw-scan
+# covering bounds.
+# ---------------------------------------------------------------------------
+
+
+def training_data_prep_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.dedup import exact_dedup
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+    from etl_ml_pipeline_spark.operators.text import contamination_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    b = X.token_hash60(F.col("doc_id").cast("string")) % 10
+    train, holdout = docs.filter(b < 8), docs.filter(b >= 8)
+    c = F.col("text")
+    scored = train.select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count(c).cast("long").alias("n_tok"),
+        X.quality_score(c).alias("q"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin(*_GATE_LANGS)
+        & (F.col("q") >= 0.4)
+        & (F.col("n_tok") >= 10)
+    )
+    deduped = exact_dedup(gated, "text", "doc_id")
+    contaminated = (
+        contamination_pairs(deduped, holdout, n=5, min_shared=1)
+        .select("corpus_id")
+        .distinct()
+    )
+    clean = deduped.join(
+        contaminated, F.col("doc_id") == F.col("corpus_id"), "left_anti"
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_RATE)).otherwise(
+        F.lit(_DEFAULT_RATE)
+    )
+    sampled = clean.filter(
+        X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "n_tok")
+    bounds = docs.agg(
+        F.min(F.col("doc_id").cast("double")).alias("__lo"),
+        F.max(F.col("doc_id").cast("double")).alias("__hi"),
+    )
+    cum = global_running_sum(
+        sampled, "n_tok", ["doc_id"], "cum_tok", bounds_df=bounds
+    )
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET).cast("long"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_PREP_DECONTAM_SQL = f"""
+WITH split AS (
+  SELECT *, {_HASH_DUCK} % 10 AS b FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, text,
+         len({_TOKS_DUCK}) AS n_tok,
+         len(list_distinct({_TOKS_DUCK})) AS n_uniq,
+         len(list_filter({_TOKS_DUCK}, tk -> tk IN ({_STOP_SQL_LIST}))) AS n_stop
+  FROM split WHERE b < 8
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tok,
+         CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END
+         + least(CAST(n_uniq AS DOUBLE) / n_tok, 0.5) * 0.6
+         + CASE WHEN CAST(n_stop AS DOUBLE) / n_tok BETWEEN 0.01 AND 0.5
+                THEN 0.2 ELSE 0.0 END AS q
+  FROM feats
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE lang IN ({_LANGS_SQL}) AND q >= 0.4 AND n_tok >= 10
+),
+deduped AS (
+  SELECT doc_id, lang, text, n_tok FROM (
+    SELECT doc_id, lang, text, n_tok,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id
+           ) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+train_grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS tk FROM deduped)
+),
+holdout_grams AS (
+  SELECT unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM (SELECT {_TOKS_DUCK} AS tk FROM split WHERE b >= 8)
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM train_grams) t
+  JOIN (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM holdout_grams) h USING (gh)
+),
+sampled AS (
+  SELECT doc_id, lang, n_tok FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND {_HASH_DUCK} % 100
+        < CASE WHEN lang = 'en' THEN {_EN_RATE} ELSE {_DEFAULT_RATE} END
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM sampled
+)
+SELECT CAST(floor((cum_tok - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+ORDER BY pack_id
+"""
+
+
 QUERIES = {
     "training_data_prep_e2e": training_data_prep_e2e,
+    "training_data_prep_decontam_e2e": training_data_prep_decontam_e2e,
 }
 
 ORACLES = {
     "training_data_prep_e2e": _PREP_E2E_SQL,
+    "training_data_prep_decontam_e2e": _PREP_DECONTAM_SQL,
 }

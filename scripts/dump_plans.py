@@ -344,6 +344,37 @@ SHOWCASE = [
         "time for bounds (pinned by tests/test_plans.py; measured 0.89x "
         "at sf0.1, 0.92x at sf1 — scripts/r11_bounds_ab.json).",
     ),
+    (
+        "ann_filtered_topk",
+        "Metadata-filtered ANN (round 12, the RAG serve shape): the "
+        "allowed-id set from the documents table broadcasts into a "
+        "map-side LEFT SEMI join that prunes the corpus BEFORE centroid "
+        "assignment, so disallowed vectors never cost an exact distance; "
+        "the documents side is column-pruned to (doc_id, lang). Same "
+        "plan family as the tombstone anti-join — filter semantics "
+        "compile to broadcast-side set probes, never post-rerank "
+        "filters (4.1s vs the unfiltered 20.1s at sf1).",
+    ),
+    (
+        "layout_compaction_plan",
+        "Compaction planning (round 12, the OPTIMIZE maintenance pass): "
+        "bin cuts ride the two-phase prefix sum over the file manifest "
+        "— range repartition by arithmetic buckets, local cumsum "
+        "windows, 1-row broadcast offsets — with covering bounds from "
+        "the bare column-pruned manifest scan. Zero WindowGroupLimit "
+        "nodes: planning a million-file table never single-task sorts.",
+    ),
+    (
+        "split_decontamination_stats",
+        "Cross-split decontamination (round 12): the two split sides "
+        "tokenize DISJOINT row sets of the corpus (the hash split "
+        "pushes into each scan's data filter — no row is tokenized "
+        "twice), explode map-side to distinct (id, 60-bit gram hash) "
+        "pairs, and meet in a single hash equi-join on the gram hash — "
+        "never a text comparison. The gram join is the only token-scale "
+        "shuffle (the dedup family's budget); the lang rollup joins "
+        "id-partitioned against a column-pruned (doc_id, lang) scan.",
+    ),
 ]
 
 

@@ -127,6 +127,20 @@ QUERIES = [
     "stream_late_join_replay",
     "stream_late_outer_join_replay",
     "url_blocklist_stats",
+    # round-12 families: metadata-filtered ANN (broadcast semi-join
+    # ahead of assignment), cross-split 5-gram decontamination (one
+    # token-scale gram join), per-label snapshot drift (posexplode
+    # partials), score-calibration bins (token explode + broadcast
+    # weights), compaction planning (manifest-scale prefix sum),
+    # DP count release (one groupBy + map-side noise), and per-user
+    # episode construction (one user-key shuffle + bounded collect).
+    "ann_filtered_topk",
+    "split_decontamination_stats",
+    "embedding_drift_snapshots",
+    "quality_calibration_bins",
+    "layout_compaction_plan",
+    "privacy_dp_group_counts",
+    "sft_episode_construction",
 ]
 
 

@@ -114,6 +114,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("token_budget_mixture", tmp_path / "out8"),
         ("perplexity_gated_corpus", tmp_path / "out9"),
         ("url_dedup_corpus", tmp_path / "out10"),
+        ("decontaminated_corpus", tmp_path / "out11"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),
@@ -133,8 +134,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 226, sorted(qs)
-    assert len(oracles) == 225, sorted(oracles)
+    assert len(qs) == 227, sorted(qs)
+    assert len(oracles) == 226, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)

@@ -1348,3 +1348,56 @@ def test_run_scoped_index_dir_generations():
     root = os.path.dirname(p2)
     gens = [d for d in os.listdir(root) if d.startswith("gen_probe.g")]
     assert gens == [os.path.basename(p2)]
+
+
+def test_decontaminate_transform_modes(spark, tmp_path):
+    """decontaminate registry transform: benchmark-path mode drops
+    corpus rows sharing n-grams with the external set; holdout_pct
+    mode splits the input by id hash and returns only clean non-holdout
+    rows; config errors are loud even when validate() is skipped."""
+    import pytest
+
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")],
+        "doc_id long, text string",
+    )
+    bench_path = str(tmp_path / "bench")
+    bench.write.parquet(bench_path)
+
+    cls = TRANSFORMS.get("decontaminate")
+    out = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
+    # doc 1 shares the 5-gram "alpha beta gamma delta epsilon" -> dropped
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+    # holdout mode: corpus = low-hash rows, benchmark = top pct; the
+    # output never contains holdout rows and never a contaminated row
+    split_out = cls({"holdout_pct": 20, "n": 5}).transform(docs)
+    from etl_ml_pipeline_spark.operators.text import token_hash60
+    from pyspark.sql import functions as F
+
+    holdout_ids = {
+        r.doc_id
+        for r in docs.filter(
+            token_hash60(F.col("doc_id").cast("string")) % 100 >= 80
+        ).collect()
+    }
+    got = {r.doc_id for r in split_out.collect()}
+    assert not (got & holdout_ids)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        cls({}).transform(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        cls({"benchmark_path": bench_path, "holdout_pct": 10}).transform(docs)
+    with pytest.raises(ValueError, match="not in input"):
+        cls({"holdout_pct": 10, "id_col": "nope"}).transform(docs)

@@ -895,3 +895,45 @@ def test_prefix_sum_property_pathological_keys(spark):
         ), (rows, parts)
 
     check()
+
+
+def test_ann_filtered_topk_filter_is_broadcast_semi_join(spark, sf_dir):
+    """The metadata filter must prune the corpus via a BROADCAST
+    semi-join BEFORE centroid assignment — a shuffled semi-join (or a
+    post-rerank filter) would pay exact distances for disallowed
+    vectors at 100 TB."""
+    from etl_ml_pipeline_spark.queries.similarity_q import ann_filtered_topk
+
+    plan = (
+        ann_filtered_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # the documents side reads only the two filter columns
+    assert "struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_layout_compaction_plan_bounds_subtree_is_bare_scan(spark, sf_dir):
+    """The compaction plan's prefix-sum bounds branch must be a bare
+    column-pruned scan of the manifest (the whole point of passing
+    covering bounds): no Window/WindowGroupLimit nodes anywhere — the
+    only windows are the prefix sum's own local cumsum + offsets."""
+    from etl_ml_pipeline_spark.queries.prune_q import layout_compaction_plan
+
+    df = layout_compaction_plan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" not in plan
+    # result sanity: bins partition the corpus exactly once
+    from pyspark.sql import functions as F
+
+    rows = df.collect()
+    total = sum(r["n_files"] for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert total == docs.count()
+    # bins cover disjoint contiguous id ranges in order
+    spans = sorted((r["first_file"], r["last_file"]) for r in rows)
+    for (a1, b1), (a2, _) in zip(spans, spans[1:]):
+        assert b1 < a2
