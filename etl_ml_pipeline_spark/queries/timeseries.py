@@ -2329,6 +2329,118 @@ ORDER BY click_day
 
 
 # ---------------------------------------------------------------------------
+# stream_decontam_replay — incremental ingest decontamination: new
+# documents arriving on a stream are gated against a STATIC benchmark
+# gram table (built once from the held-out hash split) — the streaming
+# twin of the decontaminate transform / decontam e2e, for the ingest
+# topology where the corpus grows continuously but the eval set is
+# fixed. Per micro-batch: map-side 5-gram explode -> stream-static
+# LEFT join on the 60-bit gram hash (stateless) -> keyed max(hit)
+# aggregation flags each doc; the materialized complete-mode table
+# rolls up per language batch-side. Replayed over 3 mtime-ordered
+# file batches of the train split.
+# State note: the flag aggregation keys on doc_id, so state grows with
+# documents seen — fine for the hermetic replay; a production ingest
+# bounds it with a watermark/TTL on an arrival-time column (the
+# stream_ttl_eviction_replay machinery, orthogonal here). Documents
+# with fewer than 5 tokens produce no grams and are not gated (they
+# cannot be contaminated AT the gram size); the oracle mirrors that.
+# ---------------------------------------------------------------------------
+
+
+def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from etl_ml_pipeline_spark.operators.text import token_hash60, word_ngrams
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    b = token_hash60(F.col("doc_id").cast("string")) % 10
+    train = docs.filter(b < 8).select("doc_id", "lang", "text")
+    holdout = docs.filter(b >= 8)
+    bench = (
+        holdout.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 5))
+            ).alias("gram")
+        )
+        .select(token_hash60(F.col("gram")).alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    root = f"{_replay_ckpt_root()}/decontam_{uuid.uuid4().hex[:8]}"
+    os.makedirs(root)
+    _write_batches_spark(
+        train, root, conds=[F.col("doc_id") % 3 == i for i in range(3)]
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    grams = stream.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias(
+            "gram"
+        ),
+    ).withColumn("gh", token_hash60(F.col("gram")))
+    flagged = (
+        grams.join(bench, "gh", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("contaminated"))
+    )
+    table = _replay(flagged, "complete")
+    return (
+        table.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contaminated").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STREAM_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+           AS b,
+         regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, b,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, lang, b,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM grams
+),
+bench AS (SELECT DISTINCT gh FROM hashed WHERE b >= 8),
+flagged AS (
+  SELECT h.doc_id, h.lang,
+         max(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)
+           AS contaminated
+  FROM (SELECT * FROM hashed WHERE b < 8) h
+  LEFT JOIN bench ON h.gh = bench.gh
+  GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(contaminated) AS BIGINT) AS n_contaminated
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # sft_episode_construction — behavior-sequence training-example
 # construction: per user, the time-ordered event-type sequence becomes
 # one episode (the SFT/next-action-model prep step that turns a raw
@@ -2390,6 +2502,7 @@ ORDER BY a.user_id
 
 
 QUERIES = {
+    "stream_decontam_replay": stream_decontam_replay,
     "sft_episode_construction": sft_episode_construction,
     "sma_events": sma_events,
     "stream_late_data_window_replay": stream_late_data_window_replay,
@@ -2424,6 +2537,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_decontam_replay": _STREAM_DECONTAM_SQL,
     "sft_episode_construction": _SFT_EPISODE_SQL,
     "sma_events": _SMA_SQL,
     "stream_late_data_window_replay": _LATE_WINDOW_SQL,

@@ -141,6 +141,11 @@ QUERIES = [
     "layout_compaction_plan",
     "privacy_dp_group_counts",
     "sft_episode_construction",
+    # round-12 late addition: incremental ingest decontamination — the
+    # per-batch gram explode + stream-static hash join is the work
+    # being measured; flag state is keyed per doc (watermark/TTL in
+    # production).
+    "stream_decontam_replay",
 ]
 
 
