@@ -1962,9 +1962,91 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_index_stats — index observability / maintenance planning: the
+# per-list size distribution of the persisted IVF index plus the
+# signals an index-maintenance job alerts on — each list's share of
+# the corpus and a needs_split flag for lists over 2x the ideal size
+# (the rebalance trigger; oversized lists are exactly the ones whose
+# probes stop being sub-linear). Reads the stats from the STORED
+# lists, so a green row also re-proves the persisted round-trip
+# against the oracle's from-scratch assignment replay.
+# Scale: one groupBy over the lists table keyed by cent_id (the
+# index's own partition column — map-side combine makes this a
+# metadata-priced scan); the ideal-size divisor is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.ann_index import (
+        ivf_index_read,
+        ivf_index_write,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = _run_scoped_index_dir("ivf_stats")
+    ivf_index_write(corpus, centroids, path)
+    _, lists = ivf_index_read(spark, path)
+    sizes = lists.groupBy("cent_id").agg(F.count("*").alias("list_size"))
+    totals = sizes.agg(
+        F.sum("list_size").alias("__n"), F.count("*").alias("__k")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "cent_id",
+            "list_size",
+            (F.floor(F.col("list_size") * 10000 / F.col("__n")) / 10000).alias(
+                "size_share"
+            ),
+            (F.col("list_size") * F.col("__k") > 2 * F.col("__n"))
+            .cast("int")
+            .alias("needs_split"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+_INDEX_STATS_SQL = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+sizes AS (
+  SELECT cent_id, count(*) AS list_size FROM assigned GROUP BY 1
+),
+tot AS (SELECT sum(list_size) AS n, count(*) AS k FROM sizes)
+SELECT s.cent_id,
+       s.list_size,
+       floor(s.list_size * 10000 / t.n) / 10000 AS size_share,
+       CASE WHEN s.list_size * t.k > 2 * t.n THEN 1 ELSE 0 END AS needs_split
+FROM sizes s CROSS JOIN tot t
+ORDER BY s.cent_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_filtered_topk": ann_filtered_topk,
+    "ann_index_stats": ann_index_stats,
     "embedding_drift_snapshots": embedding_drift_snapshots,
     "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
@@ -1992,6 +2074,7 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
     "ann_filtered_topk": _FILTERED_SQL,
+    "ann_index_stats": _INDEX_STATS_SQL,
     "embedding_drift_snapshots": _DRIFT_SQL,
     "ann_ivf_persisted_topk": _IVF_PERSISTED_SQL,
     "ann_ivf_incremental_topk": _IVF_INCREMENTAL_SQL,

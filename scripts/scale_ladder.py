@@ -146,6 +146,12 @@ QUERIES = [
     # being measured; flag state is keyed per doc (watermark/TTL in
     # production).
     "stream_decontam_replay",
+    # round-12 flagship: the decontamination-gated governance chain
+    # (adds one gram join + one anti-join to the e2e budget) and the
+    # stored-lists observability scan (index write + map-side-combined
+    # groupBy on the partition column).
+    "training_data_prep_decontam_e2e",
+    "ann_index_stats",
 ]
 
 
