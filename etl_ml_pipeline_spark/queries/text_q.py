@@ -1991,6 +1991,78 @@ ORDER BY d.lang
 
 
 # ---------------------------------------------------------------------------
+# text_vocab_growth_curve — Heaps'-law observability: vocabulary size
+# as the corpus grows through 10 deterministic hash-bucket slices (the
+# curve tokenizer/corpus planning reads before committing a vocab
+# budget; a flattening curve says more data stops buying new types).
+# One-pass distributed shape: each distinct token contributes its
+# FIRST bucket (min over the docs containing it), new-type counts per
+# bucket cumulate into the vocab curve, token totals cumulate into the
+# x-axis — no per-prefix re-scan of the corpus (the naive form is 10
+# passes).
+# Scale: one token-scale shuffle (token -> min bucket) + a 10-row
+# window. Exact integers everywhere.
+# ---------------------------------------------------------------------------
+
+
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_ml_pipeline_spark.operators.text import token_hash60, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    b = (token_hash60(F.col("doc_id").cast("string")) % 10).alias("bucket")
+    toks = docs.select(b, F.explode(tokens(F.col("text"))).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count("*").alias("new_types")
+    )
+    tok_counts = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        tok_counts.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            "n_tokens",
+        )
+        .withColumn("vocab_size", F.sum("new_types").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select("bucket", "new_types", "vocab_size", "cum_tokens")
+        .orderBy("bucket")
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+           AS bucket,
+         unnest({_TOKS_DUCK}) AS tok
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(bucket) AS bucket FROM toks GROUP BY 1
+),
+new_types AS (
+  SELECT bucket, count(*) AS new_types FROM first_seen GROUP BY 1
+),
+tok_counts AS (
+  SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY 1
+)
+SELECT t.bucket,
+       CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size,
+       CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM tok_counts t LEFT JOIN new_types n USING (bucket)
+ORDER BY t.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_calibration_bins — calibration audit for the model-based
 # quality filter: bucket the classifier score into deciles and compare
 # against an independent heuristic label (3 <= non-space chars per
@@ -2089,6 +2161,7 @@ ORDER BY bin
 
 
 QUERIES = {
+    "text_vocab_growth_curve": text_vocab_growth_curve,
     "split_decontamination_stats": split_decontamination_stats,
     "quality_calibration_bins": quality_calibration_bins,
     "corpus_stats_battery": corpus_stats_battery,
@@ -2120,6 +2193,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_vocab_growth_curve": _VOCAB_GROWTH_SQL,
     "split_decontamination_stats": _DECONTAM_SQL,
     "quality_calibration_bins": _CALIBRATION_SQL,
     "phrase_search_documents": _PHRASE_SQL,

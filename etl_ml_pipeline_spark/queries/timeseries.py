@@ -2329,6 +2329,95 @@ ORDER BY click_day
 
 
 # ---------------------------------------------------------------------------
+# feature_store_snapshot — multi-horizon feature materialization (the
+# feature-store build every behavioral model trains on): for each
+# user, AT their latest event, the rolling 1h / 24h / 7d activity
+# counts and cent-exact value sums. All three horizons are RANGE
+# windows over ONE (user, epoch) sort — Catalyst plans a single
+# Exchange + Sort and evaluates the frames in the same Window
+# operator, so adding horizons is free of extra shuffles; the
+# snapshot pick is a row_number over the same partitioning.
+# This is the batch materialization twin of the streaming running
+# totals; write the output keyed by user_id and the serving join is a
+# point lookup.
+# ---------------------------------------------------------------------------
+
+
+def feature_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    base = W.partitionBy("user_id").orderBy("epoch_s")
+    w1h = base.rangeBetween(-3600, 0)
+    w24h = base.rangeBetween(-86400, 0)
+    w7d = base.rangeBetween(-604800, 0)
+    feat = (
+        ev.withColumn("n_1h", F.count("*").over(w1h))
+        .withColumn("cents_1h", F.sum("c").over(w1h))
+        .withColumn("n_24h", F.count("*").over(w24h))
+        .withColumn("cents_24h", F.sum("c").over(w24h))
+        .withColumn("n_7d", F.count("*").over(w7d))
+        .withColumn("cents_7d", F.sum("c").over(w7d))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("epoch_s"), F.desc("event_id")
+                )
+            ),
+        )
+    )
+    return (
+        feat.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "epoch_s",
+            "n_1h",
+            "cents_1h",
+            "n_24h",
+            "cents_24h",
+            "n_7d",
+            "cents_7d",
+        )
+        .orderBy("user_id")
+    )
+
+
+_FEATURE_SNAPSHOT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+feat AS (
+  SELECT user_id, event_id, epoch_s,
+         CAST(count(*) OVER w1h AS BIGINT) AS n_1h,
+         CAST(sum(c) OVER w1h AS BIGINT) AS cents_1h,
+         CAST(count(*) OVER w24h AS BIGINT) AS n_24h,
+         CAST(sum(c) OVER w24h AS BIGINT) AS cents_24h,
+         CAST(count(*) OVER w7d AS BIGINT) AS n_7d,
+         CAST(sum(c) OVER w7d AS BIGINT) AS cents_7d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_s DESC, event_id DESC) AS rn
+  FROM ev
+  WINDOW w1h AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+         w24h AS (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+         w7d AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, epoch_s, n_1h, cents_1h, n_24h, cents_24h, n_7d, cents_7d
+FROM feat WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream_decontam_replay — incremental ingest decontamination: new
 # documents arriving on a stream are gated against a STATIC benchmark
 # gram table (built once from the held-out hash split) — the streaming
@@ -2502,6 +2591,7 @@ ORDER BY a.user_id
 
 
 QUERIES = {
+    "feature_store_snapshot": feature_store_snapshot,
     "stream_decontam_replay": stream_decontam_replay,
     "sft_episode_construction": sft_episode_construction,
     "sma_events": sma_events,
@@ -2537,6 +2627,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_store_snapshot": _FEATURE_SNAPSHOT_SQL,
     "stream_decontam_replay": _STREAM_DECONTAM_SQL,
     "sft_episode_construction": _SFT_EPISODE_SQL,
     "sma_events": _SMA_SQL,

@@ -152,6 +152,12 @@ QUERIES = [
     # groupBy on the partition column).
     "training_data_prep_decontam_e2e",
     "ann_index_stats",
+    # round-12 final additions: multi-horizon feature materialization
+    # (one (user, epoch) sort shared by three RANGE frames + the
+    # snapshot row_number) and the one-pass Heaps-law vocab curve
+    # (token -> min-bucket shuffle + a 10-row window).
+    "feature_store_snapshot",
+    "text_vocab_growth_curve",
 ]
 
 
