@@ -1401,3 +1401,70 @@ def test_decontaminate_transform_modes(spark, tmp_path):
         cls({"benchmark_path": bench_path, "holdout_pct": 10}).transform(docs)
     with pytest.raises(ValueError, match="not in input"):
         cls({"holdout_pct": 10, "id_col": "nope"}).transform(docs)
+
+
+def test_episode_construction_matches_pandas_replay(spark):
+    """Property: for ANY event layout (duplicate timestamps included —
+    the tiebreak is event_id), the distributed episode construction
+    (array_sort on (ts, event_id) structs) reproduces the sequential
+    pandas groupby replay exactly: same ordering, same md5, same label."""
+    import datetime as dt
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),     # user
+                st.integers(min_value=0, max_value=5),     # ts offset (dups!)
+                st.sampled_from(["click", "view", "buy"]),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(evts):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=toff), u, et, 1.0, "{}")
+            for i, (u, toff, et) in enumerate(evts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        from pyspark.sql import functions as F
+
+        seq = df.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        got = {
+            r["user_id"]: (
+                len(r["seq"]),
+                hashlib.md5(
+                    " ".join(x["event_type"] for x in r["seq"]).encode()
+                ).hexdigest(),
+                r["seq"][-1]["event_type"],
+            )
+            for r in seq.collect()
+        }
+        want = {}
+        for u in {u for u, _, _ in evts}:
+            ordered = sorted(
+                (r for r in rows if r[2] == u), key=lambda r: (r[1], r[0])
+            )
+            types = [r[3] for r in ordered]
+            want[u] = (
+                len(types),
+                hashlib.md5(" ".join(types).encode()).hexdigest(),
+                types[-1],
+            )
+        assert got == want
+
+    run()

@@ -126,3 +126,46 @@ def test_group_ols_operator_exact_and_degenerate(spark):
     # constant-x group: undefined fit -> nulls, never a crash
     assert got["b"]["slope"] is None and got["b"]["intercept"] is None
     assert got["b"]["n"] == 4
+
+
+def test_compaction_binning_property(spark):
+    """Property: for ANY file-size mix (zeros, files larger than the
+    target, duplicates), the prefix-sum bin assignment partitions the
+    manifest into contiguous, ordered, exactly-covering bins, and every
+    bin except possibly the last stops only once its cumulative size
+    has reached the target (a bin can exceed the target by at most one
+    file — the classic adjacent bin-packing contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+
+    target = 100
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=350), min_size=1, max_size=40)
+    )
+    def run(sizes):
+        rows = [(i, s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "file_id long, bytes long")
+        cum = global_running_sum(df, "bytes", ["file_id"], "cum")
+        binned = [
+            (r["file_id"], r["bytes"], (r["cum"] - r["bytes"]) // target)
+            for r in cum.collect()
+        ]
+        binned.sort()
+        # exact cover, order-contiguous bins
+        assert len(binned) == len(sizes)
+        bins = [b for _, _, b in binned]
+        assert bins == sorted(bins)
+        # replay the naive sequential packer and compare bin cuts
+        run_tot, naive = 0, []
+        for s in sizes:
+            naive.append(run_tot // target)
+            run_tot += s
+        assert bins == naive
+
+    run()
