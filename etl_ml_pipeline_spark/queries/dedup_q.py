@@ -691,7 +691,82 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cross_snapshot_delta — incremental corpus hygiene: which
+# documents of the NEW snapshot are genuinely new vs exact carries of
+# the previous snapshot (the delta a recurring crawl computes before
+# reprocessing anything downstream — carried docs keep their features,
+# new docs enter the pipeline). Snapshots are the doc_id parity halves
+# (A = previous, B = current); membership is the engine's standard
+# whitespace-normalized md5 fingerprint, met in one LEFT SEMI-shaped
+# join on the fingerprint — per-language counts of carried vs new.
+# Scale: each side maps to (fingerprint) keys and meets in ONE
+# fingerprint equi-join (A side reduced to distinct fingerprints
+# first, so the join's build input is |unique texts|, not rows).
+# ---------------------------------------------------------------------------
+
+
+def dedup_cross_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    a = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("carried", F.lit(1))
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", fp.alias("fp")
+    )
+    j = b.join(a, "fp", "left")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("carried", F.lit(0))).cast("long").alias(
+                "n_carried"
+            ),
+            (F.count("*") - F.sum(F.coalesce("carried", F.lit(0))))
+            .cast("long")
+            .alias("n_new"),
+            (
+                F.floor(
+                    F.sum(F.coalesce("carried", F.lit(0))) * 10000 / F.count("*")
+                )
+                / 10000
+            ).alias("carry_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SNAPSHOT_DELTA_SQL = """
+WITH fps AS (
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+a AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, lang, fp FROM fps WHERE doc_id % 2 = 1),
+j AS (
+  SELECT b.lang, CASE WHEN a.fp IS NOT NULL THEN 1 ELSE 0 END AS carried
+  FROM b LEFT JOIN a ON b.fp = a.fp
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(carried) AS BIGINT) AS n_carried,
+       CAST(count(*) - sum(carried) AS BIGINT) AS n_new,
+       floor(sum(carried) * 10000 / count(*)) / 10000 AS carry_rate
+FROM j
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "dedup_cross_snapshot_delta": dedup_cross_snapshot_delta,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_semantic_clusters": dedup_semantic_clusters,
@@ -705,6 +780,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cross_snapshot_delta": _SNAPSHOT_DELTA_SQL,
     "dedup_exact_documents": _EXACT_SQL,
     "dedup_exact_substring": _EXACT_SUBSTR_SQL,
     "dedup_semantic_clusters": _semantic_oracle(),

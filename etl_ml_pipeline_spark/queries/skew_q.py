@@ -96,12 +96,73 @@ ORDER BY segment, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# skew_key_diagnosis_events — the diagnosis that tells you to reach for
+# the salted plans above: per-join-key heavy-hitter report on the
+# events user_id distribution. Emits the top-10 hottest keys with each
+# key's row share and its skew factor (key rows x distinct keys /
+# total rows — 1.0 means perfectly uniform), plus the recommended salt
+# fan-out ceil(skew) a salted rewrite would need to spread that key
+# over average-sized reduce tasks. At 100 TB this query IS the
+# pre-flight a join planner runs: one map-side-combined groupBy +
+# a 10-row TakeOrdered — the corpus never moves twice.
+# Exact: shares and skew are integer-arithmetic floors (x10^4).
+# ---------------------------------------------------------------------------
+
+
+def skew_key_diagnosis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("__total"), F.count("*").alias("__keys")
+    )
+    top = (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            (F.floor(F.col("n_rows") * 10000 / F.col("__total")) / 10000).alias(
+                "row_share"
+            ),
+            (
+                F.floor(
+                    F.col("n_rows") * F.col("__keys") * 10000 / F.col("__total")
+                )
+                / 10000
+            ).alias("skew_factor"),
+            F.ceil(
+                F.col("n_rows") * F.col("__keys") / F.col("__total")
+            ).cast("long").alias("salt_fanout"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(10)
+    )
+    return top
+
+
+_SKEW_DIAG_SQL = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS total, count(*) AS keys FROM per_key)
+SELECT user_id, n_rows,
+       floor(n_rows * 10000 / total) / 10000 AS row_share,
+       floor(n_rows * keys * 10000 / total) / 10000 AS skew_factor,
+       CAST(ceil(n_rows * keys * 1.0 / total) AS BIGINT) AS salt_fanout
+FROM per_key CROSS JOIN tot
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "skew_salted_agg_events": skew_salted_agg_events,
     "skew_salted_join_events": skew_salted_join_events,
+    "skew_key_diagnosis_events": skew_key_diagnosis_events,
 }
 
 ORACLES = {
     "skew_salted_agg_events": _SALTED_AGG_SQL,
     "skew_salted_join_events": _SALTED_JOIN_SQL,
+    "skew_key_diagnosis_events": _SKEW_DIAG_SQL,
 }

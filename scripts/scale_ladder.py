@@ -158,6 +158,12 @@ QUERIES = [
     # (token -> min-bucket shuffle + a 10-row window).
     "feature_store_snapshot",
     "text_vocab_growth_curve",
+    # round-12 closing additions: the join-skew pre-flight (one
+    # map-side-combined groupBy + 10-row TakeOrdered) and the
+    # cross-snapshot delta (distinct-fingerprint build side + one
+    # fingerprint equi-join).
+    "skew_key_diagnosis_events",
+    "dedup_cross_snapshot_delta",
 ]
 
 
