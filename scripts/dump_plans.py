@@ -375,6 +375,24 @@ SHOWCASE = [
         "shuffle (the dedup family's budget); the lang rollup joins "
         "id-partitioned against a column-pruned (doc_id, lang) scan.",
     ),
+    (
+        "feature_store_snapshot",
+        "Multi-horizon feature materialization (round 12): the 1h/24h/"
+        "7d RANGE frames and the latest-event row_number all ride ONE "
+        "(user, epoch) hash exchange — exactly one "
+        "hashpartitioning(user_id) Exchange in the plan (pinned by "
+        "tests/test_plans.py), so adding horizons costs no extra "
+        "shuffle. The serving write is then a point-lookup table "
+        "keyed by user_id.",
+    ),
+    (
+        "skew_key_diagnosis_events",
+        "Join-skew pre-flight (round 12): the per-key aggregate is "
+        "map-side combined (partial_count) and the top-10 report "
+        "compiles to TakeOrderedAndProject — per-partition top-k + a "
+        "10-row driver merge, never a global sort; the 1-row totals "
+        "frame broadcasts back for the share/fan-out arithmetic.",
+    ),
 ]
 
 

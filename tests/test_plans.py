@@ -937,3 +937,40 @@ def test_layout_compaction_plan_bounds_subtree_is_bare_scan(spark, sf_dir):
     spans = sorted((r["first_file"], r["last_file"]) for r in rows)
     for (a1, b1), (a2, _) in zip(spans, spans[1:]):
         assert b1 < a2
+
+
+def test_feature_snapshot_shares_one_sort_across_horizons(spark, sf_dir):
+    """The three horizon RANGE frames and the snapshot row_number all
+    ride ONE (user, epoch) partitioning: exactly one hash Exchange on
+    user_id in the plan — adding horizons must not add shuffles."""
+    from etl_ml_pipeline_spark.queries.timeseries import feature_store_snapshot
+
+    plan = (
+        feature_store_snapshot(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan.count(
+        "Exchange hashpartitioning(user_id"
+    )
+    # all three frames evaluate in Window operators over that single
+    # exchange; no extra range-partition exchange beyond the output sort
+    assert plan.count("Window") >= 1
+
+
+def test_skew_diagnosis_is_takeordered(spark, sf_dir):
+    """The top-10 hottest-key report must compile to per-partition
+    top-k + driver merge (TakeOrderedAndProject), never a global sort
+    of the per-key aggregate."""
+    from etl_ml_pipeline_spark.queries.skew_q import skew_key_diagnosis_events
+
+    plan = (
+        skew_key_diagnosis_events(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # and the per-key aggregate is map-side combined (partial_count)
+    assert "partial_count" in plan
