@@ -269,6 +269,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     min_shared: int = 1,
+    broadcast_bench: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination check: which corpus documents share word
     n-grams with a held-out benchmark set (the standard decontamination
@@ -276,9 +277,17 @@ def contamination_pairs(
     for the synthetic corpus).
 
     Scale: both sides explode to DISTINCT (id, 60-bit gram hash) pairs
-    and meet in ONE equi-join on the hash — never a text comparison, and
-    the benchmark side of the join is typically small enough to
-    broadcast. Output: (corpus doc, benchmark doc, #shared n-grams).
+    and meet in ONE equi-join on the hash — never a text comparison.
+    Output: (corpus doc, benchmark doc, #shared n-grams).
+
+    ``broadcast_bench`` — pass True ONLY when the benchmark is a real
+    eval set (thousands of docs, gram table << executor memory): the
+    hint then skips the shuffle of the corpus gram side's join build.
+    The default (False) leaves the join strategy to Catalyst/AQE, which
+    shuffles both gram sides on ``gh`` — the only topology that
+    survives a benchmark that is itself a corpus fraction (an 80/20
+    split audit would otherwise broadcast the gram hashes of most of
+    the corpus: a multi-TB driver collect at 100 TB; VERDICT r12 #1).
     """
     def side(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -290,8 +299,10 @@ def contamination_pairs(
 
     c = side(corpus, "corpus_id")
     b = side(benchmark, "bench_id")
+    if broadcast_bench:
+        b = F.broadcast(b)
     return (
-        c.join(F.broadcast(b), "gh")
+        c.join(b, "gh")
         .groupBy("corpus_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -553,8 +564,12 @@ class Decontaminate(BaseTransform):
 
     Exactly one of benchmark_path / holdout_pct is required.
     Scale: one token-scale gram-hash equi-join + one id-keyed
-    anti-join; the benchmark side is typically small enough for the
-    optimizer to broadcast."""
+    anti-join. In ``benchmark_path`` mode the benchmark is a real eval
+    file (small by construction) and its gram side is broadcast; in
+    ``holdout_pct`` mode the benchmark is a CORPUS FRACTION, so the
+    gram join shuffles both sides on the hash — broadcasting a
+    holdout that scales with the corpus would OOM the driver at
+    100 TB (VERDICT r12 #1)."""
 
     def validate(self, df: DataFrame) -> None:
         cfg = self.config
@@ -575,11 +590,13 @@ class Decontaminate(BaseTransform):
         if "benchmark_path" in cfg:
             corpus = df
             bench = df.sparkSession.read.parquet(str(cfg["benchmark_path"]))
+            small_bench = True
         else:
             pct = int(cfg["holdout_pct"])
             h = token_hash60(F.col(id_col).cast("string")) % 100
             corpus = df.filter(h < 100 - pct)
             bench = df.filter(h >= 100 - pct)
+            small_bench = False
         pairs = contamination_pairs(
             corpus,
             bench,
@@ -587,6 +604,7 @@ class Decontaminate(BaseTransform):
             id_col=id_col,
             n=int(cfg.get("n", 5)),
             min_shared=int(cfg.get("min_shared", 1)),
+            broadcast_bench=small_bench,
         )
         return corpus.join(
             pairs.select("corpus_id").distinct(),

@@ -159,12 +159,16 @@ ORDER BY pack_id
 # in-plan via one anti-join). Oracle-checks the final packed output,
 # so a green hash certifies score -> gate -> dedup -> decontaminate ->
 # sample -> pack composed as ONE lazy plan.
-# Scale: adds exactly one token-scale gram-hash equi-join (the dedup
-# family's budget) and one id-keyed anti-join to the e2e plan; the
-# held-out gram side is 20% of the corpus by construction. Everything
-# else is inherited: map-side score/gate/sample fused into the scan,
-# one dedup exchange, deterministic-bucket prefix sum with raw-scan
-# covering bounds.
+# Scale: the decontamination stage adds one token-scale gram-hash
+# equi-join (SHUFFLED on the hash — both sides are corpus fractions,
+# so no broadcast hint; VERDICT r12 #1) and one id-keyed anti-join.
+# The multi-consumer frames (`deduped`, `clean`) are pinned with lazy
+# localCheckpoints so the score->gate->dedup->decontam lineage
+# executes ONCE — unpinned, the contamination branch + anti-join +
+# the prefix sum's two branches re-evaluated it 4x / scanned the
+# corpus 8x (VERDICT r12 #2). Remaining per-execution cost: one dedup
+# exchange, one gram-join shuffle, the prefix sum's __pid exchange
+# over a pinned 3-column frame, raw-scan covering bounds.
 # ---------------------------------------------------------------------------
 
 
@@ -189,17 +193,34 @@ def training_data_prep_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("q") >= 0.4)
         & (F.col("n_tok") >= 10)
     )
-    deduped = exact_dedup(gated, "text", "doc_id")
+    # Pin the two frames every later branch re-reads (lazy
+    # localCheckpoint: one executor-storage write on first use, the
+    # same trade the dedup ladder documents). Unpinned, the executed
+    # plan scanned documents.parquet 8x with zero ReusedExchange:
+    # `deduped` is consumed twice (gram side of the contamination join
+    # + anti-join left), and the prefix sum's two branches then
+    # re-evaluated the whole score->gate->dedup->decontam lineage
+    # AGAIN — 4 evaluations of the heaviest stages (VERDICT r12 #2).
+    # Pinned: the dedup window runs once, the gram join once, and the
+    # prefix-sum branches read a 3-column checkpoint. Shape pinned by
+    # tests/test_plans.py::test_decontam_e2e_lineage_pinned.
+    deduped = exact_dedup(gated.drop("q"), "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     contaminated = (
         contamination_pairs(deduped, holdout, n=5, min_shared=1)
         .select("corpus_id")
         .distinct()
     )
-    clean = deduped.join(
-        contaminated, F.col("doc_id") == F.col("corpus_id"), "left_anti"
-    )
     rate = F.when(F.col("lang") == "en", F.lit(_EN_RATE)).otherwise(
         F.lit(_DEFAULT_RATE)
+    )
+    clean = (
+        deduped.join(
+            contaminated, F.col("doc_id") == F.col("corpus_id"), "left_anti"
+        )
+        .select("doc_id", "lang", "n_tok")
+        .localCheckpoint(eager=False)
     )
     sampled = clean.filter(
         X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate

@@ -366,14 +366,40 @@ SHOWCASE = [
     ),
     (
         "split_decontamination_stats",
-        "Cross-split decontamination (round 12): the two split sides "
-        "tokenize DISJOINT row sets of the corpus (the hash split "
-        "pushes into each scan's data filter — no row is tokenized "
-        "twice), explode map-side to distinct (id, 60-bit gram hash) "
-        "pairs, and meet in a single hash equi-join on the gram hash — "
-        "never a text comparison. The gram join is the only token-scale "
-        "shuffle (the dedup family's budget); the lang rollup joins "
-        "id-partitioned against a column-pruned (doc_id, lang) scan.",
+        "Cross-split decontamination (round 12; broadcast un-forced in "
+        "round 13 per VERDICT r12 #1): the two split sides tokenize "
+        "DISJOINT row sets of the corpus (the hash split pushes into "
+        "each scan's data filter — no row is tokenized twice), explode "
+        "map-side to distinct (id, 60-bit gram hash) pairs, and meet in "
+        "an equi-join on the gram hash that carries NO broadcast hint — "
+        "both join sides are corpus fractions (80% train / 20% test), "
+        "so the old forced F.broadcast(train-grams) build would collect "
+        "most of the corpus's distinct grams to the driver at 100 TB. "
+        "In THIS sf0.01 dump the optimizer still (correctly) size-picks "
+        "a BroadcastHashJoin — the fixture's gram table is kilobytes; "
+        "past the threshold the same plan shuffles both sides on the "
+        "hash, the dedup family's budget. That the choice now belongs "
+        "to Catalyst/AQE, not a hint, is pinned by tests/test_plans.py"
+        "::test_split_decontam_gram_join_not_broadcast (threshold "
+        "disabled => SortMergeJoin, zero BroadcastExchange). The lang "
+        "rollup joins id-partitioned against a column-pruned "
+        "(doc_id, lang) scan.",
+    ),
+    (
+        "training_data_prep_decontam_e2e",
+        "Decontaminating prep flagship (round 12; lineage pinned in "
+        "round 13 per VERDICT r12 #2): score -> gate -> dedup -> "
+        "decontaminate -> sample -> pack as one chain. The multi-"
+        "consumer frames (`deduped`: gram-join build + anti-join left; "
+        "`clean`: both prefix-sum branches) are lazy localCheckpoints, "
+        "so the plan shown here reads `Scan ExistingRDD` where the "
+        "round-12 plan re-evaluated the whole tokenize+dedup+gram-join "
+        "lineage — 8 corpus scans, 0 ReusedExchange — and the only "
+        "remaining parquet scans are the two doc_id-only covering-"
+        "bounds scans. The pinned frames materialize once per "
+        "execution (dedup window 1x, gram join 1x, both shuffled on "
+        "their keys). Pinned by tests/test_plans.py::"
+        "test_decontam_e2e_lineage_pinned.",
     ),
     (
         "feature_store_snapshot",

@@ -974,3 +974,55 @@ def test_skew_diagnosis_is_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # and the per-key aggregate is map-side combined (partial_count)
     assert "partial_count" in plan
+
+
+def test_split_decontam_gram_join_not_broadcast(spark, sf_dir):
+    """The 80/20 split audit's gram join must SHUFFLE on the hash —
+    both sides are corpus fractions, and the old forced
+    F.broadcast(bench) hint would collect ~80% of the corpus's
+    distinct gram hashes to the driver at 100 TB (VERDICT r12 #1).
+    With the auto-broadcast threshold disabled, a forced hint would
+    STILL plan a BroadcastHashJoin; the fixed code must not."""
+    from etl_ml_pipeline_spark.queries.text_q import split_decontamination_stats
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(split_decontamination_stats(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # no logical-plan hint survives either (AQE stays free to choose)
+    opt = (
+        split_decontamination_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in opt
+
+
+def test_decontam_e2e_lineage_pinned(spark, sf_dir):
+    """The decontam e2e pins `deduped` and `clean` with lazy
+    localCheckpoints so the score->gate->dedup->decontam lineage runs
+    once: the final plan's prefix-sum branches must read the pinned
+    RDD, and the only remaining parquet scan is the covering-bounds
+    raw-id scan (VERDICT r12 #2 — previously 8 scans, 0 reuse)."""
+    from etl_ml_pipeline_spark.queries.pipeline_q import (
+        training_data_prep_decontam_e2e,
+    )
+
+    plan = _plan(training_data_prep_decontam_e2e(spark, sf_dir))
+    # both prefix-sum branches consume the `clean` checkpoint
+    assert plan.lower().count("existingrdd") >= 2, plan
+    # the only parquet scans left are the covering-bounds raw-id scans
+    # (one per prefix-sum branch, doc_id-only — guaranteed cheap); the
+    # text column never reaches this plan
+    scans = [
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    ]
+    assert len(scans) == 2, plan
+    assert all("[doc_id" in s for s in scans), scans
+    assert "text" not in plan.lower().replace("existingrdd", ""), plan
