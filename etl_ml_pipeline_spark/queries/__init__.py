@@ -306,19 +306,44 @@ _RECORDED_R11 = {
 for _n in _RECORDED_R11:
     _LAST_RECORDED[_n] = 11
 
-# Round-12 rotation (ROADMAP round-11 rotation note): after the r11
-# refresh the oldest tier is the 19 r07 OVERFLOW names
-# (`ann_bruteforce_topk`, `ann_ivf_topk`, `ann_ivfpq_topk`,
-# `ann_lsh_topk`, `ann_pq_adc_topk`, `cube_status_priority`,
-# `curriculum_order_documents`, `embedding_label_centroids`,
-# `embedding_near_dup_pairs`, `embedding_quantize_sq8`,
-# `multimodal_image_features`, `pack_documents_budget`,
-# `pagerank_supply`, `rfm_segmentation_events`, `sample_dsir_weights`,
-# `sample_exact_allocation`, `sample_hash_documents`,
-# `sample_mixture_lang`, `sample_stratified_lang`) — they hit the
-# ≤5-round staleness bound at r12 and sort directly behind any
-# round-12 additions (tier 0 via the .get default); the remaining
-# prefix slots refresh the r08 tier. Enforced mechanically by
+# Round 12 driver records (the exact key set of CORRECTNESS_r12.json —
+# 49 green + the documented rows-only theta matrix: the 12 round-12
+# additions at tier 0, the 19 r07-overflow names at the ≤5-round
+# bound, and 17 r08-era refreshes + 2 r09-era rows the driver pulled
+# forward).
+_RECORDED_R12 = {
+    "agg_approx_distinct_parts", "agg_approx_percentile_prices",
+    "agg_distinct_parts", "agg_percentile_prices", "agg_stats_battery",
+    "ann_bruteforce_topk", "ann_filtered_topk", "ann_index_stats",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_adc_topk",
+    "cube_status_priority", "curriculum_order_documents",
+    "dedup_cross_snapshot_delta", "diff_order_snapshots",
+    "embedding_drift_snapshots", "embedding_label_centroids",
+    "embedding_near_dup_pairs", "embedding_quantize_sq8",
+    "feature_store_snapshot", "hist_order_prices",
+    "join_anti_inactive_customers", "join_semi_active_customers",
+    "layout_compaction_plan", "multimodal_image_features",
+    "pack_documents_budget", "pagerank_supply", "privacy_dp_group_counts",
+    "q3_top_orders", "q5_region_revenue", "q6_forecast_revenue",
+    "quality_calibration_bins", "rfm_segmentation_events",
+    "rollup_order_stats", "sample_dsir_weights", "sample_exact_allocation",
+    "sample_hash_documents", "sample_mixture_lang",
+    "sample_stratified_lang", "set_lapsed_customers",
+    "set_repeat_customers", "set_union_high_low",
+    "sft_episode_construction", "sketch_theta_overlap_matrix",
+    "skew_key_diagnosis_events", "split_decontamination_stats",
+    "stream_decontam_replay", "text_vocab_growth_curve",
+    "training_data_prep_decontam_e2e",
+}
+for _n in _RECORDED_R12:
+    _LAST_RECORDED[_n] = 12
+
+# Round-13 rotation (ROADMAP round-12 rotation note): after the r12
+# refresh the oldest tier is the 33 r08 OVERFLOW names — they hit the
+# ≤5-round staleness bound at r13 and sort directly behind any
+# round-13 additions (tier 0 via the .get default); 33 + additions
+# must stay ≤ the ~50-entry driver prefix, so round 13 adds at most
+# 17 new catalog names. Enforced mechanically by
 # scripts/precommit_check.py.
 
 

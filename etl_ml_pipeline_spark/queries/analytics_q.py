@@ -1570,11 +1570,17 @@ def privacy_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h % 1000000 + F.lit(0.5)) / F.lit(1000000.0)
     c = u - F.lit(0.5)
     noise = -F.signum(c) * F.log(F.lit(1.0) - 2 * F.abs(c))
+    # +1e-6 pre-floor nudge (the shared JVM-log/libm-ln fence posture,
+    # as in unigram_surprisal_scores / DSIR weights): a last-ulp
+    # divergence between Spark's log and DuckDB's ln at a 1e-4 grid
+    # boundary must not flip floor() (ADVICE r12 #2).
     return g.select(
         "lang",
         "source",
         "n_true",
-        (F.floor((F.col("n_true") + noise) * 10000) / 10000).alias("dp_count"),
+        (F.floor((F.col("n_true") + noise) * 10000 + 1e-6) / 10000).alias(
+            "dp_count"
+        ),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("lang", "source")
 
@@ -1591,7 +1597,7 @@ n AS (
 )
 SELECT lang, source, n_true,
        floor((n_true + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))))
-             * 10000) / 10000 AS dp_count,
+             * 10000 + 0.000001) / 10000 AS dp_count,
        1.0 AS epsilon
 FROM n
 ORDER BY lang, source

@@ -106,7 +106,13 @@ ORDER BY segment, event_type
 # over average-sized reduce tasks. At 100 TB this query IS the
 # pre-flight a join planner runs: one map-side-combined groupBy +
 # a 10-row TakeOrdered — the corpus never moves twice.
-# Exact: shares and skew are integer-arithmetic floors (x10^4).
+# Arithmetic: row_share stays an integer floor (n_rows x 10^4 is
+# overflow-safe at any real scale); skew_factor and salt_fanout divide
+# BEFORE multiplying (n_rows/total is <= 1.0, so the double product
+# with keys x 10^4 never overflows — the old n_rows*keys*10000 long
+# product wrapped silently past ~9.2e18, i.e. exactly at the 100 TB
+# scales where the diagnosis matters; ADVICE r12 #3). Identical IEEE
+# op order on both engines keeps the floors bit-stable.
 # ---------------------------------------------------------------------------
 
 
@@ -126,12 +132,12 @@ def skew_key_diagnosis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 F.floor(
-                    F.col("n_rows") * F.col("__keys") * 10000 / F.col("__total")
+                    F.col("n_rows") / F.col("__total") * F.col("__keys") * 10000
                 )
                 / 10000
             ).alias("skew_factor"),
             F.ceil(
-                F.col("n_rows") * F.col("__keys") / F.col("__total")
+                F.col("n_rows") / F.col("__total") * F.col("__keys")
             ).cast("long").alias("salt_fanout"),
         )
         .orderBy(F.desc("n_rows"), F.asc("user_id"))
@@ -147,8 +153,8 @@ WITH per_key AS (
 tot AS (SELECT sum(n_rows) AS total, count(*) AS keys FROM per_key)
 SELECT user_id, n_rows,
        floor(n_rows * 10000 / total) / 10000 AS row_share,
-       floor(n_rows * keys * 10000 / total) / 10000 AS skew_factor,
-       CAST(ceil(n_rows * keys * 1.0 / total) AS BIGINT) AS salt_fanout
+       floor(n_rows / total * keys * 10000) / 10000 AS skew_factor,
+       CAST(ceil(n_rows / total * keys) AS BIGINT) AS salt_fanout
 FROM per_key CROSS JOIN tot
 ORDER BY n_rows DESC, user_id ASC
 LIMIT 10

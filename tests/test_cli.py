@@ -156,7 +156,7 @@ def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
     in emission order, so emission is triaged: never-driver-recorded
     queries lead (tier 0 = new this round), then stale driver rows
-    oldest-first (r07 < r08 < ... < r11 after the round-12 rotation
+    oldest-first (r08 < r09 < ... < r12 after the round-13 rotation
     refresh)."""
     from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
 
@@ -164,31 +164,22 @@ def test_query_emission_triage_order():
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-driver-recorded names (tier 0 round-12 additions) lead the
+    # never-driver-recorded names (tier 0 round-13 additions) lead the
     # prefix
     never = [k for k in keys if tier(k) <= 0]
     assert keys[: len(never)] == never
-    # the oldest stale tier is the nineteen r07 overflow names, due
-    # exactly at the <=5-rounds-stale bound in round 12; they come
-    # right after the never-recorded block, and together they must fit
-    # the ~50 prefix or the staleness contract breaks by arithmetic
+    # the oldest stale tier is the 33 r08 OVERFLOW names, due exactly
+    # at the <=5-rounds-stale bound in round 13; they come right after
+    # the never-recorded block, and together they must fit the ~50
+    # prefix or the staleness contract breaks by arithmetic (so round
+    # 13 may add at most 17 new catalog names)
     recorded = [v for v in _LAST_RECORDED.values() if v > 0]
-    assert min(recorded) == 7
-    r07 = [k for k in keys if _LAST_RECORDED.get(k) == 7]
-    assert sorted(r07) == sorted([
-        "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-        "ann_lsh_topk", "ann_pq_adc_topk", "cube_status_priority",
-        "curriculum_order_documents", "embedding_label_centroids",
-        "embedding_near_dup_pairs", "embedding_quantize_sq8",
-        "multimodal_image_features", "pack_documents_budget",
-        "pagerank_supply", "rfm_segmentation_events",
-        "sample_dsir_weights", "sample_exact_allocation",
-        "sample_hash_documents", "sample_mixture_lang",
-        "sample_stratified_lang",
-    ])
-    assert keys[len(never) : len(never) + len(r07)] == r07
-    assert len(never) + len(r07) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 11
+    assert min(recorded) == 8
+    r08 = [k for k in keys if _LAST_RECORDED.get(k) == 8]
+    assert len(r08) == 33
+    assert keys[len(never) : len(never) + len(r08)] == r08
+    assert len(never) + len(r08) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 12
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 
