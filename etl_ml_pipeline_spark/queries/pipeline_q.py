@@ -162,13 +162,14 @@ ORDER BY pack_id
 # Scale: the decontamination stage adds one token-scale gram-hash
 # equi-join (SHUFFLED on the hash — both sides are corpus fractions,
 # so no broadcast hint; VERDICT r12 #1) and one id-keyed anti-join.
-# The multi-consumer frames (`deduped`, `clean`) are pinned with lazy
-# localCheckpoints so the score->gate->dedup->decontam lineage
-# executes ONCE — unpinned, the contamination branch + anti-join +
-# the prefix sum's two branches re-evaluated it 4x / scanned the
-# corpus 8x (VERDICT r12 #2). Remaining per-execution cost: one dedup
-# exchange, one gram-join shuffle, the prefix sum's __pid exchange
-# over a pinned 3-column frame, raw-scan covering bounds.
+# The gram side reads the map-side `gated` lineage (not `deduped`) so
+# the dedup window has exactly one consumer, and the post-anti-join
+# 3-column frame is pinned with a lazy localCheckpoint for the prefix
+# sum's two branches — the round-12 plan re-evaluated the whole
+# score->gate->dedup->decontam lineage 4x / scanned the corpus 8x
+# (VERDICT r12 #2). Per-execution cost now: one dedup exchange, one
+# gram-join shuffle, the prefix sum's __pid exchange over the pinned
+# narrow frame, raw-scan covering bounds.
 # ---------------------------------------------------------------------------
 
 
@@ -193,22 +194,25 @@ def training_data_prep_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("q") >= 0.4)
         & (F.col("n_tok") >= 10)
     )
-    # Pin the two frames every later branch re-reads (lazy
-    # localCheckpoint: one executor-storage write on first use, the
-    # same trade the dedup ladder documents). Unpinned, the executed
-    # plan scanned documents.parquet 8x with zero ReusedExchange:
-    # `deduped` is consumed twice (gram side of the contamination join
-    # + anti-join left), and the prefix sum's two branches then
-    # re-evaluated the whole score->gate->dedup->decontam lineage
-    # AGAIN — 4 evaluations of the heaviest stages (VERDICT r12 #2).
-    # Pinned: the dedup window runs once, the gram join once, and the
-    # prefix-sum branches read a 3-column checkpoint. Shape pinned by
-    # tests/test_plans.py::test_decontam_e2e_lineage_pinned.
-    deduped = exact_dedup(gated.drop("q"), "text", "doc_id").localCheckpoint(
-        eager=False
-    )
+    # Single-evaluation topology (VERDICT r12 #2 — the round-12 plan
+    # scanned documents.parquet 8x with zero ReusedExchange):
+    # 1. The contamination gate reads GATED, not deduped — a doc's
+    #    verdict depends only on its own text vs the holdout grams, and
+    #    every dedup survivor sits in `gated` with identical text, so
+    #    the anti-join result is unchanged (extra verdicts for rows the
+    #    dedup dropped can't match the anti-join's left side). That
+    #    leaves `deduped` with ONE consumer: the dedup window runs
+    #    once, and the gram side is a map-side lineage (no window).
+    # 2. Only the post-anti-join 3-column frame is pinned (lazy
+    #    localCheckpoint) for the prefix sum's two branches. Pinning
+    #    `deduped` itself would checkpoint the full TEXT column —
+    #    measured SLOWER than the unpinned 4x re-evaluation by sf1
+    #    (9.4s vs 6.3s; scripts/r13_decontam_ab.json) — the narrow pin
+    #    wins at every measured sf.
+    # Shape pinned by tests/test_plans.py::test_decontam_e2e_lineage_pinned.
+    deduped = exact_dedup(gated.drop("q"), "text", "doc_id")
     contaminated = (
-        contamination_pairs(deduped, holdout, n=5, min_shared=1)
+        contamination_pairs(gated, holdout, n=5, min_shared=1)
         .select("corpus_id")
         .distinct()
     )

@@ -979,54 +979,108 @@ def sketch_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# sketch_theta_overlap_matrix — the PRODUCTION shape of theta-sketch
-# audience overlap (VERDICT r07 #7): sketch user_id once per segment in
-# a single scan (map-side mergeable state, one |segments|-row shuffle),
-# then answer every pairwise intersection/union question purely by
-# combining the 10 sketches — NO exact-distinct ride-along, NO
-# user-level self-join anywhere in the plan. This is the plan a 100 TB
-# deployment runs daily; sketch_theta_audience_overlap above is its
-# correctness CONTRACT twin (exact leg + error-bound booleans) and
-# stays the oracle-checked member. The estimates themselves are the
-# sketch's (deterministic for fixed input, but not SQL-expressible), so
-# this entry is a documented rows-only check: the driver pins row count
-# and schema — C(T,2) pairs of the T distinct event types. Plan audit:
-# ONE parquet scan (AQE reuses the sketch exchange for both join
-# sides), map-side partial theta agg, broadcast NLJ over T-row inputs.
+# sketch_theta_overlap_matrix — the full pairwise error-contract AUDIT
+# of the theta-sketch overlap matrix (VERDICT r07 #7, made
+# hash-checkable in r13 per VERDICT r12 #4): the production leg
+# sketches user_id once per segment in a single scan (map-side
+# mergeable state, one |segments|-row shuffle) and answers every
+# pairwise single/intersection/union question purely by combining the
+# 10 sketches. Because raw theta estimates are not SQL-expressible,
+# the recordable output folds each estimate into an error-contract
+# BOOLEAN against an exact ride-along leg (the same oracle pattern as
+# agg_approx_distinct_parts / the twin below), so the driver's value
+# hash now pins all FOUR contracts per pair: each single-segment
+# estimate within max(16, 5%), the intersection within max(16, 10% of
+# the union), the union within max(16, 5%). A production deployment
+# drops the four *_ok audit columns and the exact legs fall out of the
+# select — the sketch subplan (ONE scan, broadcast T-row cross join)
+# is what runs daily at 100 TB. sketch_theta_audience_overlap below
+# stays the minimal 2-contract twin the earlier rounds recorded.
 # ---------------------------------------------------------------------------
 
 
 def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")
     sk = ev.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
     )
     a = sk.select(
-        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact").alias("exact_a"),
     )
     b = sk.select(
-        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact").alias("exact_b"),
+    )
+    d = ev.distinct()
+    exact_inter = (
+        d.alias("x")
+        .join(d.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
     )
     est = F.theta_sketch_estimate
+    exact_u = F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
     # |segments| rows per side: the cross join is segment-count-squared,
     # never data-sized — broadcast keeps it driver-trivial.
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("type_a") < F.col("type_b"))
+        .join(exact_inter, ["type_a", "type_b"])
         .select(
             "type_a",
             "type_b",
-            F.round(est("sk_a")).cast("long").alias("est_a"),
-            F.round(est("sk_b")).cast("long").alias("est_b"),
-            F.round(est(F.theta_intersection("sk_a", "sk_b")))
-            .cast("long")
-            .alias("est_inter"),
-            F.round(est(F.theta_union("sk_a", "sk_b")))
-            .cast("long")
-            .alias("est_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            exact_u.cast("long").alias("exact_union"),
+            (
+                F.abs(est("sk_a") - F.col("exact_a"))
+                <= F.greatest(F.lit(16.0), 0.05 * F.col("exact_a"))
+            ).alias("est_a_ok"),
+            (
+                F.abs(est("sk_b") - F.col("exact_b"))
+                <= F.greatest(F.lit(16.0), 0.05 * F.col("exact_b"))
+            ).alias("est_b_ok"),
+            (
+                F.abs(est(F.theta_intersection("sk_a", "sk_b")) - F.col("exact_inter"))
+                <= F.greatest(F.lit(16.0), 0.10 * exact_u)
+            ).alias("inter_ok"),
+            (
+                F.abs(est(F.theta_union("sk_a", "sk_b")) - exact_u)
+                <= F.greatest(F.lit(16.0), 0.05 * exact_u)
+            ).alias("union_ok"),
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_THETA_MATRIX_SQL = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact FROM d GROUP BY 1
+),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(DISTINCT x.user_id) AS BIGINT) AS exact_inter
+  FROM d x JOIN d y ON x.user_id = y.user_id
+                   AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.exact_inter,
+       CAST(a.exact + b.exact - i.exact_inter AS BIGINT) AS exact_union,
+       TRUE AS est_a_ok, TRUE AS est_b_ok,
+       TRUE AS inter_ok, TRUE AS union_ok
+FROM inter i
+JOIN per a ON a.event_type = i.type_a
+JOIN per b ON b.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
 
 
 _THETA_OVERLAP_SQL = """
@@ -1914,6 +1968,7 @@ ORACLES = {
     "agg_distinct_parts": _DISTINCT_SQL,
     "agg_approx_distinct_parts": _APPROX_DISTINCT_SQL,
     "sketch_theta_audience_overlap": _THETA_OVERLAP_SQL,
+    "sketch_theta_overlap_matrix": _THETA_MATRIX_SQL,
     "sketch_kll_price_quantiles": _KLL_SQL,
     "rollup_order_stats": _ROLLUP_SQL,
     "set_repeat_customers": _INTERSECT_SQL,

@@ -1813,18 +1813,29 @@ ORDER BY q_id, rank
 # here because IVF assignment is per-vector — with a persisted index
 # the same semi-join applies to the probed lists (see
 # ivf_topk_from_index's tombstone path, the identical plan shape).
-# Scale: filter = map-side broadcast semi-join; candidate generation
-# stays the cent_id equi-join; no all-pairs, no extra shuffle.
+# Scale: filter = map-side broadcast semi-join while the documents
+# table is under the broadcast bound (the RAG-serve case: a selective
+# filter over a bounded metadata table); past the bound the hint
+# drops and the semi-join shuffles on c_id — an UNselective predicate
+# over a 100 TB corpus yields an ids-set linear in corpus size, which
+# must never be forced driver-side (VERDICT r12 #3). Candidate
+# generation stays the cent_id equi-join; no all-pairs.
 # ---------------------------------------------------------------------------
 
 
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import ivf_topk
 
+    from etl_ml_pipeline_spark.queries.tables import maybe_broadcast
+
     emb = t(spark, sf_dir, "embeddings")
     docs = t(spark, sf_dir, "documents")
-    allowed = docs.filter(F.col("lang").isin("en", "fr")).select(
-        F.col("doc_id").alias("c_id")
+    allowed = maybe_broadcast(
+        docs.filter(F.col("lang").isin("en", "fr")).select(
+            F.col("doc_id").alias("c_id")
+        ),
+        sf_dir,
+        "documents",
     )
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
@@ -1834,7 +1845,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    ).join(F.broadcast(allowed), "c_id", "left_semi")
+    ).join(allowed, "c_id", "left_semi")
     out = ivf_topk(queries, corpus, centroids, k=5, n_probe=2)
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"

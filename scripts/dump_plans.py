@@ -387,19 +387,22 @@ SHOWCASE = [
     ),
     (
         "training_data_prep_decontam_e2e",
-        "Decontaminating prep flagship (round 12; lineage pinned in "
-        "round 13 per VERDICT r12 #2): score -> gate -> dedup -> "
-        "decontaminate -> sample -> pack as one chain. The multi-"
-        "consumer frames (`deduped`: gram-join build + anti-join left; "
-        "`clean`: both prefix-sum branches) are lazy localCheckpoints, "
-        "so the plan shown here reads `Scan ExistingRDD` where the "
-        "round-12 plan re-evaluated the whole tokenize+dedup+gram-join "
-        "lineage — 8 corpus scans, 0 ReusedExchange — and the only "
-        "remaining parquet scans are the two doc_id-only covering-"
-        "bounds scans. The pinned frames materialize once per "
-        "execution (dedup window 1x, gram join 1x, both shuffled on "
-        "their keys). Pinned by tests/test_plans.py::"
-        "test_decontam_e2e_lineage_pinned.",
+        "Decontaminating prep flagship (round 12; single-evaluation "
+        "topology in round 13 per VERDICT r12 #2): score -> gate -> "
+        "dedup -> decontaminate -> sample -> pack as one chain. The "
+        "contamination gate's gram side reads the map-side `gated` "
+        "lineage (identical anti-join result; dedup survivors carry "
+        "identical text), so the dedup window has exactly ONE "
+        "consumer; only the post-anti-join 3-column frame is a lazy "
+        "localCheckpoint for the prefix sum's two branches — pinning "
+        "the text-bearing `deduped` instead measured SLOWER than no "
+        "pin at sf1 (the corpus-text storage write dominates; "
+        "scripts/r13_decontam_ab.json). The plan shown reads `Scan "
+        "ExistingRDD` where the round-12 plan re-evaluated the whole "
+        "tokenize+dedup+gram-join lineage (8 corpus scans, 0 "
+        "ReusedExchange); the only parquet scans left are the two "
+        "doc_id-only covering-bounds scans. Pinned by tests/"
+        "test_plans.py::test_decontam_e2e_lineage_pinned.",
     ),
     (
         "feature_store_snapshot",

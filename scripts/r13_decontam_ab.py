@@ -140,6 +140,82 @@ def old_decontam_e2e(spark, sf_dir):
     )
 
 
+def pin_text_decontam_e2e(spark, sf_dir):
+    """Rejected intermediate: pin `deduped` (full TEXT column) + narrow
+    `clean`. Kept as a measured variant — the corpus-text storage
+    write makes it SLOWER than no pin by sf1."""
+    from etl_ml_pipeline_spark.operators import text as X
+    from etl_ml_pipeline_spark.operators.dedup import exact_dedup
+    from etl_ml_pipeline_spark.operators.relational import global_running_sum
+    from etl_ml_pipeline_spark.operators.text import contamination_pairs
+    from etl_ml_pipeline_spark.queries.pipeline_q import (
+        _DEFAULT_RATE,
+        _EN_RATE,
+        _GATE_LANGS,
+        _PACK_BUDGET,
+    )
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    b = X.token_hash60(F.col("doc_id").cast("string")) % 10
+    train, holdout = docs.filter(b < 8), docs.filter(b >= 8)
+    c = F.col("text")
+    scored = train.select(
+        "doc_id", "lang", "text",
+        X.token_count(c).cast("long").alias("n_tok"),
+        X.quality_score(c).alias("q"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin(*_GATE_LANGS)
+        & (F.col("q") >= 0.4)
+        & (F.col("n_tok") >= 10)
+    )
+    deduped = exact_dedup(gated.drop("q"), "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    contaminated = (
+        contamination_pairs(deduped, holdout, n=5, min_shared=1)
+        .select("corpus_id")
+        .distinct()
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_RATE)).otherwise(
+        F.lit(_DEFAULT_RATE)
+    )
+    clean = (
+        deduped.join(
+            contaminated, F.col("doc_id") == F.col("corpus_id"), "left_anti"
+        )
+        .select("doc_id", "lang", "n_tok")
+        .localCheckpoint(eager=False)
+    )
+    sampled = clean.filter(
+        X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "n_tok")
+    bounds = docs.agg(
+        F.min(F.col("doc_id").cast("double")).alias("__lo"),
+        F.max(F.col("doc_id").cast("double")).alias("__hi"),
+    )
+    cum = global_running_sum(
+        sampled, "n_tok", ["doc_id"], "cum_tok", bounds_df=bounds
+    )
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET)
+        .cast("long"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 def median3(fn, spark, sf_dir) -> list[float]:
     ts = []
     for _ in range(3):
@@ -166,7 +242,8 @@ def main() -> None:
             ("split_stats_old_broadcast", old_split_stats),
             ("split_stats_new", split_decontamination_stats),
             ("decontam_e2e_old_unpinned", old_decontam_e2e),
-            ("decontam_e2e_new_pinned", training_data_prep_decontam_e2e),
+            ("decontam_e2e_pin_text_rejected", pin_text_decontam_e2e),
+            ("decontam_e2e_new_narrow_pin", training_data_prep_decontam_e2e),
         ]:
             ts = median3(fn, spark, sf_dir)
             rec[label] = {"median": statistics.median(ts), "runs": ts}

@@ -135,7 +135,7 @@ def test_query_catalog_counts():
 
     qs, oracles = all_queries(), all_oracles()
     assert len(qs) == 233, sorted(qs)
-    assert len(oracles) == 232, sorted(oracles)
+    assert len(oracles) == 233, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)

@@ -897,11 +897,17 @@ def test_prefix_sum_property_pathological_keys(spark):
     check()
 
 
-def test_ann_filtered_topk_filter_is_broadcast_semi_join(spark, sf_dir):
-    """The metadata filter must prune the corpus via a BROADCAST
-    semi-join BEFORE centroid assignment — a shuffled semi-join (or a
-    post-rerank filter) would pay exact distances for disallowed
-    vectors at 100 TB."""
+def test_ann_filtered_topk_filter_is_broadcast_semi_join(
+    spark, sf_dir, monkeypatch
+):
+    """The metadata filter must prune the corpus via a semi-join BEFORE
+    centroid assignment — a post-rerank filter would pay exact
+    distances for disallowed vectors at 100 TB. The semi-join's
+    broadcast hint is SIZE-GUARDED (VERDICT r12 #3): under the bound
+    (the selective RAG-serve case) the allowed-ids set broadcasts;
+    past it the hint drops and the optimizer shuffles — an unselective
+    predicate over a 100 TB corpus must never force a driver collect."""
+    from etl_ml_pipeline_spark.queries import tables as tbl
     from etl_ml_pipeline_spark.queries.similarity_q import ann_filtered_topk
 
     plan = (
@@ -914,6 +920,23 @@ def test_ann_filtered_topk_filter_is_broadcast_semi_join(spark, sf_dir):
     assert "BroadcastExchange" in plan
     # the documents side reads only the two filter columns
     assert "struct<doc_id:bigint,lang:string>" in plan
+    small_df = ann_filtered_topk(spark, sf_dir)
+    small = small_df.collect()
+    n_hints_small = (
+        small_df._jdf.queryExecution().analyzed().toString()
+    ).count("ResolvedHint")
+
+    # past the bound: the allowed-ids hint drops (AQE decides); the
+    # remaining hints are ivf_topk's aggregate-bounded frames
+    # (centroids/offsets — bounded by construction, scale-safe)
+    monkeypatch.setattr(tbl, "_BROADCAST_MAX_BYTES", 0)
+    big = ann_filtered_topk(spark, sf_dir)
+    n_hints_big = (
+        big._jdf.queryExecution().analyzed().toString()
+    ).count("ResolvedHint")
+    assert n_hints_big == n_hints_small - 1
+    # both paths are result-identical
+    assert big.collect() == small
 
 
 def test_layout_compaction_plan_bounds_subtree_is_bare_scan(spark, sf_dir):
