@@ -1999,6 +1999,109 @@ ORDER BY d.lang
 
 
 # ---------------------------------------------------------------------------
+# decontam_gram_index_replay — cross-run decontamination via a
+# PERSISTED benchmark gram index (VERDICT r12 next #7): the fixed-eval-
+# suite path builds the benchmark's distinct-gram-hash table ONCE
+# (operators/decontam_index.py), appends only the previously-unseen
+# grams when a new eval set ships (anti-join, linear in the NEW set,
+# never a rebuild), and gates each corpus run with one equi-join
+# against the small parquet index — killing the per-query benchmark
+# re-tokenization the batch operators pay. Replayed here as two index
+# generations (holdout bucket 8 builds, bucket 9 appends) gating the
+# train split; output folds to per-language contamination stats with
+# the two generations' committed gram counts riding along, so the
+# value hash pins BOTH the incremental-append arithmetic and the gate.
+# Scale: the index is eval-suite-sized (MBs at 1e6 benchmark docs) —
+# the gate join's build side is tiny and AQE broadcasts it from REAL
+# size stats; no forced hint anywhere (the r12/r13 lesson). The
+# corpus side is one map-side gram explode + one id-keyed count.
+# ---------------------------------------------------------------------------
+
+
+def decontam_gram_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.decontam_index import (
+        append_gram_index,
+        build_gram_index,
+        gate_against_index,
+        read_gram_index,
+        token_hash60,
+    )
+    from etl_ml_pipeline_spark.queries.similarity_q import (
+        _run_scoped_index_dir,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    b = token_hash60(F.col("doc_id").cast("string")) % 10
+    train = docs.filter(b < 8)
+    wave1 = docs.filter(b == 8)
+    wave2 = docs.filter(b == 9)
+    path = _run_scoped_index_dir("decontam_gram")
+    n_base = build_gram_index(wave1, path, n=5)
+    n_new = append_gram_index(wave2, path, n=5)
+    verdicts = gate_against_index(
+        train, read_gram_index(spark, path), n=5, min_shared=1
+    )
+    j = train.select("doc_id", "lang").join(
+        verdicts, F.col("doc_id") == F.col("id")
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum("n_shared").cast("long").alias("shared_grams"),
+        )
+        .withColumn("idx_grams_base", F.lit(n_base).cast("long"))
+        .withColumn("idx_grams_appended", F.lit(n_new).cast("long"))
+        .orderBy("lang")
+    )
+
+
+_DECONTAM_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b,
+         {_TOKS_DUCK} AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, b,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4]))) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, lang, b,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM grams
+),
+idx_base AS (SELECT DISTINCT gh FROM hashed WHERE b = 8),
+idx_appended AS (
+  SELECT DISTINCT gh FROM hashed WHERE b = 9
+  AND gh NOT IN (SELECT gh FROM idx_base)
+),
+idx AS (SELECT gh FROM idx_base UNION ALL SELECT gh FROM idx_appended),
+train_hits AS (
+  SELECT h.doc_id, count(*) AS n_shared
+  FROM (SELECT DISTINCT doc_id, gh FROM hashed WHERE b < 8) h
+  JOIN idx USING (gh)
+  GROUP BY h.doc_id
+),
+train_docs AS (SELECT doc_id, lang FROM toks WHERE b < 8)
+SELECT d.lang,
+       count(*) AS n_train,
+       CAST(count(t.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(t.n_shared), 0) AS BIGINT) AS shared_grams,
+       (SELECT count(*) FROM idx_base) AS idx_grams_base,
+       (SELECT count(*) FROM idx_appended) AS idx_grams_appended
+FROM train_docs d LEFT JOIN train_hits t ON d.doc_id = t.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_vocab_growth_curve — Heaps'-law observability: vocabulary size
 # as the corpus grows through 10 deterministic hash-bucket slices (the
 # curve tokenizer/corpus planning reads before committing a vocab
@@ -2169,6 +2272,7 @@ ORDER BY bin
 
 
 QUERIES = {
+    "decontam_gram_index_replay": decontam_gram_index_replay,
     "text_vocab_growth_curve": text_vocab_growth_curve,
     "split_decontamination_stats": split_decontamination_stats,
     "quality_calibration_bins": quality_calibration_bins,
@@ -2201,6 +2305,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontam_gram_index_replay": _DECONTAM_INDEX_SQL,
     "text_vocab_growth_curve": _VOCAB_GROWTH_SQL,
     "split_decontamination_stats": _DECONTAM_SQL,
     "quality_calibration_bins": _CALIBRATION_SQL,

@@ -1,0 +1,82 @@
+"""Persistent benchmark gram index (operators/decontam_index.py):
+build / incremental-append / gate semantics, pinned at row level."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_ml_pipeline_spark.operators.decontam_index import (
+    append_gram_index,
+    build_gram_index,
+    gate_against_index,
+    gram_index_stats,
+    read_gram_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SENT_A = "the quick brown fox jumps over the lazy dog"  # grams incl. shared
+SENT_B = "pack my box with five dozen liquor jugs today"
+SENT_C = "the quick brown fox jumps over tall green fences"  # shares 2 5-grams with A
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return str(tmp_path / "gram_idx")
+
+
+def test_build_counts_distinct_grams(spark, index_path):
+    # one doc, 9 tokens -> 5 distinct word 5-grams
+    n = build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    assert n == 5
+    idx = read_gram_index(spark, index_path)
+    assert idx.count() == 5
+    assert idx.select("gen").distinct().collect()[0][0] == 0
+
+
+def test_append_only_new_grams(spark, index_path):
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    # SENT_C shares exactly two 5-grams with SENT_A ("the quick brown
+    # fox jumps", "quick brown fox jumps over"); 5 grams total -> 3 new
+    n_new = append_gram_index(_docs(spark, [(2, SENT_C)]), index_path)
+    assert n_new == 3
+    stats = {r["gen"]: r["n_grams"] for r in
+             gram_index_stats(spark, index_path).collect()}
+    assert stats == {0: 5, 1: 3}
+    # appending the SAME set again adds nothing (idempotent arithmetic)
+    assert append_gram_index(_docs(spark, [(3, SENT_C)]), index_path) == 0
+
+
+def test_gate_flags_and_short_doc_semantics(spark, index_path):
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    corpus = _docs(
+        spark,
+        [
+            (10, SENT_C),          # shares 2 grams -> contaminated
+            (11, SENT_B),          # disjoint -> clean
+            (12, "too short"),     # < 5 tokens: no grams, never gated
+        ],
+    )
+    out = {
+        r["id"]: (r["n_shared"], r["contaminated"])
+        for r in gate_against_index(
+            corpus, read_gram_index(spark, index_path)
+        ).collect()
+    }
+    assert out == {10: (2, True), 11: (0, False), 12: (0, False)}
+
+
+def test_gate_min_shared_threshold(spark, index_path):
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    out = {
+        r["id"]: r["contaminated"]
+        for r in gate_against_index(
+            _docs(spark, [(10, SENT_C)]),
+            read_gram_index(spark, index_path),
+            min_shared=3,
+        ).collect()
+    }
+    assert out == {10: False}  # 2 shared grams < threshold 3
