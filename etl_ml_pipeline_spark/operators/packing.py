@@ -1,0 +1,142 @@
+"""Distributed first-fit-decreasing (FFD) bin packing.
+
+The prefix-sum packers (``pack_documents_budget`` / ``_capacity``,
+``layout_compaction_plan``) are ORDER-PRESERVING: bins are contiguous
+id ranges, which is what file compaction and curriculum-ordered packing
+want. An episode/sequence assembler optimizing for FILL instead wants
+classic bin packing — FFD is the standard heuristic (≤ 11/9·OPT + 6/9
+bins, Dósa 2007; any first-fit order leaves at most one bin ≤ half
+full).
+
+FFD is inherently sequential (each item goes to the FIRST bin that
+fits, given all earlier placements), so the distributed form shards
+items into SEGMENTS by a deterministic id hash and runs EXACT FFD
+independently per segment inside an Arrow-batched ``applyInPandas``
+group — bins never span segments, per-task state is one segment's bin
+loads, and the only shuffle is the segment hash partition. The fill
+guarantee degrades by at most one under-half bin PER SEGMENT (the
+per-segment first-fit bound), so pick n_segments as the parallelism
+floor, not higher. At 100 TB: segments of ~1e6 items keep the loads
+array in task memory; the packing never sees text, only (id, size).
+
+Oversize items (size > capacity) can never fit a bin: each gets a
+dedicated bin, flagged, so the caller can split or reject them — the
+same whole-doc-overflow semantics pack_documents_budget documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_ml_pipeline_spark.operators.text import token_hash60
+
+
+def ffd_pack(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    capacity: int,
+    n_segments: int = 8,
+) -> DataFrame:
+    """Per-item FFD bin assignment: (id, size, segment_id, bin_id,
+    oversize). Deterministic: segment = 60-bit id hash mod n_segments;
+    within a segment items are packed in (size DESC, id ASC) order and
+    bins are numbered in creation order. ``bin_id`` is unique only
+    within a segment — the global bin key is (segment_id, bin_id)."""
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError(f"ffd_pack: capacity must be positive, got {capacity}")
+
+    items = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        (token_hash60(F.col(id_col).cast("string")) % n_segments)
+        .cast("int")
+        .alias("segment_id"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["size", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        # Linear first-fit scan over open-bin loads: O(n*bins), fine at
+        # catalog/test scale; a production segment of ~1e6 items swaps
+        # this loop for a capacity-indexed structure (sorted loads /
+        # segment tree) for O(n log bins) — same assignments.
+        loads: list[int] = []
+        bin_ids: list[int] = []
+        oversize: list[bool] = []
+        for size in pdf["size"].to_list():
+            if size > capacity:
+                bin_ids.append(len(loads))
+                loads.append(size)
+                oversize.append(True)
+                continue
+            for i, load in enumerate(loads):
+                if load + size <= capacity:
+                    loads[i] = load + size
+                    bin_ids.append(i)
+                    break
+            else:
+                bin_ids.append(len(loads))
+                loads.append(size)
+            oversize.append(False)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    return items.groupBy("segment_id").applyInPandas(
+        pack,
+        schema="id long, size long, segment_id int, bin_id long, oversize boolean",
+    )
+
+
+def ffd_segment_contract(packed: DataFrame, capacity: int) -> DataFrame:
+    """Fold a :func:`ffd_pack` assignment into per-segment rows whose
+    exact columns a SQL oracle can recompute and whose booleans certify
+    the packing:
+
+    - ``n_docs`` / ``seg_tokens`` / ``n_oversize`` / ``lb_bins`` —
+      exact arithmetic on the input (lb = oversize bins + ceil(rest
+      tokens / capacity), a valid lower bound on ANY packing);
+    - ``bins_fit`` — every non-oversize bin's load ≤ capacity;
+    - ``lb_ok`` — realized bins ≥ lb_bins;
+    - ``ub_ok`` — realized bins ≤ n_oversize + floor(2·rest/capacity)+1
+      (the at-most-one-bin-≤-half-full first-fit guarantee).
+    """
+    bins = packed.groupBy("segment_id", "bin_id").agg(
+        F.count("*").alias("bin_docs"),
+        F.sum("size").alias("bin_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("bin_oversize"),
+    )
+    seg = bins.groupBy("segment_id").agg(
+        F.sum("bin_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("seg_tokens"),
+        F.sum("bin_oversize").cast("long").alias("n_oversize"),
+        F.sum(
+            F.when(F.col("bin_oversize") == 1, F.col("bin_tokens"))
+        ).alias("_oversize_tokens"),
+        F.count("*").cast("long").alias("_n_bins"),
+        F.max(
+            F.when(F.col("bin_oversize") == 0, F.col("bin_tokens"))
+        ).alias("_max_fit_load"),
+    )
+    rest = F.col("seg_tokens") - F.coalesce(F.col("_oversize_tokens"), F.lit(0))
+    lb = F.col("n_oversize") + F.floor(
+        (rest + capacity - 1) / capacity
+    ).cast("long")
+    ub = F.col("n_oversize") + F.floor(2 * rest / capacity).cast("long") + 1
+    return seg.select(
+        "segment_id",
+        "n_docs",
+        "seg_tokens",
+        "n_oversize",
+        lb.alias("lb_bins"),
+        (F.coalesce(F.col("_max_fit_load"), F.lit(0)) <= capacity).alias(
+            "bins_fit"
+        ),
+        (F.col("_n_bins") >= lb).alias("lb_ok"),
+        (F.col("_n_bins") <= ub).alias("ub_ok"),
+    )

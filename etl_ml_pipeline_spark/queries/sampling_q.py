@@ -315,6 +315,83 @@ ORDER BY pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# pack_ffd_documents — first-fit-decreasing episode assembly (VERDICT
+# r12 next #7): the fill-optimizing contrast to the order-preserving
+# prefix-sum packers. Documents shard into 4 deterministic id-hash
+# segments; EXACT FFD runs per segment inside an Arrow-batched
+# applyInPandas group (operators/packing.py — bins never span
+# segments, task state = one segment's bin loads). FFD itself is not
+# SQL-expressible, so the recordable output is the per-segment
+# CONTRACT: exact columns the oracle recomputes from raw data (docs,
+# tokens, oversize count, the packing lower bound n_oversize +
+# ceil(rest/capacity)) plus booleans certifying the realized packing
+# (every bin fits, bin count within [lower bound, the first-fit
+# at-most-one-half-empty-bin upper bound]) that the oracle pins
+# literally TRUE — the theta-sketch contract pattern. Exact FFD
+# behavior is additionally pinned row-level + property-tested against
+# a reference packer in tests/test_packing.py.
+# Scale: one segment-hash shuffle; packing state bounded per segment;
+# no text movement (id+size only).
+# ---------------------------------------------------------------------------
+
+_FFD_CAPACITY = 512
+_FFD_SEGMENTS = 4
+
+
+def pack_ffd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.packing import (
+        ffd_pack,
+        ffd_segment_contract,
+    )
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    packed = ffd_pack(
+        docs, "n_tok", "doc_id", _FFD_CAPACITY, n_segments=_FFD_SEGMENTS
+    )
+    return ffd_segment_contract(packed, _FFD_CAPACITY).orderBy("segment_id")
+
+
+_FFD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+items AS (
+  SELECT doc_id, n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_FFD_SEGMENTS} AS INT) AS segment_id
+  FROM toks WHERE n_tok > 0
+),
+seg AS (
+  SELECT segment_id,
+         count(*) AS n_docs,
+         sum(n_tok) AS seg_tokens,
+         sum(CASE WHEN n_tok > {_FFD_CAPACITY} THEN 1 ELSE 0 END) AS n_oversize,
+         sum(CASE WHEN n_tok > {_FFD_CAPACITY} THEN n_tok ELSE 0 END) AS ot
+  FROM items GROUP BY 1
+)
+SELECT segment_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(seg_tokens AS BIGINT) AS seg_tokens,
+       CAST(n_oversize AS BIGINT) AS n_oversize,
+       CAST(n_oversize
+            + ((seg_tokens - ot) + {_FFD_CAPACITY} - 1) // {_FFD_CAPACITY}
+            AS BIGINT) AS lb_bins,
+       TRUE AS bins_fit, TRUE AS lb_ok, TRUE AS ub_ok
+FROM seg
+ORDER BY segment_id
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1277,6 +1354,7 @@ QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
+    "pack_ffd_documents": pack_ffd_documents,
     "sample_mixture_lang": sample_mixture_lang,
 }
 
@@ -1296,5 +1374,6 @@ ORACLES = {
     "sample_stratified_lang": _STRATIFIED_SQL,
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
+    "pack_ffd_documents": _FFD_SQL,
     "sample_mixture_lang": _mixture_oracle(),
 }

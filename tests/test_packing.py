@@ -1,0 +1,122 @@
+"""FFD bin packing (operators/packing.py): exact behavior pinned
+against an independent reference packer, plus contract/bounds and
+determinism properties."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_ml_pipeline_spark.operators.packing import (
+    ffd_pack,
+    ffd_segment_contract,
+)
+
+
+def _reference_ffd(items: list[tuple[int, int]], capacity: int):
+    """Independent FFD: items (id, size) sorted (size desc, id asc);
+    oversize items get dedicated bins. Returns {id: bin_id}."""
+    out: dict[int, int] = {}
+    loads: list[int] = []
+    for id_, size in sorted(items, key=lambda t: (-t[1], t[0])):
+        if size > capacity:
+            out[id_] = len(loads)
+            loads.append(size)
+            continue
+        for i, load in enumerate(loads):
+            if load + size <= capacity:
+                loads[i] += size
+                out[id_] = i
+                break
+        else:
+            out[id_] = len(loads)
+            loads.append(size)
+    return out
+
+
+def _df(spark, items):
+    return spark.createDataFrame(items, "doc_id long, n_tok long")
+
+
+def test_ffd_matches_reference_single_segment(spark):
+    rng = random.Random(7)
+    items = [(i, rng.randint(1, 700)) for i in range(120)]
+    df = _df(spark, items)
+    got = {
+        r["id"]: r["bin_id"]
+        for r in ffd_pack(df, "n_tok", "doc_id", 512, n_segments=1).collect()
+    }
+    assert got == _reference_ffd(items, 512)
+
+
+def test_ffd_matches_reference_per_segment(spark):
+    from etl_ml_pipeline_spark.operators.text import token_hash60
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    items = [(i, rng.randint(1, 600)) for i in range(200)]
+    df = _df(spark, items)
+    rows = ffd_pack(df, "n_tok", "doc_id", 512, n_segments=4).collect()
+    # recompute the segment hash Spark-side so the reference shards
+    # identically (60-bit md5 hash of the id string, mod 4)
+    seg_of = {
+        r["doc_id"]: r["seg"]
+        for r in df.select(
+            "doc_id",
+            (token_hash60(F.col("doc_id").cast("string")) % 4).alias("seg"),
+        ).collect()
+    }
+    by_seg: dict[int, list[tuple[int, int]]] = {}
+    for id_, size in items:
+        by_seg.setdefault(seg_of[id_], []).append((id_, size))
+    expected = {}
+    for seg, seg_items in by_seg.items():
+        for id_, b in _reference_ffd(seg_items, 512).items():
+            expected[id_] = (seg, b)
+    got = {r["id"]: (r["segment_id"], r["bin_id"]) for r in rows}
+    assert got == expected
+
+
+def test_ffd_oversize_get_dedicated_flagged_bins(spark):
+    df = _df(spark, [(1, 1000), (2, 600), (3, 100), (4, 100)])
+    rows = {
+        r["id"]: r for r in ffd_pack(df, "n_tok", "doc_id", 512, 1).collect()
+    }
+    assert rows[1]["oversize"] and rows[2]["oversize"]
+    assert not rows[3]["oversize"] and not rows[4]["oversize"]
+    # oversize bins hold exactly one item each
+    assert rows[1]["bin_id"] != rows[2]["bin_id"]
+    # the two small items co-pack in a fresh bin
+    assert rows[3]["bin_id"] == rows[4]["bin_id"]
+    assert rows[3]["bin_id"] not in (rows[1]["bin_id"], rows[2]["bin_id"])
+
+
+def test_ffd_contract_bounds_hold(spark):
+    rng = random.Random(29)
+    items = [(i, rng.randint(1, 800)) for i in range(500)]
+    packed = ffd_pack(_df(spark, items), "n_tok", "doc_id", 512, n_segments=4)
+    for r in ffd_segment_contract(packed, 512).collect():
+        assert r["bins_fit"] and r["lb_ok"] and r["ub_ok"], r
+        assert r["n_docs"] > 0 and r["lb_bins"] >= 1
+
+
+def test_ffd_deterministic_under_repartition(spark):
+    rng = random.Random(41)
+    items = [(i, rng.randint(1, 512)) for i in range(300)]
+    df = _df(spark, items)
+    a = sorted(
+        map(tuple, ffd_pack(df, "n_tok", "doc_id", 256, 4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ffd_pack(df.repartition(7), "n_tok", "doc_id", 256, 4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ffd_rejects_bad_capacity(spark):
+    with pytest.raises(ValueError, match="capacity"):
+        ffd_pack(_df(spark, [(1, 1)]), "n_tok", "doc_id", 0)
