@@ -112,9 +112,28 @@ HEADLINE = [
 _COMPARABLE_22 = HEADLINE[:22]
 
 
+def cpu_probe() -> float:
+    """Single-thread CPU probe: fixed 2e7-iteration integer loop,
+    seconds (lower = faster host window). Emitted as ``cpu_probe_sec``
+    with every bench line so round-over-round comparisons can be
+    normalized for this host's day-scale performance drift (the
+    r10/r12 noisy-window studies: identical code moved 1.3-1.8x with
+    the VM idle) instead of re-adjudicating it from prose each round.
+    Runs BEFORE Spark starts so JVM threads don't perturb it. The
+    standardized body ships from round 13 on; earlier rounds' probes
+    were ad-hoc prose records and are not unit-comparable."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    assert acc > 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    probe = cpu_probe()  # before Spark init — see docstring
 
     from etl_ml_pipeline_spark.session import get_spark
     from etl_ml_pipeline_spark.queries import all_queries
@@ -174,6 +193,7 @@ def main() -> None:
                 ),
                 "spread": spreads,
                 "cold_value": round(cold_total, 3),
+                "cpu_probe_sec": probe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -149,6 +149,48 @@ def gate_against_index(
     )
 
 
+def retire_gram_index_generation(
+    spark: SparkSession, index_path: str, gen: int
+) -> int:
+    """Retention: drop one eval-set generation — a partition-pruned
+    directory delete (gen is the parquet partition column), no rewrite
+    of the surviving generations. Refuses to retire the LAST remaining
+    generation (an empty index directory would fail schema inference
+    on the next read — the same guard as ivf_index_vacuum's
+    all-tombstoned case). Returns the number of grams dropped.
+
+    Semantic note (mirrors the dedup index's retention story): grams
+    whose ONLY provenance was the retired generation stop gating new
+    corpus runs; grams shared with an earlier eval set remain indexed
+    under that earlier generation (append dedups against the live
+    set, so a gram lives in its FIRST generation only)."""
+    live = read_gram_index(spark, index_path)
+    gens = {r["gen"] for r in live.select("gen").distinct().collect()}
+    if gen not in gens:
+        raise ValueError(
+            f"retire_gram_index_generation: gen {gen} not in index "
+            f"(have {sorted(gens)})"
+        )
+    if gens == {gen}:
+        raise ValueError(
+            "retire_gram_index_generation: refusing to retire the last "
+            "remaining generation — an empty index cannot be read back; "
+            "delete the index directory instead"
+        )
+    n = live.filter(F.col("gen") == gen).count()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    part = jvm.org.apache.hadoop.fs.Path(
+        index_path.rstrip("/") + f"/gen={gen}"
+    )
+    fs = part.getFileSystem(conf)
+    if not fs.delete(part, True):
+        raise IOError(
+            f"retire_gram_index_generation: delete {part} failed"
+        )
+    return n
+
+
 def gram_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-generation index summary: (gen, n_grams) — the ops view."""
     return (

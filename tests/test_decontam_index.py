@@ -80,3 +80,24 @@ def test_gate_min_shared_threshold(spark, index_path):
         ).collect()
     }
     assert out == {10: False}  # 2 shared grams < threshold 3
+
+
+def test_retire_generation_partition_pruned(spark, index_path):
+    from etl_ml_pipeline_spark.operators.decontam_index import (
+        retire_gram_index_generation,
+    )
+
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    append_gram_index(_docs(spark, [(2, SENT_C)]), index_path)
+    n = retire_gram_index_generation(spark, index_path, 1)
+    assert n == 3
+    stats = {r["gen"]: r["n_grams"] for r in
+             gram_index_stats(spark, index_path).collect()}
+    assert stats == {0: 5}
+    # unknown generation -> loud error, storage untouched
+    with pytest.raises(ValueError, match="not in index"):
+        retire_gram_index_generation(spark, index_path, 7)
+    # the last remaining generation is protected
+    with pytest.raises(ValueError, match="last remaining"):
+        retire_gram_index_generation(spark, index_path, 0)
+    assert read_gram_index(spark, index_path).count() == 5
