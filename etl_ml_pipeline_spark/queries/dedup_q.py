@@ -765,7 +765,87 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_rate_by_source — the per-source hygiene report every dedup run
+# ends with: for each ingest source, how much of it is internal
+# duplication (same text repeated within the source) and how much of
+# its unique material also exists in OTHER sources (inter-source
+# redundancy — the "can we drop this crawl" number). Membership is the
+# engine's standard whitespace-normalized md5 fingerprint.
+# Scale: one (source, fp) groupBy, one fp-keyed count of sources per
+# fingerprint, one join back on fp — all uniform md5 keys, no skew; the
+# output is |sources| rows regardless of corpus size. Text is hashed
+# map-side and never shuffled.
+# ---------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    per_sf = (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    fp_sources = per_sf.groupBy("fp").agg(F.count("*").alias("n_sources"))
+    j = per_sf.join(fp_sources, "fp")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("n") - F.count("*")).cast("long").alias("n_intra_dupes"),
+            (
+                F.floor((F.sum("n") - F.count("*")) * 10000 / F.sum("n"))
+                / 10000
+            ).alias("intra_dup_rate"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_texts"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+                    * 10000
+                    / F.count("*")
+                )
+                / 10000
+            ).alias("shared_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_RATE_BY_SOURCE_SQL = """
+WITH fps AS (
+  SELECT source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+per_sf AS (
+  SELECT source, fp, count(*) AS n FROM fps GROUP BY 1, 2
+),
+fp_sources AS (
+  SELECT fp, count(*) AS n_sources FROM per_sf GROUP BY 1
+)
+SELECT p.source,
+       CAST(sum(p.n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(p.n) - count(*) AS BIGINT) AS n_intra_dupes,
+       floor((sum(p.n) - count(*)) * 10000 / sum(p.n)) / 10000
+         AS intra_dup_rate,
+       CAST(sum(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_texts,
+       floor(sum(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END) * 10000
+             / count(*)) / 10000 AS shared_rate
+FROM per_sf p JOIN fp_sources s USING (fp)
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
 QUERIES = {
+    "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_cross_snapshot_delta": dedup_cross_snapshot_delta,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_substring": dedup_exact_substring,
@@ -780,6 +860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_rate_by_source": _RATE_BY_SOURCE_SQL,
     "dedup_cross_snapshot_delta": _SNAPSHOT_DELTA_SQL,
     "dedup_exact_documents": _EXACT_SQL,
     "dedup_exact_substring": _EXACT_SUBSTR_SQL,

@@ -392,6 +392,142 @@ ORDER BY segment_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_epoch_allocation — data-constrained mixture planning (the
+# public "how many epochs of each source" budget sheet, cf. the
+# data-constrained scaling literature): given per-language unique token
+# counts, a total training budget of 2x the corpus (forcing repetition
+# somewhere), sqrt-temperature source weighting, and a hard cap of 4
+# epochs per source, allocate the budget. Temperature targets are
+# floored against the cap, and ONE redistribution round hands the
+# resulting deficit to the uncapped sources by the same weights (exact
+# waterfilling converges in <= |sources| rounds; the single round is
+# the documented planner semantics here, and `capped` marks who hit
+# the ceiling). Numeric parity: weights are sqrt on a 1e6 integer grid
+# (exact integer sums — a double Sigma-w would be summation-order-
+# dependent across engines); every budget split divides BEFORE
+# multiplying in double with identical op order both sides.
+# Scale: one groupBy(lang) over the corpus, then arithmetic on
+# |langs| rows with two 1-row broadcast totals. The corpus is read
+# once, map-side tokenized.
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 2       # train budget = 2x corpus tokens
+_EPOCH_CAP = 4            # no source repeats more than 4 epochs
+
+
+def sample_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("tok")
+    )
+    per = per.withColumn(
+        "w", F.floor(F.sqrt(F.col("tok")) * 1000000).cast("long")
+    )
+    tot = per.agg(
+        F.sum("tok").alias("__tot_tok"), F.sum("w").alias("__tot_w")
+    )
+    a1 = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__budget", (F.lit(_EPOCH_BUDGET_X) * F.col("__tot_tok")).cast("long")
+        )
+        .withColumn(
+            "target",
+            F.floor(
+                F.col("w") / F.col("__tot_w") * F.col("__budget")
+            ).cast("long"),
+        )
+        .withColumn("cap", (F.lit(_EPOCH_CAP) * F.col("tok")).cast("long"))
+        .withColumn("alloc1", F.least("target", "cap"))
+        .withColumn("capped1", F.col("target") > F.col("cap"))
+    )
+    tot2 = a1.agg(
+        F.sum("alloc1").alias("__sum_a1"),
+        F.sum(F.when(~F.col("capped1"), F.col("w"))).alias("__w_unc"),
+    )
+    out = (
+        a1.crossJoin(F.broadcast(tot2))
+        .withColumn("__deficit", F.col("__budget") - F.col("__sum_a1"))
+        .withColumn(
+            "extra",
+            F.when(
+                ~F.col("capped1") & (F.col("__w_unc") > 0),
+                F.floor(
+                    F.col("w") / F.col("__w_unc") * F.col("__deficit")
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("alloc", F.least(F.col("alloc1") + F.col("extra"), F.col("cap")))
+    )
+    return out.select(
+        "lang",
+        F.col("tok").alias("corpus_tokens"),
+        "w",
+        "target",
+        "alloc",
+        (F.floor(F.col("alloc") * 100 / F.col("tok")) / 100).alias("epochs"),
+        (F.col("alloc") >= F.col("cap")).alias("capped"),
+    ).orderBy("lang")
+
+
+_EPOCH_ALLOC_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS tok
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, tok,
+         CAST(floor(sqrt(tok) * 1000000) AS BIGINT) AS w
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(tok) AS BIGINT) AS tot_tok,
+         CAST(sum(w) AS BIGINT) AS tot_w
+  FROM w
+),
+a1 AS (
+  SELECT lang, tok, w,
+         CAST({_EPOCH_BUDGET_X} * tot_tok AS BIGINT) AS budget,
+         CAST(floor(w / tot_w * ({_EPOCH_BUDGET_X} * tot_tok)) AS BIGINT)
+           AS target,
+         CAST({_EPOCH_CAP} * tok AS BIGINT) AS cap
+  FROM w CROSS JOIN tot
+),
+a1c AS (
+  SELECT *, least(target, cap) AS alloc1, target > cap AS capped1 FROM a1
+),
+tot2 AS (
+  SELECT CAST(sum(alloc1) AS BIGINT) AS sum_a1,
+         CAST(coalesce(sum(CASE WHEN NOT capped1 THEN w END), 0) AS BIGINT)
+           AS w_unc
+  FROM a1c
+)
+SELECT lang, tok AS corpus_tokens, w, target,
+       least(alloc1 + CASE WHEN NOT capped1 AND w_unc > 0
+                           THEN CAST(floor(w / w_unc * (budget - sum_a1))
+                                     AS BIGINT)
+                           ELSE 0 END,
+             cap) AS alloc,
+       floor(least(alloc1 + CASE WHEN NOT capped1 AND w_unc > 0
+                                 THEN CAST(floor(w / w_unc * (budget - sum_a1))
+                                           AS BIGINT)
+                                 ELSE 0 END,
+                   cap) * 100 / tok) / 100 AS epochs,
+       least(alloc1 + CASE WHEN NOT capped1 AND w_unc > 0
+                           THEN CAST(floor(w / w_unc * (budget - sum_a1))
+                                     AS BIGINT)
+                           ELSE 0 END,
+             cap) >= cap AS capped
+FROM a1c CROSS JOIN tot2
+ORDER BY lang
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1355,6 +1491,7 @@ QUERIES = {
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
     "pack_ffd_documents": pack_ffd_documents,
+    "sample_epoch_allocation": sample_epoch_allocation,
     "sample_mixture_lang": sample_mixture_lang,
 }
 
@@ -1375,5 +1512,6 @@ ORACLES = {
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
     "pack_ffd_documents": _FFD_SQL,
+    "sample_epoch_allocation": _EPOCH_ALLOC_SQL,
     "sample_mixture_lang": _mixture_oracle(),
 }

@@ -164,6 +164,12 @@ QUERIES = [
     # fingerprint equi-join).
     "skew_key_diagnosis_events",
     "dedup_cross_snapshot_delta",
+    # round-13 families: the persisted-gram-index decontamination
+    # replay (build + incremental append + one gate join per run) and
+    # segment-sharded exact FFD packing (one segment-hash shuffle +
+    # Arrow-batched per-segment packing state).
+    "decontam_gram_index_replay",
+    "pack_ffd_documents",
 ]
 
 
