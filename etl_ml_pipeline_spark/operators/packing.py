@@ -61,27 +61,57 @@ def ffd_pack(
         pdf = pdf.sort_values(
             ["size", "id"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
-        # Linear first-fit scan over open-bin loads: O(n*bins), fine at
-        # catalog/test scale; a production segment of ~1e6 items swaps
-        # this loop for a capacity-indexed structure (sorted loads /
-        # segment tree) for O(n log bins) — same assignments.
-        loads: list[int] = []
+        # First-fit via a max-residual segment tree with leftmost
+        # descent: find the LOWEST-indexed open bin whose residual
+        # capacity fits the item in O(log bins), update in O(log bins)
+        # — the classic exact-FFD structure. The naive linear scan is
+        # O(n*bins) per segment, which the scale ladder measured
+        # SUPERLINEAR (sf1 3.8s -> sf10 120.5s) before this landed;
+        # assignments are identical (leaf order = bin creation order).
+        n = len(pdf)
+        width = 1
+        while width < max(n, 1):
+            width *= 2
+        tree = [0] * (2 * width)  # max residual over each node's leaf range
+        n_bins = 0
+
+        def open_bin(residual: int) -> int:
+            nonlocal n_bins
+            idx = n_bins
+            n_bins += 1
+            node = width + idx
+            tree[node] = residual
+            node //= 2
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node //= 2
+            return idx
+
+        def place(idx: int, size: int) -> None:
+            node = width + idx
+            tree[node] -= size
+            node //= 2
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node //= 2
+
         bin_ids: list[int] = []
         oversize: list[bool] = []
         for size in pdf["size"].to_list():
             if size > capacity:
-                bin_ids.append(len(loads))
-                loads.append(size)
+                # dedicated bin that never accepts another item
+                bin_ids.append(open_bin(0))
                 oversize.append(True)
                 continue
-            for i, load in enumerate(loads):
-                if load + size <= capacity:
-                    loads[i] = load + size
-                    bin_ids.append(i)
-                    break
+            if tree[1] >= size:
+                node = 1
+                while node < width:
+                    node = 2 * node if tree[2 * node] >= size else 2 * node + 1
+                idx = node - width
+                place(idx, size)
+                bin_ids.append(idx)
             else:
-                bin_ids.append(len(loads))
-                loads.append(size)
+                bin_ids.append(open_bin(capacity - size))
             oversize.append(False)
         pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
         pdf["oversize"] = pd.Series(oversize, dtype="bool")

@@ -336,7 +336,13 @@ ORDER BY pack_id
 # ---------------------------------------------------------------------------
 
 _FFD_CAPACITY = 512
-_FFD_SEGMENTS = 4
+# 32 segments: per-segment packing state stays small and the Arrow
+# groups saturate local[32]; the fill cost is at most one under-half
+# bin PER SEGMENT. The per-item cost is O(log bins) (segment-tree
+# first-fit), so per-decade scaling is governed by the item count,
+# not bins^2 — the sf10 ladder rung regressed superlinear with the
+# naive scan + 4 fat segments.
+_FFD_SEGMENTS = 32
 
 
 def pack_ffd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
