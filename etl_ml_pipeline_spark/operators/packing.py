@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_ml_pipeline_spark.operators.base import BaseTransform
 from etl_ml_pipeline_spark.operators.text import token_hash60
+from etl_ml_pipeline_spark.registry import register_transform
 
 
 def ffd_pack(
@@ -98,10 +100,20 @@ def ffd_pack(
         bin_ids: list[int] = []
         oversize: list[bool] = []
         for size in pdf["size"].to_list():
+            if size < 0:
+                raise ValueError(f"ffd_pack: negative size {size}")
             if size > capacity:
                 # dedicated bin that never accepts another item
                 bin_ids.append(open_bin(0))
                 oversize.append(True)
+                continue
+            if size == 0:
+                # fits any bin; FFD puts it in the first one. Guarded
+                # explicitly: the tree descent below uses residual >= size,
+                # and every UNOPENED leaf has residual 0 >= 0 — a 0-size
+                # item would otherwise land on a phantom bin.
+                bin_ids.append(0 if n_bins else open_bin(capacity))
+                oversize.append(False)
                 continue
             if tree[1] >= size:
                 node = 1
@@ -170,3 +182,39 @@ def ffd_segment_contract(packed: DataFrame, capacity: int) -> DataFrame:
         (F.col("_n_bins") >= lb).alias("lb_ok"),
         (F.col("_n_bins") <= ub).alias("ub_ok"),
     )
+
+
+@register_transform("ffd_pack")
+class FfdPack(BaseTransform):
+    """YAML form of the FFD episode assembler: appends
+    (segment_id, bin_id, oversize) to each row so the sink writes the
+    packed layout. config: size_col (required), id_col: doc_id,
+    capacity (required), n_segments: 8. The global bin key is
+    (segment_id, bin_id)."""
+
+    def validate(self, df: DataFrame) -> None:
+        cfg = self.config
+        for key in ("size_col", "capacity"):
+            if key not in cfg:
+                raise ValueError(f"ffd_pack: config needs {key!r}")
+        for col in (cfg["size_col"], cfg.get("id_col", "doc_id")):
+            if col not in df.columns:
+                raise ValueError(f"ffd_pack: column {col!r} not in input")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        self.validate(df)
+        id_col = cfg.get("id_col", "doc_id")
+        packed = ffd_pack(
+            df,
+            cfg["size_col"],
+            id_col,
+            int(cfg["capacity"]),
+            n_segments=int(cfg.get("n_segments", 8)),
+        )
+        return df.join(
+            packed.select(
+                F.col("id").alias(id_col), "segment_id", "bin_id", "oversize"
+            ),
+            id_col,
+        )

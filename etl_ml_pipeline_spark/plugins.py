@@ -24,6 +24,7 @@ from etl_ml_pipeline_spark.operators import drift as _t_drift  # noqa: F401
 from etl_ml_pipeline_spark.operators import indicators as _t_ind  # noqa: F401
 from etl_ml_pipeline_spark.operators import kmeans as _t_kmeans  # noqa: F401
 from etl_ml_pipeline_spark.operators import multimodal as _t_mm  # noqa: F401
+from etl_ml_pipeline_spark.operators import packing as _t_pack  # noqa: F401
 from etl_ml_pipeline_spark.operators import pass_through as _t_pass  # noqa: F401
 from etl_ml_pipeline_spark.operators import relational as _t_rel  # noqa: F401
 from etl_ml_pipeline_spark.operators import sessionize as _t_sess  # noqa: F401

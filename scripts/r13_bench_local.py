@@ -21,19 +21,21 @@ def main() -> None:
     sessions = []
     best = None
     for i in range(n):
-        out = subprocess.run(
+        import os
+
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1", SPARK_GRAFT_CPUS="32"
+        )
+        proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             capture_output=True,
             text=True,
-            env={
-                "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
-                "SPARK_GRAFT_CPUS": "32",
-                "PATH": "/usr/bin:/bin:/usr/local/bin",
-                "HOME": "/root",
-                "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
-            },
-            check=True,
-        ).stdout
+            env=env,
+        )
+        if proc.returncode != 0:
+            sys.exit(f"bench.py failed:\n{proc.stderr[-2000:]}")
+        out = proc.stdout
         rec = json.loads(out.strip().splitlines()[-1])
         sess = {
             "value": rec["value"],

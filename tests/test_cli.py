@@ -115,6 +115,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("perplexity_gated_corpus", tmp_path / "out9"),
         ("url_dedup_corpus", tmp_path / "out10"),
         ("decontaminated_corpus", tmp_path / "out11"),
+        ("ffd_packed_corpus", tmp_path / "out12"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),

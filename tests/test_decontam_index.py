@@ -101,3 +101,19 @@ def test_retire_generation_partition_pruned(spark, index_path):
     with pytest.raises(ValueError, match="last remaining"):
         retire_gram_index_generation(spark, index_path, 0)
     assert read_gram_index(spark, index_path).count() == 5
+
+
+def test_decontaminate_transform_index_mode(spark, index_path):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    cls = TRANSFORMS.get("decontaminate")
+    out = cls({"index_path": index_path}).transform(
+        _docs(spark, [(10, SENT_C), (11, SENT_B)])
+    )
+    assert [r["doc_id"] for r in out.collect()] == [11]
+    # mode exclusivity: index_path + holdout_pct is a config error
+    with pytest.raises(ValueError, match="exactly one"):
+        cls({"index_path": index_path, "holdout_pct": 20}).transform(
+            _docs(spark, [(1, SENT_A)])
+        )

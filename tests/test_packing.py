@@ -120,3 +120,42 @@ def test_ffd_deterministic_under_repartition(spark):
 def test_ffd_rejects_bad_capacity(spark):
     with pytest.raises(ValueError, match="capacity"):
         ffd_pack(_df(spark, [(1, 1)]), "n_tok", "doc_id", 0)
+
+
+def test_ffd_pack_transform(spark):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 600)], "doc_id long, n_tok long"
+    )
+    cls = TRANSFORMS.get("ffd_pack")
+    out = cls(
+        {"size_col": "n_tok", "capacity": 512, "n_segments": 1}
+    ).transform(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {
+        "doc_id", "n_tok", "segment_id", "bin_id", "oversize"
+    }
+    assert rows[3]["oversize"] and not rows[1]["oversize"]
+    assert rows[1]["bin_id"] != rows[2]["bin_id"]  # 300+300 > 512
+    with pytest.raises(ValueError, match="config needs 'capacity'"):
+        cls({"size_col": "n_tok"}).transform(df)
+    with pytest.raises(ValueError, match="not in input"):
+        cls({"size_col": "missing", "capacity": 8}).transform(df)
+
+
+def test_ffd_zero_size_items_join_first_bin(spark):
+    # zero-size items fit any bin: FFD places them in bin 0 (opened by
+    # the largest item); they must never land on a phantom unopened bin
+    df = _df(spark, [(1, 0), (2, 100), (3, 0)])
+    rows = {
+        r["id"]: r["bin_id"]
+        for r in ffd_pack(df, "n_tok", "doc_id", 512, 1).collect()
+    }
+    assert rows == {1: 0, 2: 0, 3: 0}
+    # all-zero segment still opens exactly one real bin
+    rows2 = {
+        r["id"]: r["bin_id"]
+        for r in ffd_pack(_df(spark, [(1, 0), (2, 0)]), "n_tok", "doc_id", 8, 1).collect()
+    }
+    assert rows2 == {1: 0, 2: 0}
