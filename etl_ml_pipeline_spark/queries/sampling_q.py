@@ -534,6 +534,88 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# context_length_planning — the max_seq_len budget sheet: for each
+# candidate context length, how many documents truncate, how many
+# tokens survive vs fall off the end, and the single-doc-per-sequence
+# padding waste. The three curves (loss vs padding vs length) are what
+# picks a pre-training sequence length before any packing strategy is
+# chosen. ONE corpus pass: all per-candidate sums are conditional
+# aggregates over the same map-side token count, unpivoted to one row
+# per candidate (the oracle replays it as a 4-way cross join — the
+# engine never does).
+# Scale: single scan, map-side tokenize, one 1-row aggregate; output
+# is |candidates| rows at any corpus size.
+# ---------------------------------------------------------------------------
+
+_CTX_LENS = (128, 256, 512, 1024)
+
+
+def context_length_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tok"),
+    ]
+    for L in _CTX_LENS:
+        aggs += [
+            F.sum(F.least(F.col("n_tok"), F.lit(L))).alias(f"kept_{L}"),
+            F.sum(F.greatest(F.col("n_tok") - L, F.lit(0))).alias(
+                f"lost_{L}"
+            ),
+            F.sum((F.col("n_tok") > L).cast("long")).alias(f"trunc_{L}"),
+        ]
+    one = docs.agg(*aggs)
+    stack = ", ".join(
+        f"{L}L, kept_{L}, lost_{L}, trunc_{L}" for L in _CTX_LENS
+    )
+    rows = one.selectExpr(
+        "n_docs",
+        "total_tok",
+        f"stack({len(_CTX_LENS)}, {stack}) AS (ctx_len, kept_tokens,"
+        " lost_tokens, n_truncated)",
+    )
+    return rows.select(
+        "ctx_len",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_truncated").cast("long").alias("n_truncated"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        F.col("lost_tokens").cast("long").alias("lost_tokens"),
+        (F.floor(F.col("lost_tokens") * 10000 / F.col("total_tok")) / 10000)
+        .alias("loss_rate"),
+        (F.col("n_docs") * F.col("ctx_len") - F.col("kept_tokens"))
+        .cast("long")
+        .alias("pad_tokens_single"),
+    ).orderBy("ctx_len")
+
+
+_CTX_PLAN_SQL = f"""
+WITH toks AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+cands AS (SELECT unnest(ARRAY{list(_CTX_LENS)}) AS ctx_len)
+SELECT CAST(c.ctx_len AS BIGINT) AS ctx_len,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tok > c.ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(least(n_tok, c.ctx_len)) AS BIGINT) AS kept_tokens,
+       CAST(sum(greatest(n_tok - c.ctx_len, 0)) AS BIGINT) AS lost_tokens,
+       floor(sum(greatest(n_tok - c.ctx_len, 0)) * 10000 / sum(n_tok))
+         / 10000 AS loss_rate,
+       CAST(count(*) * c.ctx_len - sum(least(n_tok, c.ctx_len)) AS BIGINT)
+         AS pad_tokens_single
+FROM toks CROSS JOIN cands c
+GROUP BY c.ctx_len
+ORDER BY ctx_len
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1498,6 +1580,7 @@ QUERIES = {
     "pack_documents_capacity": pack_documents_capacity,
     "pack_ffd_documents": pack_ffd_documents,
     "sample_epoch_allocation": sample_epoch_allocation,
+    "context_length_planning": context_length_planning,
     "sample_mixture_lang": sample_mixture_lang,
 }
 
@@ -1519,5 +1602,6 @@ ORACLES = {
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
     "pack_ffd_documents": _FFD_SQL,
     "sample_epoch_allocation": _EPOCH_ALLOC_SQL,
+    "context_length_planning": _CTX_PLAN_SQL,
     "sample_mixture_lang": _mixture_oracle(),
 }

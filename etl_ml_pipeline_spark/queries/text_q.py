@@ -2102,6 +2102,119 @@ ORDER BY d.lang
 
 
 # ---------------------------------------------------------------------------
+# quality_scorer_agreement — inter-scorer reliability audit: per
+# language, the 2x2 confusion between the engine's gate heuristic
+# (quality_score >= 0.4 — the decision every governance chain makes)
+# and the independent chars-per-token fluency label (3..12 non-space
+# chars per token — quality_calibration_bins' ground-ish truth), with
+# observed agreement and Cohen's kappa. Kappa is the number that says
+# whether the two scorers agree beyond what their base rates force —
+# a kappa collapse in one language is the canonical signal that the
+# gate heuristic stopped measuring quality there (e.g. tokenization
+# mismatch). All confusion counts are exact integers; po/pe/kappa are
+# ratios of those integers with identical double op order both
+# engines, floored to the 1e-4 grid.
+# Scale: one map-side pass (two boolean labels fused into the scan) +
+# one groupBy(lang); output is |langs| rows at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    labeled = docs.filter(n_tok > 0).select(
+        "lang",
+        (quality_score(F.col("text")) >= 0.4).cast("long").alias("a"),
+        (
+            (n_nonspace >= 3 * n_tok) & (n_nonspace <= 12 * n_tok)
+        ).cast("long").alias("b"),
+    )
+    g = labeled.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * F.col("n"))
+    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+    return g.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n_both"),
+        F.col("n10").cast("long").alias("n_gate_only"),
+        F.col("n01").cast("long").alias("n_label_only"),
+        F.col("n00").cast("long").alias("n_neither"),
+        (F.floor(po * 10000) / 10000).alias("agreement"),
+        (F.floor(kappa * 10000) / 10000).alias("kappa"),
+    ).orderBy("lang")
+
+
+_SCORER_AGREEMENT_SQL = f"""
+WITH feats AS (
+  SELECT lang,
+         len({_TOKS_DUCK}) AS n_tok,
+         len(list_distinct({_TOKS_DUCK})) AS n_uniq,
+         len(list_filter({_TOKS_DUCK}, tk -> tk IN ({_STOP_SQL_LIST})))
+           AS n_stop,
+         len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+labeled AS (
+  SELECT lang,
+         CASE WHEN (CASE WHEN n_tok >= 10 AND n_tok <= 1000
+                         THEN 0.4 ELSE 0.0 END
+                    + least(CAST(n_uniq AS DOUBLE) / n_tok, 0.5) * 0.6
+                    + CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+                                BETWEEN 0.01 AND 0.5
+                           THEN 0.2 ELSE 0.0 END) >= 0.4
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_nonspace >= 3 * n_tok AND n_nonspace <= 12 * n_tok
+              THEN 1 ELSE 0 END AS b
+  FROM feats WHERE n_tok > 0
+),
+g AS (
+  SELECT lang,
+         count(*) AS n,
+         sum(a * b) AS n11,
+         sum(a * (1 - b)) AS n10,
+         sum((1 - a) * b) AS n01,
+         sum((1 - a) * (1 - b)) AS n00
+  FROM labeled GROUP BY 1
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n_both,
+       CAST(n10 AS BIGINT) AS n_gate_only,
+       CAST(n01 AS BIGINT) AS n_label_only,
+       CAST(n00 AS BIGINT) AS n_neither,
+       floor((n11 + n00) / n * 10000) / 10000 AS agreement,
+       CASE WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / (n * n) = 1.0
+            THEN 1.0
+            ELSE floor(((n11 + n00) / n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) / (n * n))
+                       / (1 - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)) / (n * n))
+                       * 10000) / 10000
+       END AS kappa
+FROM g
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_vocab_growth_curve — Heaps'-law observability: vocabulary size
 # as the corpus grows through 10 deterministic hash-bucket slices (the
 # curve tokenizer/corpus planning reads before committing a vocab
@@ -2273,6 +2386,7 @@ ORDER BY bin
 
 QUERIES = {
     "decontam_gram_index_replay": decontam_gram_index_replay,
+    "quality_scorer_agreement": quality_scorer_agreement,
     "text_vocab_growth_curve": text_vocab_growth_curve,
     "split_decontamination_stats": split_decontamination_stats,
     "quality_calibration_bins": quality_calibration_bins,
@@ -2306,6 +2420,7 @@ QUERIES = {
 
 ORACLES = {
     "decontam_gram_index_replay": _DECONTAM_INDEX_SQL,
+    "quality_scorer_agreement": _SCORER_AGREEMENT_SQL,
     "text_vocab_growth_curve": _VOCAB_GROWTH_SQL,
     "split_decontamination_stats": _DECONTAM_SQL,
     "quality_calibration_bins": _CALIBRATION_SQL,
