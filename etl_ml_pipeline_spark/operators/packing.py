@@ -200,6 +200,11 @@ class FfdPack(BaseTransform):
         for col in (cfg["size_col"], cfg.get("id_col", "doc_id")):
             if col not in df.columns:
                 raise ValueError(f"ffd_pack: column {col!r} not in input")
+        clash = {"segment_id", "bin_id", "oversize"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"ffd_pack: input already has output columns {sorted(clash)}"
+            )
 
     def transform(self, df: DataFrame) -> DataFrame:
         cfg = self.config

@@ -608,9 +608,14 @@ class Decontaminate(BaseTransform):
                 n=int(cfg.get("n", 5)),
                 min_shared=int(cfg.get("min_shared", 1)),
             )
+            # reserved alias: a user frame may itself carry an "id"
+            # column, which would make the join condition ambiguous
+            flagged = verdicts.filter(F.col("contaminated")).select(
+                F.col("id").alias("__decontam_hit_id")
+            )
             return df.join(
-                verdicts.filter(F.col("contaminated")).select("id"),
-                F.col(id_col) == F.col("id"),
+                flagged,
+                F.col(id_col) == F.col("__decontam_hit_id"),
                 "left_anti",
             )
         if "benchmark_path" in cfg:

@@ -117,3 +117,20 @@ def test_decontaminate_transform_index_mode(spark, index_path):
         cls({"index_path": index_path, "holdout_pct": 20}).transform(
             _docs(spark, [(1, SENT_A)])
         )
+
+
+def test_decontaminate_index_mode_tolerates_id_column(spark, index_path):
+    """A user frame that already carries an `id` column must not make
+    the verdict anti-join ambiguous (id_col is `doc_id` here)."""
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    build_gram_index(_docs(spark, [(1, SENT_A)]), index_path)
+    from pyspark.sql import functions as F
+
+    corpus = _docs(spark, [(10, SENT_C), (11, SENT_B)]).withColumn(
+        "id", F.col("doc_id") * 100
+    )
+    out = TRANSFORMS.get("decontaminate")({"index_path": index_path}).transform(
+        corpus
+    )
+    assert [(r["doc_id"], r["id"]) for r in out.collect()] == [(11, 1100)]

@@ -159,3 +159,15 @@ def test_ffd_zero_size_items_join_first_bin(spark):
         for r in ffd_pack(_df(spark, [(1, 0), (2, 0)]), "n_tok", "doc_id", 8, 1).collect()
     }
     assert rows2 == {1: 0, 2: 0}
+
+
+def test_ffd_pack_transform_rejects_output_column_clash(spark):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [(1, 10, 0)], "doc_id long, n_tok long, bin_id long"
+    )
+    with pytest.raises(ValueError, match="output columns"):
+        TRANSFORMS.get("ffd_pack")(
+            {"size_col": "n_tok", "capacity": 64}
+        ).transform(df)
