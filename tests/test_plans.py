@@ -1049,3 +1049,50 @@ def test_decontam_e2e_lineage_pinned(spark, sf_dir):
     assert len(scans) == 2, plan
     assert all("[doc_id" in s for s in scans), scans
     assert "text" not in plan.lower().replace("existingrdd", ""), plan
+
+
+def test_decontam_index_gate_carries_no_forced_hint(spark, sf_dir, tmp_path):
+    """The index-gate join must leave its strategy to Catalyst/AQE —
+    no ResolvedHint anywhere (the r12 lesson: a forced benchmark-side
+    broadcast is a scale-killer the moment the benchmark side grows).
+    The corpus side stays one map-side gram explode + one id-keyed
+    count: no CartesianProduct, and text never reaches the join."""
+    from etl_ml_pipeline_spark.operators.decontam_index import (
+        build_gram_index,
+        gate_against_index,
+        read_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "gidx")
+    build_gram_index(docs.filter("doc_id % 10 = 0"), idx_path)
+    out = gate_against_index(
+        docs.filter("doc_id % 10 <> 0"), read_gram_index(spark, idx_path)
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_ffd_pack_single_segment_shuffle(spark, sf_dir):
+    """The FFD packer's only data movement is the segment-hash
+    partition feeding the Arrow-batched per-segment packing group —
+    exactly one hashpartitioning exchange on segment_id upstream of
+    FlatMapGroupsInPandas, and no join anywhere."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.packing import ffd_pack
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+        )
+        .filter("n_tok > 0")
+    )
+    plan = _plan(ffd_pack(docs, "n_tok", "doc_id", 512, n_segments=8))
+    assert plan.count("Exchange hashpartitioning(segment_id") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
