@@ -2014,7 +2014,10 @@ ORDER BY d.lang
 # Scale: the index is eval-suite-sized (MBs at 1e6 benchmark docs) —
 # the gate join's build side is tiny and AQE broadcasts it from REAL
 # size stats; no forced hint anywhere (the r12/r13 lesson). The
-# corpus side is one map-side gram explode + one id-keyed count.
+# corpus side tokenizes ONCE (the gram explode feeding the gate
+# join + id-keyed count); the verdict spine and the per-lang rollup
+# add two more column-pruned (doc_id[, lang]) scans of the train
+# split — metadata-width reads, no re-tokenization.
 # ---------------------------------------------------------------------------
 
 
