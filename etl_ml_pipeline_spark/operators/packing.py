@@ -99,6 +99,12 @@ def ffd_pack(
 
         bin_ids: list[int] = []
         oversize: list[bool] = []
+        # First bin opened with a real residual (capacity - size). An
+        # oversize dedicated bin has load > capacity, so first-fit must
+        # SKIP it even for a 0-size item (load + 0 > capacity) — items
+        # sort size DESC, so when any oversize item exists it owns bin 0
+        # and 0-size items must not join it (ADVICE r13 #1).
+        first_fit_bin = -1
         for size in pdf["size"].to_list():
             if size < 0:
                 raise ValueError(f"ffd_pack: negative size {size}")
@@ -108,13 +114,19 @@ def ffd_pack(
                 oversize.append(True)
                 continue
             if size == 0:
-                # fits any bin; FFD puts it in the first one. Guarded
-                # explicitly: the tree descent below uses residual >= size,
-                # and every UNOPENED leaf has residual 0 >= 0 — a 0-size
-                # item would otherwise land on a phantom bin.
-                bin_ids.append(0 if n_bins else open_bin(capacity))
+                # fits any NON-oversize bin; first-fit puts it in the
+                # earliest one. Guarded explicitly: the tree descent
+                # below uses residual >= size, and every UNOPENED leaf
+                # (and every full or oversize bin) has residual 0 >= 0 —
+                # a 0-size item would otherwise land on a phantom or
+                # dedicated bin.
+                if first_fit_bin < 0:
+                    first_fit_bin = open_bin(capacity)
+                bin_ids.append(first_fit_bin)
                 oversize.append(False)
                 continue
+            if first_fit_bin < 0:
+                first_fit_bin = n_bins  # next open_bin/place target below
             if tree[1] >= size:
                 node = 1
                 while node < width:
@@ -165,11 +177,22 @@ def ffd_segment_contract(packed: DataFrame, capacity: int) -> DataFrame:
             F.when(F.col("bin_oversize") == 0, F.col("bin_tokens"))
         ).alias("_max_fit_load"),
     )
-    rest = F.col("seg_tokens") - F.coalesce(F.col("_oversize_tokens"), F.lit(0))
-    lb = F.col("n_oversize") + F.floor(
-        (rest + capacity - 1) / capacity
+    # rest = seg_tokens - oversize_tokens, inlined into the div exprs.
+    # Exact long division (`div`), NOT F.floor(a / b): double division
+    # loses integer precision past ~2^53 summed tokens and could flip
+    # lb_ok/ub_ok against the oracle's exact `//` (ADVICE r13 #2).
+    lb = F.col("n_oversize") + F.expr(
+        f"(seg_tokens - coalesce(_oversize_tokens, 0) + {int(capacity)} - 1) "
+        f"div {int(capacity)}"
     ).cast("long")
-    ub = F.col("n_oversize") + F.floor(2 * rest / capacity).cast("long") + 1
+    ub = (
+        F.col("n_oversize")
+        + F.expr(
+            f"(2 * (seg_tokens - coalesce(_oversize_tokens, 0))) "
+            f"div {int(capacity)}"
+        ).cast("long")
+        + F.lit(1)
+    )
     return seg.select(
         "segment_id",
         "n_docs",

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 # oracle-checked CONTRACT twin that pins the same operator's semantics.
 # Emptied in round 13: sketch_theta_overlap_matrix (the last member)
 # now folds its estimates into error-contract booleans the oracle pins
-# literally TRUE (VERDICT r12 #4) — the catalog is 233/233 recordable.
+# literally TRUE (VERDICT r12 #4) — the whole catalog is recordable
+# (count pinned live by scripts/precommit_check.py, not repeated here).
 ROWS_ONLY = frozenset()
 
 _MODULES = (
@@ -337,12 +338,48 @@ _RECORDED_R12 = {
 for _n in _RECORDED_R12:
     _LAST_RECORDED[_n] = 12
 
-# Round-13 rotation (ROADMAP round-12 rotation note): after the r12
-# refresh the oldest tier is the 33 r08 OVERFLOW names — they hit the
-# ≤5-round staleness bound at r13 and sort directly behind any
-# round-13 additions (tier 0 via the .get default); 33 + additions
-# must stay ≤ the ~50-entry driver prefix, so round 13 adds at most
-# 17 new catalog names. Enforced mechanically by
+# Round 13 driver records (the exact key set of CORRECTNESS_r13.json —
+# all 50 green: the 6 round-13 additions at tier 0, the r08-era names
+# at the ≤5-round bound, and r09-era refreshes).
+_RECORDED_R13 = {
+    "ann_ivf_sqrtn_topk", "asof_click_purchase", "asof_tolerance_counts",
+    "bollinger_events", "case_bucket_orders", "chunk_documents_sliding",
+    "context_length_planning", "corpus_clean_funnel",
+    "decontam_gram_index_replay", "dedup_exact_substring",
+    "dedup_rate_by_source", "full_outer_nation_presence",
+    "graph_label_propagation", "grouping_sets_order_revenue",
+    "hist_equidepth_prices", "json_extract_events", "json_variant_events",
+    "ml_feature_stats", "ml_fold_assignment", "ml_target_events",
+    "multimodal_png_decode", "pack_documents_capacity",
+    "pack_ffd_documents", "pivot_status_by_priority",
+    "q12_shipmode_priority", "q14_promo_share", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_dominant_supplier", "q22_idle_big_balance", "q2_min_cost_supplier",
+    "q4_priority_exists", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "quality_scorer_agreement",
+    "range_join_purchase_context", "recon_order_totals",
+    "recursive_supplier_ancestry", "rsi_macd_events",
+    "sample_epoch_allocation", "sample_token_budget_mixture",
+    "scalar_function_battery", "sessionize_events",
+    "skew_salted_agg_events", "skew_salted_join_events",
+    "skyline_parts_pareto", "tumble_hourly_events",
+}
+for _n in _RECORDED_R13:
+    _LAST_RECORDED[_n] = 13
+
+# sketch_theta_overlap_matrix's only driver record is the stale r12
+# rows-only row from BEFORE its 4-contract oracle landed (r13). Pin it
+# to tier 1 — directly behind the round-14 tier-0 additions and ahead
+# of the r09 staleness cohort — so its first hash-checked driver row
+# lands at r14 (VERDICT r13 ask #1).
+_LAST_RECORDED["sketch_theta_overlap_matrix"] = 1
+
+# Round-14 rotation (VERDICT r13 ask #1): after the r13 refresh the
+# oldest tier is the 39 r09 names — they hit the ≤5-round staleness
+# bound at r14 and sort directly behind the round-14 additions (tier 0
+# via the .get default) and the theta-matrix pin above; additions +
+# 1 + 39 must stay ≤ the ~50-entry driver prefix, so round 14 adds at
+# most 10 new catalog names. Enforced mechanically by
 # scripts/precommit_check.py.
 
 

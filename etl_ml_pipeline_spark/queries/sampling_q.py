@@ -318,7 +318,7 @@ ORDER BY pack_id
 # ---------------------------------------------------------------------------
 # pack_ffd_documents — first-fit-decreasing episode assembly (VERDICT
 # r12 next #7): the fill-optimizing contrast to the order-preserving
-# prefix-sum packers. Documents shard into 4 deterministic id-hash
+# prefix-sum packers. Documents shard into _FFD_SEGMENTS deterministic id-hash
 # segments; EXACT FFD runs per segment inside an Arrow-batched
 # applyInPandas group (operators/packing.py — bins never span
 # segments, task state = one segment's bin loads). FFD itself is not

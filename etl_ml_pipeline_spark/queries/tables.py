@@ -228,12 +228,11 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 _BROADCAST_MAX_BYTES = 64 << 20
 
 
-def _table_bytes(sf_dir: str, name: str) -> int | None:
-    """On-disk bytes of a table's parquet (file or part-file directory);
-    None when unknowable (remote path) — treat unknown as NOT small."""
+def _path_bytes(path: str) -> int | None:
+    """On-disk bytes of a parquet file or part-file directory; None when
+    unknowable (remote path) — treat unknown as NOT small."""
     import os
 
-    path = f"{sf_dir}/{name}.parquet"
     try:
         if os.path.isdir(path):
             return sum(
@@ -242,6 +241,11 @@ def _table_bytes(sf_dir: str, name: str) -> int | None:
         return os.path.getsize(path)
     except OSError:
         return None
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a table's parquet; None when unknowable."""
+    return _path_bytes(f"{sf_dir}/{name}.parquet")
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

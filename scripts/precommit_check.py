@@ -142,9 +142,23 @@ def main() -> None:
                 "reorder the prefix"
             )
 
+    # 7. README catalog-count pin (VERDICT r13 ask #3): README.md's
+    # "N named queries" line must match the live catalog so the first
+    # doc a reader opens can never drift again (it said 237 at 239).
+    readme = (REPO / "README.md").read_text()
+    readme_pins = re.findall(r"(\d+) named queries", readme)
+    if not readme_pins:
+        fail("README.md no longer contains the 'N named queries' line")
+    for p in readme_pins:
+        if int(p) != len(qs):
+            fail(
+                f"README.md says {p} named queries but the live catalog "
+                f"has {len(qs)} — true up README.md in the same commit"
+            )
+
     print(
         f"precommit_check: OK — catalog {len(qs)} queries, pin + "
-        "CATALOG.md + oracles + staleness consistent"
+        "CATALOG.md + oracles + staleness + README consistent"
     )
 
 

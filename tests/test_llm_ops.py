@@ -1403,6 +1403,45 @@ def test_decontaminate_transform_modes(spark, tmp_path):
         cls({"holdout_pct": 10, "id_col": "nope"}).transform(docs)
 
 
+def test_decontaminate_benchmark_broadcast_is_size_guarded(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r13 #3: benchmark_path mode must not FORCE a broadcast of
+    # an arbitrarily large benchmark file. Small on-disk file -> hinted;
+    # past _BROADCAST_MAX_BYTES (simulated) -> un-hinted, AQE decides.
+    from etl_ml_pipeline_spark import plugins  # noqa: F401
+    from etl_ml_pipeline_spark.queries import tables
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")],
+        "doc_id long, text string",
+    ).write.parquet(bench_path)
+
+    cls = TRANSFORMS.get("decontaminate")
+
+    def plan_of(out):
+        # the logical hint survives into the optimized plan as a
+        # strategy=broadcast join hint (ResolvedHint itself is folded)
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    small = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
+    assert "strategy=broadcast" in plan_of(small)
+
+    monkeypatch.setattr(tables, "_path_bytes", lambda path: 10 << 30)
+    big = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
+    assert "strategy=broadcast" not in plan_of(big)
+    # unknown size (remote path) is treated as NOT small
+    monkeypatch.setattr(tables, "_path_bytes", lambda path: None)
+    unknown = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
+    assert "strategy=broadcast" not in plan_of(unknown)
+
+
 def test_episode_construction_matches_pandas_replay(spark):
     """Property: for ANY event layout (duplicate timestamps included —
     the tiebreak is event_id), the distributed episode construction

@@ -161,6 +161,29 @@ def test_ffd_zero_size_items_join_first_bin(spark):
     assert rows2 == {1: 0, 2: 0}
 
 
+def test_ffd_zero_size_items_skip_oversize_bins(spark):
+    # ADVICE r13 #1: size DESC puts an oversize item in bin 0 (load >
+    # capacity, dedicated). First-fit's load+size <= capacity test must
+    # skip it even for size 0 — the 0-size items join the first
+    # NON-oversize bin instead.
+    items = [(1, 600), (2, 100), (3, 0), (4, 0)]
+    rows = {
+        r["id"]: (r["bin_id"], r["oversize"])
+        for r in ffd_pack(_df(spark, items), "n_tok", "doc_id", 512, 1).collect()
+    }
+    assert rows == {1: (0, True), 2: (1, False), 3: (1, False), 4: (1, False)}
+    ref = _reference_ffd(items, 512)
+    assert {k: v[0] for k, v in rows.items()} == ref
+    # oversize-only + zero-size: the zero items open their own real bin
+    items2 = [(1, 600), (2, 0)]
+    rows2 = {
+        r["id"]: (r["bin_id"], r["oversize"])
+        for r in ffd_pack(_df(spark, items2), "n_tok", "doc_id", 512, 1).collect()
+    }
+    assert rows2 == {1: (0, True), 2: (1, False)}
+    assert {k: v[0] for k, v in rows2.items()} == _reference_ffd(items2, 512)
+
+
 def test_ffd_pack_transform_rejects_output_column_clash(spark):
     from etl_ml_pipeline_spark.registry import TRANSFORMS
 
