@@ -194,6 +194,18 @@ def main() -> None:
                 "spread": spreads,
                 "cold_value": round(cold_total, 3),
                 "cpu_probe_sec": probe,
+                # VERDICT r13 ask #8: probe-normalized headline total —
+                # value_22q divided by the pre-Spark single-thread probe
+                # time, so a round-over-round verdict can separate host
+                # drift (probe moves with the total) from code drift
+                # (ratio moves) without an 8-session study. Unitless;
+                # only comparable across rounds with the standardized
+                # probe body (r13+).
+                "value_22q_per_probe": round(
+                    sum(t for n, t in timings.items() if n in _COMPARABLE_22)
+                    / probe,
+                    3,
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -205,6 +205,27 @@ def ahash_bits(luma: "np.ndarray", grid: int = 8) -> str:
     return "".join("1" if v > m else "0" for v in s.ravel())
 
 
+def dhash_bits(luma: "np.ndarray", grid: int = 8) -> str:
+    """Difference-hash (dHash) of a luma grid as a ``grid*grid``-char
+    bit string: nearest-neighbor downsample to grid x (grid+1), then
+    bit(r, c) = 1 iff sample(r, c+1) > sample(r, c) — the standard
+    horizontal-gradient recipe. Invariant to uniform brightness shifts
+    AND to uniform contrast scaling (both preserve the sign of every
+    horizontal difference), which is what makes it the perceptual
+    near-dup hash: small local edits flip few bits, so near-dups are
+    a small Hamming ball around each other. Emitted as a '0'/'1'
+    string, engine-portable without 64-bit sign games."""
+    h, w = luma.shape
+    rows = (np.arange(grid) * h) // grid
+    cols = (np.arange(grid + 1) * w) // (grid + 1)
+    s = luma[np.ix_(rows, cols)]
+    return "".join(
+        "1" if s[r, c + 1] > s[r, c] else "0"
+        for r in range(grid)
+        for c in range(grid)
+    )
+
+
 def _decode_ppm(data: bytes) -> tuple[int, int, float]:
     """Binary netpbm decode (P5 = PGM gray, P6 = PPM RGB) ->
     (width, height, mean_luma in [0, 1])."""

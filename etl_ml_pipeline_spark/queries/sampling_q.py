@@ -365,6 +365,143 @@ def pack_ffd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ffd_segment_contract(packed, _FFD_CAPACITY).orderBy("segment_id")
 
 
+# ---------------------------------------------------------------------------
+# pack_attention_boundary_stats — sequence-packing LOSS accounting
+# (VERDICT r13 ask #7), the number a trainer actually reads off a
+# packed dataset: with each non-oversize FFD bin standing in for one
+# context window of ctx_len = _FFD_CAPACITY tokens (the winning
+# candidate family from context_length_planning), report per segment
+# how much of the window budget is PAD (bin residuals) and how many
+# cross-document attention boundaries the packing introduced
+# (docs_in_bin - 1 per bin — each one a position where attention must
+# be masked or accepted as contamination).
+#
+# Oracle pattern = the FFD contract's: exact columns DuckDB recomputes
+# from raw data (fit_docs, fit_tokens, n_oversize, min_pad_tokens =
+# ceil(fit_tokens/ctx)*ctx - fit_tokens, an information-theoretic
+# floor on pad under ANY packing), plus booleans folding the REALIZED
+# packing into invariants the oracle pins literally TRUE:
+#   pad_consistent        sum(ctx - load) over fit bins
+#                           == n_fit_bins*ctx - fit_tokens
+#   pad_lb_ok / pad_ub_ok realized pad within [min_pad_tokens,
+#                           ub_fit_bins*ctx - fit_tokens] where
+#                           ub_fit_bins = (2*fit_tokens) div ctx + 1
+#                           (the first-fit half-empty-bin guarantee)
+#   boundaries_consistent realized boundaries == fit_docs - n_fit_bins
+#                           (each fit doc lives in exactly one bin)
+#   boundaries_bounded    within [fit_docs - ub_fit_bins,
+#                           fit_docs - lb_fit_bins]
+# All bound arithmetic is exact long `div` on BOTH engines (the
+# ADVICE r13 #2 lesson). Scale: same single segment-hash shuffle as
+# pack_ffd_documents, then |segments| rows of arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def pack_attention_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.packing import ffd_pack
+    from etl_ml_pipeline_spark.operators.text import token_count
+
+    cap = _FFD_CAPACITY
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    packed = ffd_pack(docs, "n_tok", "doc_id", cap, n_segments=_FFD_SEGMENTS)
+    bins = packed.groupBy("segment_id", "bin_id").agg(
+        F.count("*").alias("bin_docs"),
+        F.sum("size").alias("bin_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("bin_oversize"),
+    )
+    fit = F.col("bin_oversize") == 0
+    seg = bins.groupBy("segment_id").agg(
+        F.coalesce(F.sum(F.when(fit, F.col("bin_docs"))), F.lit(0))
+        .cast("long")
+        .alias("fit_docs"),
+        F.coalesce(F.sum(F.when(fit, F.col("bin_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("fit_tokens"),
+        F.sum("bin_oversize").cast("long").alias("n_oversize"),
+        F.coalesce(F.sum(F.when(fit, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("_n_fit_bins"),
+        F.coalesce(F.sum(F.when(fit, cap - F.col("bin_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("_pad"),
+        F.coalesce(F.sum(F.when(fit, F.col("bin_docs") - 1)), F.lit(0))
+        .cast("long")
+        .alias("_boundaries"),
+    )
+    lb_bins = F.expr(f"(fit_tokens + {cap} - 1) div {cap}")
+    ub_bins = F.expr(f"(2 * fit_tokens) div {cap}") + F.lit(1)
+    min_pad = lb_bins * cap - F.col("fit_tokens")
+    return (
+        seg.select(
+            "segment_id",
+            F.lit(cap).cast("long").alias("ctx_len"),
+            "fit_docs",
+            "fit_tokens",
+            "n_oversize",
+            min_pad.cast("long").alias("min_pad_tokens"),
+            (
+                F.col("_pad")
+                == F.col("_n_fit_bins") * cap - F.col("fit_tokens")
+            ).alias("pad_consistent"),
+            (F.col("_pad") >= min_pad).alias("pad_lb_ok"),
+            (F.col("_pad") <= ub_bins * cap - F.col("fit_tokens")).alias(
+                "pad_ub_ok"
+            ),
+            (
+                F.col("_boundaries")
+                == F.col("fit_docs") - F.col("_n_fit_bins")
+            ).alias("boundaries_consistent"),
+            (
+                (F.col("_boundaries") >= F.col("fit_docs") - ub_bins)
+                & (F.col("_boundaries") <= F.col("fit_docs") - lb_bins)
+            ).alias("boundaries_bounded"),
+        )
+        .orderBy("segment_id")
+    )
+
+
+_PACK_BOUNDARY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+items AS (
+  SELECT doc_id, n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_FFD_SEGMENTS} AS INT) AS segment_id
+  FROM toks WHERE n_tok > 0
+),
+seg AS (
+  SELECT segment_id,
+         sum(CASE WHEN n_tok <= {_FFD_CAPACITY} THEN 1 ELSE 0 END) AS fit_docs,
+         sum(CASE WHEN n_tok <= {_FFD_CAPACITY} THEN n_tok ELSE 0 END) AS fit_tokens,
+         sum(CASE WHEN n_tok > {_FFD_CAPACITY} THEN 1 ELSE 0 END) AS n_oversize
+  FROM items GROUP BY 1
+)
+SELECT segment_id,
+       CAST({_FFD_CAPACITY} AS BIGINT) AS ctx_len,
+       CAST(fit_docs AS BIGINT) AS fit_docs,
+       CAST(fit_tokens AS BIGINT) AS fit_tokens,
+       CAST(n_oversize AS BIGINT) AS n_oversize,
+       CAST(((fit_tokens + {_FFD_CAPACITY} - 1) // {_FFD_CAPACITY})
+            * {_FFD_CAPACITY} - fit_tokens AS BIGINT) AS min_pad_tokens,
+       TRUE AS pad_consistent,
+       TRUE AS pad_lb_ok,
+       TRUE AS pad_ub_ok,
+       TRUE AS boundaries_consistent,
+       TRUE AS boundaries_bounded
+FROM seg
+ORDER BY segment_id
+"""
+
+
 _FFD_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1579,6 +1716,7 @@ QUERIES = {
     "pack_documents_budget": pack_documents_budget,
     "pack_documents_capacity": pack_documents_capacity,
     "pack_ffd_documents": pack_ffd_documents,
+    "pack_attention_boundary_stats": pack_attention_boundary_stats,
     "sample_epoch_allocation": sample_epoch_allocation,
     "context_length_planning": context_length_planning,
     "sample_mixture_lang": sample_mixture_lang,
@@ -1601,6 +1739,7 @@ ORACLES = {
     "pack_documents_budget": _PACK_SQL,
     "pack_documents_capacity": _PACK_CAPACITY_SQL,
     "pack_ffd_documents": _FFD_SQL,
+    "pack_attention_boundary_stats": _PACK_BOUNDARY_SQL,
     "sample_epoch_allocation": _EPOCH_ALLOC_SQL,
     "context_length_planning": _CTX_PLAN_SQL,
     "sample_mixture_lang": _mixture_oracle(),

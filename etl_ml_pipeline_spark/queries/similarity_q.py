@@ -455,6 +455,189 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_images_phash — perceptual-hash image NEAR-dup (VERDICT r13 ask
+# #6): the Hamming-BALL completion of the exact-group aHash dedup
+# above. Images are synthesized executor-side from a verified analytic
+# bit model (24 base classes x 3 variants over 120 docs; within-class
+# dHash distances {0,1,2}, cross-class minimum 13 — checked by
+# tests/test_multimodal.py), PNG-encoded, and pushed through the REAL
+# decode path (encode_png -> _png_luma -> dhash_bits), so a decode or
+# downsample bug anywhere breaks the hashes. Near-dups are pairs at
+# Hamming distance <= 1: variants v0-v1 and v1-v2 match, v0-v2 (d=2)
+# correctly does NOT — the clusters are not transitive cliques, which
+# pins ball semantics, not connected components.
+#
+# Scale posture: NO all-pairs join. The 64-bit dHash splits into 8
+# 8-bit bands; candidate pairs come from a self-equi-join on
+# (band_idx, band_value) — by pigeonhole two hashes within Hamming
+# distance d share an identical band whenever d < n_bands, so recall
+# at radius 1 (or any radius < 8) is GUARANTEED, not probabilistic,
+# and exact-oracle parity is sound. Hamming verification runs only on
+# band-collision candidates via bit_count(xor) over the 8 band ints
+# (JVM-side, 8-element zip_with). At 100 TB the shuffle key is the
+# band value; skewed bands (e.g. flat images) salt naturally across
+# the 8 band indexes. The DuckDB oracle recomputes the bit model
+# analytically and does all-pairs Hamming — an oracle-scale-only
+# recompute (120 docs), never the engine plan.
+# ---------------------------------------------------------------------------
+
+_PHASH_DOCS = 120          # 24 classes x 5 copies (variants 0,1,2,0,1)
+_PHASH_RADIUS = 1          # near-dup = Hamming ball of radius 1
+_PHASH_BANDS = 8           # 8 bands x 8 bits; guaranteed recall for d < 8
+
+
+def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        _png_luma,
+        dhash_bits,
+        encode_png,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PHASH_DOCS)
+        .select("doc_id")
+    )
+
+    def gen_hash(batches):
+        for pdf in batches:
+            hashes = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k, v = d % 24, (d // 24) % 3
+                bits = [
+                    ((k * 37 + p * 11 + ((k + 1) * (p + 3)) % 13) % 5) == 0
+                    for p in range(64)
+                ]
+                for i in range(v):
+                    f = (k * 3 + i * 17) % 64
+                    bits[f] = not bits[f]
+                # build the 8x9 gray PNG whose horizontal differences
+                # ARE the target bits: px[r,c+1] = px[r,c] +- 1; the
+                # 8x9 -> 8x(8+1) dHash downsample is the identity, so
+                # the decoded hash equals the analytic model exactly
+                px = np.zeros((8, 9), dtype=np.uint8)
+                px[:, 0] = 100
+                for r in range(8):
+                    for c in range(8):
+                        step = 1 if bits[r * 8 + c] else -1
+                        px[r, c + 1] = px[r, c] + step
+                luma = _png_luma(encode_png(px, color_type=0))
+                hashes.append(dhash_bits(luma))
+            pdf = pdf.copy()
+            pdf["dhash"] = hashes
+            yield pdf
+
+    hashed = docs.mapInPandas(gen_hash, schema="doc_id: long, dhash: string").select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1)),
+            lambda j: F.conv(
+                F.substring(F.col("dhash"), j * 8 + 1, 8), 2, 10
+            ).cast("int"),
+        ).alias("bands"),
+    )
+
+    band = F.posexplode("bands")
+    c1 = hashed.select("doc_id", band.alias("pos", "bv")).alias("c1")
+    c2 = hashed.select("doc_id", band.alias("pos", "bv")).alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.pos") == F.col("c2.pos"))
+            & (F.col("c1.bv") == F.col("c2.bv"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .select(
+            F.col("c1.doc_id").alias("id1"), F.col("c2.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    h1 = hashed.select(
+        F.col("doc_id").alias("id1"), F.col("bands").alias("b1")
+    )
+    h2 = hashed.select(
+        F.col("doc_id").alias("id2"), F.col("bands").alias("b2")
+    )
+    hamming = F.aggregate(
+        F.zip_with("b1", "b2", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    dup_pairs = (
+        cand.join(h1, "id1")
+        .join(h2, "id2")
+        .withColumn("hd", hamming)
+        .filter(F.col("hd") <= _PHASH_RADIUS)
+        .select("id1", "id2")
+    )
+    nbrs = dup_pairs.select(
+        F.col("id1").alias("id"), F.col("id2").alias("nb")
+    ).unionAll(
+        dup_pairs.select(F.col("id2").alias("id"), F.col("id1").alias("nb"))
+    )
+    agg = nbrs.groupBy("id").agg(
+        F.count("*").alias("n"), F.min("nb").alias("mn")
+    )
+    return (
+        hashed.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_dup_neighbors"),
+            F.least(
+                F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))
+            ).alias("canonical_id"),
+            (
+                F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
+                == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHASH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 24 AS k, (doc_id // 24) % 3 AS v
+  FROM documents WHERE doc_id < {_PHASH_DOCS}
+),
+bits AS (
+  SELECT doc_id, p,
+         (CASE WHEN ((k*37 + p*11 + ((k+1)*(p+3)) % 13) % 5) = 0
+               THEN 1 ELSE 0 END
+          + CASE WHEN v >= 1 AND p = (k*3) % 64 THEN 1 ELSE 0 END
+          + CASE WHEN v >= 2 AND p = (k*3 + 17) % 64 THEN 1 ELSE 0 END
+         ) % 2 AS b
+  FROM docs, (SELECT unnest(range(64)) AS p)
+),
+ham AS (
+  SELECT a.doc_id AS id1, bb.doc_id AS id2,
+         sum(CASE WHEN a.b <> bb.b THEN 1 ELSE 0 END) AS d
+  FROM bits a JOIN bits bb ON a.p = bb.p AND a.doc_id < bb.doc_id
+  GROUP BY 1, 2
+),
+nbrs AS (
+  SELECT id1 AS id, id2 AS nb FROM ham WHERE d <= {_PHASH_RADIUS}
+  UNION ALL
+  SELECT id2, id1 FROM ham WHERE d <= {_PHASH_RADIUS}
+),
+agg AS (SELECT id, count(*) AS n, min(nb) AS mn FROM nbrs GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_dup_neighbors,
+       CAST(least(d.doc_id, coalesce(a.mn, d.doc_id)) AS BIGINT)
+         AS canonical_id,
+       (least(d.doc_id, coalesce(a.mn, d.doc_id)) = d.doc_id)
+         AS is_canonical
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.id
+ORDER BY d.doc_id
+"""
+
+
 _AHASH_SQL = """
 WITH imgs AS (
   SELECT doc_id,
@@ -2078,6 +2261,7 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_image_ahash_dedup": multimodal_image_ahash_dedup,
+    "dedup_images_phash": dedup_images_phash,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
 }
@@ -2106,6 +2290,7 @@ ORACLES = {
     "multimodal_png_decode": _PNG_DECODE_SQL,
     "multimodal_image_dedup": _IMAGE_DEDUP_SQL,
     "multimodal_image_ahash_dedup": _AHASH_SQL,
+    "dedup_images_phash": _PHASH_SQL,
     "multimodal_audio_features": _AUDIO_SQL,
     "multimodal_video_frames": _VIDEO_SQL,
 }

@@ -422,6 +422,27 @@ SHOWCASE = [
         "10-row driver merge, never a global sort; the 1-row totals "
         "frame broadcasts back for the share/fan-out arithmetic.",
     ),
+    (
+        "dedup_images_phash",
+        "Perceptual-hash image near-dup (round 14): dHash computed in "
+        "one Arrow mapInPandas pass over the real PNG decode path, "
+        "then candidate pairs come ONLY from the banded self-equi-join "
+        "on (band_idx, band_value) — by pigeonhole recall at radius 1 "
+        "is guaranteed with 8 bands, so no CartesianProduct / "
+        "BroadcastNestedLoopJoin appears anywhere (pinned by tests/"
+        "test_plans.py::test_phash_dedup_is_band_join_not_all_pairs); "
+        "Hamming verification is the JVM-side bit_count(xor) fold over "
+        "the 8 band ints, evaluated only on band-collision candidates.",
+    ),
+    (
+        "pack_attention_boundary_stats",
+        "Sequence-packing loss accounting (round 14): per-bin loads "
+        "ride the SAME single segment-hash exchange as pack_ffd_"
+        "documents (the FFD applyInPandas kernel), then two cheap "
+        "aggregates fold bins into |segments| rows of pad/boundary "
+        "arithmetic — no second corpus scan, no extra shuffle beyond "
+        "the bin groupBy; all bound arithmetic is exact long `div`.",
+    ),
 ]
 
 

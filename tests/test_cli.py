@@ -135,8 +135,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 239, sorted(qs)
-    assert len(oracles) == 239, sorted(oracles)
+    assert len(qs) == 241, sorted(qs)
+    assert len(oracles) == 241, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
@@ -165,22 +165,26 @@ def test_query_emission_triage_order():
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-driver-recorded names (tier 0 round-13 additions) lead the
+    # never-driver-recorded names (tier 0 round-14 additions) lead the
     # prefix
     never = [k for k in keys if tier(k) <= 0]
     assert keys[: len(never)] == never
-    # the oldest stale tier is the 33 r08 OVERFLOW names, due exactly
-    # at the <=5-rounds-stale bound in round 13; they come right after
-    # the never-recorded block, and together they must fit the ~50
-    # prefix or the staleness contract breaks by arithmetic (so round
-    # 13 may add at most 17 new catalog names)
-    recorded = [v for v in _LAST_RECORDED.values() if v > 0]
-    assert min(recorded) == 8
-    r08 = [k for k in keys if _LAST_RECORDED.get(k) == 8]
-    assert len(r08) == 33
-    assert keys[len(never) : len(never) + len(r08)] == r08
-    assert len(never) + len(r08) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 12
+    # tier 1 is the single theta-matrix pin: its only driver record is
+    # the stale r12 no_oracle row from before its 4-contract oracle
+    # landed — it must ride directly behind the tier-0 additions so its
+    # first hash-checked row lands at r14 (VERDICT r13 ask #1)
+    pinned = [k for k in keys if tier(k) == 1]
+    assert pinned == ["sketch_theta_overlap_matrix"]
+    # the oldest stale tier is the 39 r09 names, due exactly at the
+    # <=5-rounds-stale bound in round 14; they come right after the
+    # pin, and together all three blocks must fit the ~50 prefix or
+    # the staleness contract breaks by arithmetic (so round 14 may add
+    # at most 10 new catalog names)
+    r09 = [k for k in keys if tier(k) == 9]
+    assert len(r09) == 39
+    assert keys[len(never) + 1 : len(never) + 1 + len(r09)] == r09
+    assert len(never) + 1 + len(r09) <= 50
+    assert _LAST_RECORDED.get(keys[-1]) == 13
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 

@@ -214,3 +214,70 @@ def test_ahash_brightness_invariance_and_roundtrip():
     blob = encode_png(base.astype(np.uint8), color_type=0)
     assert ahash_bits(_png_luma(blob)) == ahash_bits(base)
     assert len(ahash_bits(base)) == 64 and set(ahash_bits(base)) <= {"0", "1"}
+
+
+def test_dhash_invariances_and_identity_grid():
+    """dHash must be invariant to uniform brightness shifts AND uniform
+    contrast scaling (both preserve every horizontal-difference sign),
+    flip bits on structural change, and reduce to the exact horizontal
+    comparisons when the input is already grid x (grid+1)."""
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators.multimodal import (
+        _png_luma,
+        dhash_bits,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(20, 200, size=(16, 20)).astype(np.float64)
+    assert dhash_bits(base) == dhash_bits(base + 31.0)
+    assert dhash_bits(base) == dhash_bits(base * 1.5)
+    flipped = np.fliplr(base)
+    assert dhash_bits(flipped) != dhash_bits(base)
+    assert len(dhash_bits(base)) == 64 and set(dhash_bits(base)) <= {"0", "1"}
+
+    # identity case: an 8x9 image's dHash IS its horizontal diff signs
+    px = np.zeros((8, 9), dtype=np.float64)
+    px[:, 0] = 100
+    want = []
+    for r in range(8):
+        for c in range(8):
+            up = (r * 8 + c) % 3 == 0
+            px[r, c + 1] = px[r, c] + (1 if up else -1)
+            want.append("1" if up else "0")
+    assert dhash_bits(px) == "".join(want)
+    # and the REAL PNG round-trip preserves it bit-for-bit
+    blob = encode_png(px.astype(np.uint8), color_type=0)
+    assert dhash_bits(_png_luma(blob)) == dhash_bits(px)
+
+
+def test_phash_analytic_model_separation():
+    """The dedup_images_phash bit model must keep its documented
+    geometry: within-class Hamming distances exactly {0, 1, 2} and
+    cross-class minimum far above the radius — the property that makes
+    the banded-LSH recall guarantee and the exact oracle sound."""
+    import itertools
+
+    def bits(d):
+        k, v = d % 24, (d // 24) % 3
+        b = [((k * 37 + p * 11 + ((k + 1) * (p + 3)) % 13) % 5) == 0
+             for p in range(64)]
+        for i in range(v):
+            f = (k * 3 + i * 17) % 64
+            b[f] = not b[f]
+        return b
+
+    B = {d: bits(d) for d in range(120)}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(B[a], B[b]))
+
+    within, cross_min = set(), 64
+    for a, b in itertools.combinations(range(120), 2):
+        if a % 24 == b % 24:
+            within.add(ham(a, b))
+        else:
+            cross_min = min(cross_min, ham(a, b))
+    assert within == {0, 1, 2}
+    assert cross_min > 8  # > band count -> no guaranteed-collision FPs

@@ -1096,3 +1096,41 @@ def test_ffd_pack_single_segment_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(segment_id") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_phash_dedup_is_band_join_not_all_pairs(spark, sf_dir):
+    """dedup_images_phash's candidate generation must be the banded
+    equi-join on (band_idx, band_value) — never a cartesian/nested-loop
+    all-pairs comparison (the plan that dies first at 100 TB). The
+    Hamming verify may only run on band-collision candidates."""
+    from etl_ml_pipeline_spark.queries.similarity_q import dedup_images_phash
+
+    plan = _plan(dedup_images_phash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the band self-join keys on (pos, bv)
+    assert "pos" in plan and "bv" in plan
+    # Hamming verification is the JVM-side bit_count fold, not Python
+    assert "bit_count" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # only mapInPandas hashing
+
+
+def test_pack_boundary_stats_single_scan_no_join(spark, sf_dir):
+    """pack_attention_boundary_stats folds the FFD packing into pad /
+    boundary accounting with ONE corpus scan and no joins: the FFD
+    kernel's segment exchange plus two narrow post-kernel aggregates
+    (applyInPandas emits fresh attributes, so Catalyst cannot reuse the
+    segment partitioning — the re-exchanges carry only (id, size,
+    bin) rows, never text)."""
+    from etl_ml_pipeline_spark.queries.sampling_q import (
+        pack_attention_boundary_stats,
+    )
+
+    plan = _plan(pack_attention_boundary_stats(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the post-kernel aggregates are map-side combined
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning(segment_id") <= 3
