@@ -181,6 +181,7 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    v22 = sum(t for n, t in timings.items() if n in _COMPARABLE_22)
     print(
         json.dumps(
             {
@@ -188,9 +189,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "value_22q": round(
-                    sum(t for n, t in timings.items() if n in _COMPARABLE_22), 3
-                ),
+                "value_22q": round(v22, 3),
                 "spread": spreads,
                 "cold_value": round(cold_total, 3),
                 "cpu_probe_sec": probe,
@@ -201,11 +200,7 @@ def main() -> None:
                 # (ratio moves) without an 8-session study. Unitless;
                 # only comparable across rounds with the standardized
                 # probe body (r13+).
-                "value_22q_per_probe": round(
-                    sum(t for n, t in timings.items() if n in _COMPARABLE_22)
-                    / probe,
-                    3,
-                ),
+                "value_22q_per_probe": round(v22 / probe, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

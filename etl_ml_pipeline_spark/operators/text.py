@@ -625,15 +625,15 @@ class Decontaminate(BaseTransform):
             # #1 removed from the corpus-fraction modes — only hint
             # while the file is provably small on disk; otherwise AQE
             # picks the strategy from real runtime sizes.
-            from etl_ml_pipeline_spark.queries.tables import (
-                _BROADCAST_MAX_BYTES,
-                _path_bytes,
+            from etl_ml_pipeline_spark.sizing import (
+                BROADCAST_MAX_BYTES,
+                path_bytes,
             )
 
             corpus = df
             bench = df.sparkSession.read.parquet(str(cfg["benchmark_path"]))
-            nbytes = _path_bytes(str(cfg["benchmark_path"]))
-            small_bench = nbytes is not None and nbytes <= _BROADCAST_MAX_BYTES
+            nbytes = path_bytes(str(cfg["benchmark_path"]))
+            small_bench = nbytes is not None and nbytes <= BROADCAST_MAX_BYTES
         else:
             pct = int(cfg["holdout_pct"])
             h = token_hash60(F.col(id_col).cast("string")) % 100

@@ -461,12 +461,13 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above. Images are synthesized executor-side from a verified analytic
 # bit model (24 base classes x 3 variants over 120 docs; within-class
 # dHash distances {0,1,2}, cross-class minimum 13 — checked by
-# tests/test_multimodal.py), PNG-encoded, and pushed through the REAL
+# tests/test_multimodal_decode.py), PNG-encoded, and pushed through the REAL
 # decode path (encode_png -> _png_luma -> dhash_bits), so a decode or
-# downsample bug anywhere breaks the hashes. Near-dups are pairs at
-# Hamming distance <= 1: variants v0-v1 and v1-v2 match, v0-v2 (d=2)
-# correctly does NOT — the clusters are not transitive cliques, which
-# pins ball semantics, not connected components.
+# downsample bug anywhere breaks the hashes (model separation pinned by
+# tests/test_multimodal_decode.py::test_phash_analytic_model_separation).
+# Near-dups are pairs at Hamming distance <= 1: variants v0-v1 and
+# v1-v2 match, v0-v2 (d=2) correctly does NOT — the clusters are not
+# transitive cliques, which pins ball semantics, not components.
 #
 # Scale posture: NO all-pairs join. The 64-bit dHash splits into 8
 # 8-bit bands; candidate pairs come from a self-equi-join on
@@ -532,14 +533,24 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["dhash"] = hashes
             yield pdf
 
-    hashed = docs.mapInPandas(gen_hash, schema="doc_id: long, dhash: string").select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1)),
-            lambda j: F.conv(
-                F.substring(F.col("dhash"), j * 8 + 1, 8), 2, 10
-            ).cast("int"),
-        ).alias("bands"),
+    # The hashing lineage (Python PNG encode -> decode -> dHash) feeds
+    # FIVE plan branches (both band-join sides, both Hamming sides, the
+    # final doc list) that shuffle on DIFFERENT keys, so ReusedExchange
+    # cannot collapse them — pin the narrow (id, bands) frame once
+    # (lazy localCheckpoint, the VERDICT r12 #2 narrow-pin pattern) so
+    # the expensive decode pass runs exactly once per execution.
+    hashed = (
+        docs.mapInPandas(gen_hash, schema="doc_id: long, dhash: string")
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1)),
+                lambda j: F.conv(
+                    F.substring(F.col("dhash"), j * 8 + 1, 8), 2, 10
+                ).cast("int"),
+            ).alias("bands"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     band = F.posexplode("bands")

@@ -222,25 +222,14 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 # by construction. nation (25 rows) and region (5) qualify forever;
 # supplier/customer/part scale WITH the dataset — at TPC-H sf100k
 # (~100 TB) supplier is ~1e9 rows and a forced broadcast OOMs every
-# executor. 64 MB of parquet (~a few hundred MB on-heap) is a
-# comfortable single-executor build side; past it, withholding the hint
-# lets Catalyst/AQE choose from actual runtime sizes.
-_BROADCAST_MAX_BYTES = 64 << 20
-
-
-def _path_bytes(path: str) -> int | None:
-    """On-disk bytes of a parquet file or part-file directory; None when
-    unknowable (remote path) — treat unknown as NOT small."""
-    import os
-
-    try:
-        if os.path.isdir(path):
-            return sum(
-                e.stat().st_size for e in os.scandir(path) if e.is_file()
-            )
-        return os.path.getsize(path)
-    except OSError:
-        return None
+# executor. Threshold + measurement live in the layer-neutral
+# etl_ml_pipeline_spark.sizing (operators share them; operators must
+# not import from the queries layer); re-exported here under the
+# historical names.
+from etl_ml_pipeline_spark.sizing import (  # noqa: E402
+    BROADCAST_MAX_BYTES as _BROADCAST_MAX_BYTES,
+)
+from etl_ml_pipeline_spark.sizing import path_bytes as _path_bytes  # noqa: E402
 
 
 def _table_bytes(sf_dir: str, name: str) -> int | None:

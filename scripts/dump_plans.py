@@ -432,7 +432,12 @@ SHOWCASE = [
         "BroadcastNestedLoopJoin appears anywhere (pinned by tests/"
         "test_plans.py::test_phash_dedup_is_band_join_not_all_pairs); "
         "Hamming verification is the JVM-side bit_count(xor) fold over "
-        "the 8 band ints, evaluated only on band-collision candidates.",
+        "the 8 band ints, evaluated only on band-collision candidates. "
+        "The narrow (id, bands) hash frame is a lazy localCheckpoint: "
+        "five plan branches consume it on DIFFERENT keys (band join "
+        "x2, Hamming x2, final doc list), so without the pin the "
+        "Python decode pass re-runs per branch — the plan below reads "
+        "Scan ExistingRDD at each consumer instead.",
     ),
     (
         "pack_attention_boundary_stats",

@@ -32,17 +32,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench import cpu_probe  # noqa: E402 — ONE standardized probe body
 from etl_ml_pipeline_spark.session import get_spark  # noqa: E402
-
-
-def cpu_probe() -> float:
-    """Standardized single-thread probe (same body as bench.py)."""
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(20_000_000):
-        acc += i * i
-    assert acc > 0
-    return round(time.perf_counter() - t0, 3)
 
 
 def narrow_pin_prep_e2e(spark, sf_dir):
@@ -107,42 +98,47 @@ def narrow_pin_prep_e2e(spark, sf_dir):
     )
 
 
-def median3(fn, spark, sf_dir) -> list[float]:
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        ts.append(round(time.perf_counter() - t0, 3))
-    return ts
+def timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/repo/.sf1"]
     from etl_ml_pipeline_spark.queries.pipeline_q import training_data_prep_e2e
 
+    variants = [
+        ("prep_e2e_current", training_data_prep_e2e),
+        ("prep_e2e_narrow_pin", narrow_pin_prep_e2e),
+    ]
     probe_before = cpu_probe()
     spark = get_spark(
         app_name="r14_prep_ab", master="local[32]", shuffle_partitions=32
     )
     out: dict = {"cpu_probe_before": probe_before, "sf": {}}
     for sf_dir in sf_dirs:
-        rec = {}
-        # warm both plan shapes once (codegen/JIT), then interleave the
-        # timed passes so a contention window hits both variants alike
-        training_data_prep_e2e(spark, sf_dir).collect()
-        narrow_pin_prep_e2e(spark, sf_dir).collect()
-        for label, fn in [
-            ("prep_e2e_current", training_data_prep_e2e),
-            ("prep_e2e_narrow_pin", narrow_pin_prep_e2e),
-        ]:
-            ts = median3(fn, spark, sf_dir)
-            rec[label] = {"median": statistics.median(ts), "runs": ts}
-            print(sf_dir, label, rec[label])
+        runs: dict[str, list[float]] = {label: [] for label, _ in variants}
+        # warm both plan shapes once (codegen/JIT), then TRULY
+        # interleave the timed passes — A,B,A,B,A,B — so a transient
+        # contention window inflates both variants' samples alike
+        # instead of one variant's whole block (the flaw the first
+        # version of this script shipped with)
+        for _, fn in variants:
+            fn(spark, sf_dir).collect()
+        for _ in range(3):
+            for label, fn in variants:
+                runs[label].append(timed(fn, spark, sf_dir))
+        rec = {
+            label: {"median": statistics.median(ts), "runs": ts}
+            for label, ts in runs.items()
+        }
         rec["ratio_current_over_pin"] = round(
             rec["prep_e2e_current"]["median"]
             / rec["prep_e2e_narrow_pin"]["median"],
             3,
         )
+        print(sf_dir, rec)
         out["sf"][sf_dir] = rec
     out["cpu_probe_after"] = cpu_probe()
     Path(__file__).with_suffix(".json").write_text(json.dumps(out, indent=2))

@@ -1409,8 +1409,7 @@ def test_decontaminate_benchmark_broadcast_is_size_guarded(
     # ADVICE r13 #3: benchmark_path mode must not FORCE a broadcast of
     # an arbitrarily large benchmark file. Small on-disk file -> hinted;
     # past _BROADCAST_MAX_BYTES (simulated) -> un-hinted, AQE decides.
-    from etl_ml_pipeline_spark import plugins  # noqa: F401
-    from etl_ml_pipeline_spark.queries import tables
+    from etl_ml_pipeline_spark import plugins, sizing  # noqa: F401
     from etl_ml_pipeline_spark.registry import TRANSFORMS
 
     docs = spark.createDataFrame(
@@ -1433,11 +1432,11 @@ def test_decontaminate_benchmark_broadcast_is_size_guarded(
     small = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
     assert "strategy=broadcast" in plan_of(small)
 
-    monkeypatch.setattr(tables, "_path_bytes", lambda path: 10 << 30)
+    monkeypatch.setattr(sizing, "path_bytes", lambda path: 10 << 30)
     big = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
     assert "strategy=broadcast" not in plan_of(big)
     # unknown size (remote path) is treated as NOT small
-    monkeypatch.setattr(tables, "_path_bytes", lambda path: None)
+    monkeypatch.setattr(sizing, "path_bytes", lambda path: None)
     unknown = cls({"benchmark_path": bench_path, "n": 5}).transform(docs)
     assert "strategy=broadcast" not in plan_of(unknown)
 
