@@ -170,6 +170,12 @@ QUERIES = [
     # Arrow-batched per-segment packing state).
     "decontam_gram_index_replay",
     "pack_ffd_documents",
+    # round-14 families: banded Hamming-ball image near-dup (fixed
+    # 120-doc slice — expect flat; the measured work is the band join
+    # machinery not corpus scans) and packing loss accounting (the
+    # corpus-scale FFD shuffle + two narrow aggregates).
+    "dedup_images_phash",
+    "pack_attention_boundary_stats",
 ]
 
 
