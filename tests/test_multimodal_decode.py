@@ -281,3 +281,67 @@ def test_phash_analytic_model_separation():
             cross_min = min(cross_min, ham(a, b))
     assert within == {0, 1, 2}
     assert cross_min > 8  # > band count -> no guaranteed-collision FPs
+
+
+def test_phash_band_candidates_cover_every_hamming_ball(spark):
+    """The pigeonhole recall guarantee as data: for EVERY radius below
+    the band count, band-collision candidate pairs must be a superset
+    of the true Hamming-<=r pairs (computed brute-force over the
+    120-doc analytic model). This is the property that makes the
+    banded join a sound EXACT near-dup algorithm, not an approximate
+    one — if it ever fails, the oracle-parity of dedup_images_phash
+    was luck."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    def bits(d):
+        k, v = d % 24, (d // 24) % 3
+        b = [((k * 37 + p * 11 + ((k + 1) * (p + 3)) % 13) % 5) == 0
+             for p in range(64)]
+        for i in range(v):
+            f = (k * 3 + i * 17) % 64
+            b[f] = not b[f]
+        return b
+
+    B = {d: bits(d) for d in range(120)}
+    bands = {
+        d: tuple(
+            int("".join("1" if x else "0" for x in B[d][j * 8 : j * 8 + 8]), 2)
+            for j in range(8)
+        )
+        for d in range(120)
+    }
+    cand = {
+        (a, b)
+        for a, b in itertools.combinations(range(120), 2)
+        if any(bands[a][j] == bands[b][j] for j in range(8))
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(B[a], B[b]))
+
+    for radius in range(8):  # guarantee holds for every r < n_bands
+        true_pairs = {
+            (a, b)
+            for a, b in itertools.combinations(range(120), 2)
+            if ham(a, b) <= radius
+        }
+        missed = true_pairs - cand
+        assert not missed, (radius, sorted(missed)[:5])
+
+    # and the shipped query's dup set equals brute force at its radius
+    from etl_ml_pipeline_spark.queries.similarity_q import (
+        _PHASH_RADIUS,
+        dedup_images_phash,
+    )
+
+    got = {
+        r["doc_id"]: r["n_dup_neighbors"]
+        for r in dedup_images_phash(spark, "/root/testdata/sf0.01").collect()
+    }
+    want = {
+        d: sum(1 for e in range(120) if e != d and ham(d, e) <= _PHASH_RADIUS)
+        for d in range(120)
+    }
+    assert got == want
