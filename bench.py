@@ -105,6 +105,15 @@ HEADLINE = [
     "ann_filtered_topk",
     "split_decontamination_stats",
     "training_data_prep_decontam_e2e",
+    # round-13: the r13 additions stayed catalog-only by the standing
+    # rules (gram-index replay writes index tables; FFD/allocation/
+    # planning/kappa are single-shuffle shapes the ladder tracks).
+    # round-14: packing loss accounting (the corpus-scale FFD shuffle +
+    # narrow aggregates — the trainer-facing read of the packed
+    # layout). dedup_images_phash stays catalog-only: its 120-image
+    # slice is fixed-size, so a bench series would track Python/JVM
+    # fixed costs, not data-scale behavior (the ladder pins it flat).
+    "pack_attention_boundary_stats",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-
