@@ -1,0 +1,225 @@
+"""Persistent perceptual-hash (dHash) image index for cross-run near-dup.
+
+``queries/similarity_q.dedup_images_phash`` finds Hamming-ball image
+near-dups WITHIN one corpus pass. A crawl pipeline additionally needs
+the cross-RUN question: "is this new image a near-dup of anything we
+already ingested?" — re-hashing the whole historical corpus per run is
+rebuild waste, the same argument behind the persisted MinHash dedup
+index (``streaming/dedup_index``) and the benchmark gram index
+(``operators/decontam_index``). This module persists image dHashes as
+a parquet table so each run pays ONE banded equi-join against the
+index:
+
+- :func:`build_phash_index` — batch-build from a hashed frame;
+- :func:`append_phash_index` — incremental: new images only (anti-join
+  on id against the live index — linear in the new batch);
+- :func:`gate_against_phash_index` — per-probe near-dup verdict via
+  the banded join (pigeonhole-guaranteed recall for any radius below
+  the band count, same algebra as dedup_images_phash);
+- :func:`retire_phash_index_generation` — per-generation retention as
+  a partition-pruned delete (mirrors the gram index, incl. the
+  last-generation guard);
+- :func:`phash_index_stats` — per-generation ops view.
+
+Scale posture: the index stores (id, 64-char hash) — bytes per image,
+MBs per billion images; band values derive at read (map-side), the
+gate join shuffles on (band_idx, band_value) buckets, and Hamming
+verification is the JVM bit_count(xor) fold on band-collision
+candidates only. No forced broadcast hints anywhere: AQE picks the
+strategy from real index-side sizes (the r12/r13 lesson). The hash
+extraction itself (PNG decode -> dhash_bits) stays with the caller —
+the index is modality-agnostic over any fixed-width bit-string hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HASH_BITS = 64
+
+
+def dhash_bands(hash_col: Column, n_bands: int = 8) -> Column:
+    """Split a 64-char '0'/'1' hash string into ``n_bands`` integer
+    band values (each ``64/n_bands`` bits) — the LSH bucketing key and
+    the Hamming-verify operand (bit_count over xor of band ints)."""
+    width = _HASH_BITS // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda j: F.conv(F.substring(hash_col, j * width + 1, width), 2, 10)
+        .cast("int"),
+    )
+
+
+def _normalized(hashed: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    return hashed.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(hash_col).cast("string").alias("dhash"),
+    )
+
+
+def build_phash_index(
+    hashed: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> int:
+    """Batch-build the index parquet: (id long, dhash string, gen int),
+    gen=0. Returns the number of images indexed."""
+    rows = _normalized(hashed, id_col, hash_col).withColumn(
+        "gen", F.lit(0).cast("int")
+    )
+    rows.write.mode("overwrite").partitionBy("gen").parquet(index_path)
+    return read_phash_index(hashed.sparkSession, index_path).count()
+
+
+def read_phash_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Live index scan: (id long, dhash string, gen int)."""
+    return spark.read.parquet(index_path).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("dhash").cast("string").alias("dhash"),
+        F.col("gen").cast("int").alias("gen"),
+    )
+
+
+def append_phash_index(
+    new_hashed: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> int:
+    """Incrementally index a NEW image batch: only ids not already
+    present are appended (anti-join on id — an image's hash is
+    immutable under this index; re-hashing an id is a no-op), under
+    the next ``gen`` partition. Returns the number appended, counted
+    from storage AFTER the write (committed truth, same contract as
+    the gram index)."""
+    spark = new_hashed.sparkSession
+    live = read_phash_index(spark, index_path)
+    next_gen = live.agg(F.max("gen")).first()[0] + 1
+    fresh = (
+        _normalized(new_hashed, id_col, hash_col)
+        .join(live.select("id"), "id", "left_anti")
+        .withColumn("gen", F.lit(next_gen).cast("int"))
+    )
+    fresh.write.mode("append").partitionBy("gen").parquet(index_path)
+    return (
+        read_phash_index(spark, index_path)
+        .filter(F.col("gen") == next_gen)
+        .count()
+    )
+
+
+def gate_against_phash_index(
+    probes: DataFrame,
+    index: DataFrame,
+    radius: int = 1,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Per-probe near-dup verdict against the persisted index:
+    (id, n_index_dups long, nearest_index_id long?, duplicate bool).
+
+    Banded-LSH candidates (probe bands vs index bands on (band_idx,
+    band_value)) then exact Hamming <= radius via the bit_count(xor)
+    fold — recall is GUARANTEED while radius < n_bands (pigeonhole),
+    so the verdicts are exact, never approximate. ``nearest_index_id``
+    is the smallest matching index id (deterministic tie-break), NULL
+    for clean probes. A probe whose id also exists in the index will
+    match itself at distance 0 by design — gate BEFORE appending the
+    batch, as the replay query does."""
+    if radius >= n_bands:
+        raise ValueError(
+            f"gate_against_phash_index: radius {radius} >= n_bands "
+            f"{n_bands} voids the pigeonhole recall guarantee — raise "
+            "n_bands or lower the radius"
+        )
+    p = _normalized(probes, id_col, hash_col).withColumn(
+        "bands", dhash_bands(F.col("dhash"), n_bands)
+    )
+    ix = index.select(
+        F.col("id").alias("ix_id"),
+        dhash_bands(F.col("dhash"), n_bands).alias("ix_bands"),
+    )
+    pb = p.select(
+        "id", "bands", F.posexplode("bands").alias("pos", "bv")
+    )
+    ib = ix.select(
+        "ix_id", "ix_bands", F.posexplode("ix_bands").alias("pos", "bv")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "bands", "ix_bands", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        pb.join(ib, ["pos", "bv"])
+        .select("id", "bands", "ix_id", "ix_bands")
+        .distinct()
+        .withColumn("hd", hamming)
+        .filter(F.col("hd") <= radius)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_index_dups"),
+            F.min("ix_id").alias("nearest_index_id"),
+        )
+    )
+    return (
+        p.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_index_dups", F.lit(0))
+            .cast("long")
+            .alias("n_index_dups"),
+            F.col("nearest_index_id").cast("long").alias("nearest_index_id"),
+            (F.coalesce("n_index_dups", F.lit(0)) > 0).alias("duplicate"),
+        )
+    )
+
+
+def retire_phash_index_generation(
+    spark: SparkSession, index_path: str, gen: int
+) -> int:
+    """Retention: drop one ingest generation — a partition-pruned
+    directory delete (gen is the parquet partition column), no rewrite
+    of survivors. Refuses to retire the LAST remaining generation
+    (an empty index directory would fail schema inference on the next
+    read — same guard as the gram index / ivf_index_vacuum). Returns
+    the number of index rows dropped."""
+    live = read_phash_index(spark, index_path)
+    gens = {r["gen"] for r in live.select("gen").distinct().collect()}
+    if gen not in gens:
+        raise ValueError(
+            f"retire_phash_index_generation: gen {gen} not in index "
+            f"(have {sorted(gens)})"
+        )
+    if gens == {gen}:
+        raise ValueError(
+            "retire_phash_index_generation: refusing to retire the last "
+            "remaining generation — an empty index cannot be read back; "
+            "delete the index directory instead"
+        )
+    n = live.filter(F.col("gen") == gen).count()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    part = jvm.org.apache.hadoop.fs.Path(
+        index_path.rstrip("/") + f"/gen={gen}"
+    )
+    fs = part.getFileSystem(conf)
+    if not fs.delete(part, True):
+        raise IOError(f"retire_phash_index_generation: delete {part} failed")
+    return n
+
+
+def phash_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-generation index summary: (gen, n_images) — the ops view."""
+    return (
+        read_phash_index(spark, index_path)
+        .groupBy("gen")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("gen")
+    )

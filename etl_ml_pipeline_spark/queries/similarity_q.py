@@ -488,9 +488,12 @@ _PHASH_RADIUS = 1          # near-dup = Hamming ball of radius 1
 _PHASH_BANDS = 8           # 8 bands x 8 bits; guaranteed recall for d < 8
 
 
-def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_gen_hash(batches):
+    """mapInPandas kernel shared by dedup_images_phash and the index
+    replay: synthesize each doc's 8x9 gray PNG from the analytic bit
+    model, round-trip it through the REAL decode path, emit the dHash.
+    Top-level (not a closure) so both queries serialize the same code."""
     import numpy as np
-    import pandas as pd  # noqa: F401 — mapInPandas batch type
 
     from etl_ml_pipeline_spark.operators.multimodal import (
         _png_luma,
@@ -498,40 +501,42 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
+    for pdf in batches:
+        hashes = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            k, v = d % 24, (d // 24) % 3
+            bits = [
+                ((k * 37 + p * 11 + ((k + 1) * (p + 3)) % 13) % 5) == 0
+                for p in range(64)
+            ]
+            for i in range(v):
+                f = (k * 3 + i * 17) % 64
+                bits[f] = not bits[f]
+            # build the 8x9 gray PNG whose horizontal differences
+            # ARE the target bits: px[r,c+1] = px[r,c] +- 1; the
+            # 8x9 -> 8x(8+1) dHash downsample is the identity, so
+            # the decoded hash equals the analytic model exactly
+            px = np.zeros((8, 9), dtype=np.uint8)
+            px[:, 0] = 100
+            for r in range(8):
+                for c in range(8):
+                    step = 1 if bits[r * 8 + c] else -1
+                    px[r, c + 1] = px[r, c] + step
+            luma = _png_luma(encode_png(px, color_type=0))
+            hashes.append(dhash_bits(luma))
+        pdf = pdf.copy()
+        pdf["dhash"] = hashes
+        yield pdf
+
+
+def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PHASH_DOCS)
         .select("doc_id")
     )
-
-    def gen_hash(batches):
-        for pdf in batches:
-            hashes = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                k, v = d % 24, (d // 24) % 3
-                bits = [
-                    ((k * 37 + p * 11 + ((k + 1) * (p + 3)) % 13) % 5) == 0
-                    for p in range(64)
-                ]
-                for i in range(v):
-                    f = (k * 3 + i * 17) % 64
-                    bits[f] = not bits[f]
-                # build the 8x9 gray PNG whose horizontal differences
-                # ARE the target bits: px[r,c+1] = px[r,c] +- 1; the
-                # 8x9 -> 8x(8+1) dHash downsample is the identity, so
-                # the decoded hash equals the analytic model exactly
-                px = np.zeros((8, 9), dtype=np.uint8)
-                px[:, 0] = 100
-                for r in range(8):
-                    for c in range(8):
-                        step = 1 if bits[r * 8 + c] else -1
-                        px[r, c + 1] = px[r, c] + step
-                luma = _png_luma(encode_png(px, color_type=0))
-                hashes.append(dhash_bits(luma))
-            pdf = pdf.copy()
-            pdf["dhash"] = hashes
-            yield pdf
+    gen_hash = _phash_gen_hash
 
     # The hashing lineage (Python PNG encode -> decode -> dHash) feeds
     # FIVE plan branches (both band-join sides, both Hamming sides, the
@@ -539,16 +544,13 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot collapse them — pin the narrow (id, bands) frame once
     # (lazy localCheckpoint, the VERDICT r12 #2 narrow-pin pattern) so
     # the expensive decode pass runs exactly once per execution.
+    from etl_ml_pipeline_spark.operators.phash_index import dhash_bands
+
     hashed = (
         docs.mapInPandas(gen_hash, schema="doc_id: long, dhash: string")
         .select(
             "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1)),
-                lambda j: F.conv(
-                    F.substring(F.col("dhash"), j * 8 + 1, 8), 2, 10
-                ).cast("int"),
-            ).alias("bands"),
+            dhash_bands(F.col("dhash"), _PHASH_BANDS).alias("bands"),
         )
         .localCheckpoint(eager=False)
     )
@@ -645,6 +647,147 @@ SELECT d.doc_id,
        (least(d.doc_id, coalesce(a.mn, d.doc_id)) = d.doc_id)
          AS is_canonical
 FROM docs d LEFT JOIN agg a ON d.doc_id = a.id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_images_phash_replay — the persisted-index leg of the image
+# family, completing the cross-run symmetry with the MinHash dedup
+# index and the benchmark gram index: build the dHash index from an
+# initial ingest (gen 0), append a second batch incrementally (gen 1,
+# anti-join on id), gate a PROBE batch against the live index (banded
+# join, Hamming <= 1, pigeonhole-guaranteed recall), then RETIRE gen 1
+# (partition-pruned delete) and gate again — the retention lifecycle
+# driver-recorded, not just unit-tested. Output = one row per probe:
+# dup counts + nearest index id against the full and the retired
+# index, plus the per-generation build/append arithmetic as literal
+# columns. The DuckDB oracle recomputes everything from the analytic
+# bit model (probe x index all-pairs — oracle-scale only, 30x90).
+# Scale: index rows are (id, 64-char hash); band values derive
+# map-side at read; the gate shuffles on (band_idx, band_value); no
+# hints (AQE sizes the index side).
+# ---------------------------------------------------------------------------
+
+_PHASH_IX_BASE = 60       # gen 0: ids [0, 60)
+_PHASH_IX_APPEND = 90     # gen 1: ids [60, 90); probes: [90, 120)
+
+
+def dedup_images_phash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.phash_index import (
+        append_phash_index,
+        build_phash_index,
+        gate_against_phash_index,
+        phash_index_stats,
+        read_phash_index,
+        retire_phash_index_generation,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PHASH_DOCS)
+        .select("doc_id")
+    )
+    hashed = docs.mapInPandas(
+        _phash_gen_hash, schema="doc_id: long, dhash: string"
+    ).localCheckpoint(eager=False)
+    base = hashed.filter(F.col("doc_id") < _PHASH_IX_BASE)
+    batch2 = hashed.filter(
+        (F.col("doc_id") >= _PHASH_IX_BASE)
+        & (F.col("doc_id") < _PHASH_IX_APPEND)
+    )
+    probes = hashed.filter(F.col("doc_id") >= _PHASH_IX_APPEND)
+
+    path = _run_scoped_index_dir("phash_ix")
+    n_base = build_phash_index(base, path)
+    n_app = append_phash_index(batch2, path)
+    # EAGER checkpoint: the full-index verdicts must materialize BEFORE
+    # the retire below deletes gen=1's part files — a lazy plan would
+    # re-list the index at collect time and hit FileNotFoundException
+    # on the retired partition.
+    full = gate_against_phash_index(
+        probes, read_phash_index(spark, path), radius=_PHASH_RADIUS
+    ).select(
+        "id",
+        F.col("n_index_dups").alias("n_dups_full"),
+        F.col("nearest_index_id").alias("nearest_full"),
+    ).localCheckpoint()
+    n_retired = retire_phash_index_generation(spark, path, 1)
+    after = gate_against_phash_index(
+        probes, read_phash_index(spark, path), radius=_PHASH_RADIUS
+    ).select(
+        "id",
+        F.col("n_index_dups").alias("n_dups_after_retire"),
+        F.col("nearest_index_id").alias("nearest_after_retire"),
+    )
+    stats = {
+        r["gen"]: r["n_images"]
+        for r in phash_index_stats(spark, path).collect()
+    }
+    return (
+        full.join(after, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_dups_full",
+            "nearest_full",
+            "n_dups_after_retire",
+            "nearest_after_retire",
+            F.lit(n_base).cast("long").alias("idx_base"),
+            F.lit(n_app).cast("long").alias("idx_appended"),
+            F.lit(n_retired).cast("long").alias("idx_retired"),
+            F.lit(stats.get(0, 0)).cast("long").alias("idx_live"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Analytic bit model replayed in SQL (same arithmetic as _PHASH_SQL);
+# probe x index all-pairs Hamming at oracle scale only (30 x 90 x 64).
+_PHASH_REPLAY_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 24 AS k, (doc_id // 24) % 3 AS v
+  FROM documents WHERE doc_id < {_PHASH_DOCS}
+),
+bits AS (
+  SELECT doc_id, p,
+         (CASE WHEN ((k*37 + p*11 + ((k+1)*(p+3)) % 13) % 5) = 0
+               THEN 1 ELSE 0 END
+          + CASE WHEN v >= 1 AND p = (k*3) % 64 THEN 1 ELSE 0 END
+          + CASE WHEN v >= 2 AND p = (k*3 + 17) % 64 THEN 1 ELSE 0 END
+         ) % 2 AS b
+  FROM docs, (SELECT unnest(range(64)) AS p)
+),
+ham AS (
+  SELECT pr.doc_id AS probe_id, ix.doc_id AS ix_id,
+         sum(CASE WHEN pr.b <> ix.b THEN 1 ELSE 0 END) AS d
+  FROM bits pr JOIN bits ix
+    ON pr.p = ix.p
+   AND pr.doc_id >= {_PHASH_IX_APPEND}
+   AND ix.doc_id < {_PHASH_IX_APPEND}
+  GROUP BY 1, 2
+),
+full_hits AS (
+  SELECT probe_id, count(*) AS n, min(ix_id) AS mn
+  FROM ham WHERE d <= {_PHASH_RADIUS} GROUP BY 1
+),
+retired_hits AS (
+  SELECT probe_id, count(*) AS n, min(ix_id) AS mn
+  FROM ham WHERE d <= {_PHASH_RADIUS} AND ix_id < {_PHASH_IX_BASE}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_dups_full,
+       CAST(f.mn AS BIGINT) AS nearest_full,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_dups_after_retire,
+       CAST(r.mn AS BIGINT) AS nearest_after_retire,
+       CAST({_PHASH_IX_BASE} AS BIGINT) AS idx_base,
+       CAST({_PHASH_IX_APPEND} - {_PHASH_IX_BASE} AS BIGINT) AS idx_appended,
+       CAST({_PHASH_IX_APPEND} - {_PHASH_IX_BASE} AS BIGINT) AS idx_retired,
+       CAST({_PHASH_IX_BASE} AS BIGINT) AS idx_live
+FROM docs d
+LEFT JOIN full_hits f ON d.doc_id = f.probe_id
+LEFT JOIN retired_hits r ON d.doc_id = r.probe_id
+WHERE d.doc_id >= {_PHASH_IX_APPEND}
 ORDER BY d.doc_id
 """
 
@@ -2273,6 +2416,7 @@ QUERIES = {
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_image_ahash_dedup": multimodal_image_ahash_dedup,
     "dedup_images_phash": dedup_images_phash,
+    "dedup_images_phash_replay": dedup_images_phash_replay,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
 }
@@ -2302,6 +2446,7 @@ ORACLES = {
     "multimodal_image_dedup": _IMAGE_DEDUP_SQL,
     "multimodal_image_ahash_dedup": _AHASH_SQL,
     "dedup_images_phash": _PHASH_SQL,
+    "dedup_images_phash_replay": _PHASH_REPLAY_SQL,
     "multimodal_audio_features": _AUDIO_SQL,
     "multimodal_video_frames": _VIDEO_SQL,
 }

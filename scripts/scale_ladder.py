@@ -176,6 +176,11 @@ QUERIES = [
     # corpus-scale FFD shuffle + two narrow aggregates).
     "dedup_images_phash",
     "pack_attention_boundary_stats",
+    # round-14 late addition: the persisted dHash index lifecycle
+    # (index write + append + two banded gates + a retention delete
+    # per run — fixed 120-image slice, so expect flat like its batch
+    # twin; the measured work is the index IO + gate machinery).
+    "dedup_images_phash_replay",
 ]
 
 
