@@ -163,39 +163,22 @@ def retire_gram_index_generation(
     whose ONLY provenance was the retired generation stop gating new
     corpus runs; grams shared with an earlier eval set remain indexed
     under that earlier generation (append dedups against the live
-    set, so a gram lives in its FIRST generation only)."""
-    live = read_gram_index(spark, index_path)
-    gens = {r["gen"] for r in live.select("gen").distinct().collect()}
-    if gen not in gens:
-        raise ValueError(
-            f"retire_gram_index_generation: gen {gen} not in index "
-            f"(have {sorted(gens)})"
-        )
-    if gens == {gen}:
-        raise ValueError(
-            "retire_gram_index_generation: refusing to retire the last "
-            "remaining generation — an empty index cannot be read back; "
-            "delete the index directory instead"
-        )
-    n = live.filter(F.col("gen") == gen).count()
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    part = jvm.org.apache.hadoop.fs.Path(
-        index_path.rstrip("/") + f"/gen={gen}"
+    set, so a gram lives in its FIRST generation only). Shared
+    machinery in operators/gen_index.py (same dance as the phash
+    index)."""
+    from etl_ml_pipeline_spark.operators.gen_index import retire_generation
+
+    return retire_generation(
+        spark,
+        index_path,
+        gen,
+        read_gram_index(spark, index_path),
+        "retire_gram_index_generation",
     )
-    fs = part.getFileSystem(conf)
-    if not fs.delete(part, True):
-        raise IOError(
-            f"retire_gram_index_generation: delete {part} failed"
-        )
-    return n
 
 
 def gram_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-generation index summary: (gen, n_grams) — the ops view."""
-    return (
-        read_gram_index(spark, index_path)
-        .groupBy("gen")
-        .agg(F.count("*").alias("n_grams"))
-        .orderBy("gen")
-    )
+    from etl_ml_pipeline_spark.operators.gen_index import generation_stats
+
+    return generation_stats(read_gram_index(spark, index_path), "n_grams")

@@ -42,8 +42,25 @@ _HASH_BITS = 64
 def dhash_bands(hash_col: Column, n_bands: int = 8) -> Column:
     """Split a 64-char '0'/'1' hash string into ``n_bands`` integer
     band values (each ``64/n_bands`` bits) — the LSH bucketing key and
-    the Hamming-verify operand (bit_count over xor of band ints)."""
+    the Hamming-verify operand (bit_count over xor of band ints).
+
+    ``n_bands`` must divide the hash width exactly (a remainder would
+    silently drop trailing bits from every Hamming computation) and
+    band values must fit a signed int32 (width >= 32 would make
+    F.conv overflow the int cast into nulls, nulling the join keys) —
+    both are loud errors, not silent corruption."""
+    if _HASH_BITS % n_bands != 0:
+        raise ValueError(
+            f"dhash_bands: n_bands {n_bands} does not divide the "
+            f"{_HASH_BITS}-bit hash — trailing bits would be dropped "
+            "from every Hamming distance"
+        )
     width = _HASH_BITS // n_bands
+    if width >= 32:
+        raise ValueError(
+            f"dhash_bands: band width {width} >= 32 bits overflows the "
+            "int32 band value — use more bands"
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda j: F.conv(F.substring(hash_col, j * width + 1, width), 2, 10)
@@ -51,10 +68,33 @@ def dhash_bands(hash_col: Column, n_bands: int = 8) -> Column:
     )
 
 
+def hamming_from_bands(bands1, bands2) -> Column:
+    """Exact Hamming distance between two band-int arrays: the JVM-side
+    bit_count(xor) fold. ONE definition shared by the batch dedup query
+    and the index gate so the two can never desynchronize."""
+    return F.aggregate(
+        F.zip_with(
+            bands1, bands2, lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _normalized(hashed: DataFrame, id_col: str, hash_col: str) -> DataFrame:
-    return hashed.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(hash_col).cast("string").alias("dhash"),
+    """Project to (id, dhash) and collapse intra-batch duplicate ids —
+    the index invariant is one row per id, and the append anti-join
+    only protects against ids ALREADY indexed. min(dhash) makes the
+    survivor deterministic; an id arriving with conflicting hashes is
+    an upstream bug this layer resolves reproducibly rather than
+    nondeterministically."""
+    return (
+        hashed.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(hash_col).cast("string").alias("dhash"),
+        )
+        .groupBy("id")
+        .agg(F.min("dhash").alias("dhash"))
     )
 
 
@@ -65,10 +105,19 @@ def build_phash_index(
     hash_col: str = "dhash",
 ) -> int:
     """Batch-build the index parquet: (id long, dhash string, gen int),
-    gen=0. Returns the number of images indexed."""
+    gen=0. Returns the number of images indexed. Refuses an empty
+    input loudly — a partitioned write of zero rows leaves a directory
+    that fails parquet schema inference on the next read (the same
+    unreadable-empty-index condition the retire guard protects)."""
     rows = _normalized(hashed, id_col, hash_col).withColumn(
         "gen", F.lit(0).cast("int")
     )
+    if rows.isEmpty():
+        raise ValueError(
+            "build_phash_index: empty input — an empty partitioned "
+            "index cannot be read back; build from the first non-empty "
+            "batch instead"
+        )
     rows.write.mode("overwrite").partitionBy("gen").parquet(index_path)
     return read_phash_index(hashed.sparkSession, index_path).count()
 
@@ -148,13 +197,7 @@ def gate_against_phash_index(
     ib = ix.select(
         "ix_id", "ix_bands", F.posexplode("ix_bands").alias("pos", "bv")
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            "bands", "ix_bands", lambda x, y: F.bit_count(x.bitwiseXOR(y))
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = hamming_from_bands("bands", "ix_bands")
     hits = (
         pb.join(ib, ["pos", "bv"])
         .select("id", "bands", "ix_id", "ix_bands")
@@ -186,40 +229,22 @@ def retire_phash_index_generation(
 ) -> int:
     """Retention: drop one ingest generation — a partition-pruned
     directory delete (gen is the parquet partition column), no rewrite
-    of survivors. Refuses to retire the LAST remaining generation
-    (an empty index directory would fail schema inference on the next
-    read — same guard as the gram index / ivf_index_vacuum). Returns
-    the number of index rows dropped."""
-    live = read_phash_index(spark, index_path)
-    gens = {r["gen"] for r in live.select("gen").distinct().collect()}
-    if gen not in gens:
-        raise ValueError(
-            f"retire_phash_index_generation: gen {gen} not in index "
-            f"(have {sorted(gens)})"
-        )
-    if gens == {gen}:
-        raise ValueError(
-            "retire_phash_index_generation: refusing to retire the last "
-            "remaining generation — an empty index cannot be read back; "
-            "delete the index directory instead"
-        )
-    n = live.filter(F.col("gen") == gen).count()
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    part = jvm.org.apache.hadoop.fs.Path(
-        index_path.rstrip("/") + f"/gen={gen}"
+    of survivors; last-generation guard included. Shared machinery in
+    operators/gen_index.py (same dance as the gram index). Returns the
+    number of index rows dropped."""
+    from etl_ml_pipeline_spark.operators.gen_index import retire_generation
+
+    return retire_generation(
+        spark,
+        index_path,
+        gen,
+        read_phash_index(spark, index_path),
+        "retire_phash_index_generation",
     )
-    fs = part.getFileSystem(conf)
-    if not fs.delete(part, True):
-        raise IOError(f"retire_phash_index_generation: delete {part} failed")
-    return n
 
 
 def phash_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-generation index summary: (gen, n_images) — the ops view."""
-    return (
-        read_phash_index(spark, index_path)
-        .groupBy("gen")
-        .agg(F.count("*").alias("n_images"))
-        .orderBy("gen")
-    )
+    from etl_ml_pipeline_spark.operators.gen_index import generation_stats
+
+    return generation_stats(read_phash_index(spark, index_path), "n_images")

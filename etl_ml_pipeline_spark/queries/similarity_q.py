@@ -536,18 +536,19 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _PHASH_DOCS)
         .select("doc_id")
     )
-    gen_hash = _phash_gen_hash
-
     # The hashing lineage (Python PNG encode -> decode -> dHash) feeds
     # FIVE plan branches (both band-join sides, both Hamming sides, the
     # final doc list) that shuffle on DIFFERENT keys, so ReusedExchange
     # cannot collapse them — pin the narrow (id, bands) frame once
     # (lazy localCheckpoint, the VERDICT r12 #2 narrow-pin pattern) so
     # the expensive decode pass runs exactly once per execution.
-    from etl_ml_pipeline_spark.operators.phash_index import dhash_bands
+    from etl_ml_pipeline_spark.operators.phash_index import (
+        dhash_bands,
+        hamming_from_bands,
+    )
 
     hashed = (
-        docs.mapInPandas(gen_hash, schema="doc_id: long, dhash: string")
+        docs.mapInPandas(_phash_gen_hash, schema="doc_id: long, dhash: string")
         .select(
             "doc_id",
             dhash_bands(F.col("dhash"), _PHASH_BANDS).alias("bands"),
@@ -576,11 +577,7 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = hashed.select(
         F.col("doc_id").alias("id2"), F.col("bands").alias("b2")
     )
-    hamming = F.aggregate(
-        F.zip_with("b1", "b2", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = hamming_from_bands("b1", "b2")
     dup_pairs = (
         cand.join(h1, "id1")
         .join(h2, "id2")

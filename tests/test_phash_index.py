@@ -17,12 +17,16 @@ from etl_ml_pipeline_spark.operators.phash_index import (
     retire_phash_index_generation,
 )
 
-# four hand-picked 64-bit hashes: B differs from A in 1 bit, C in 2
-# bits, D is A's complement (distance 64)
+# four hand-picked 64-bit hashes: B differs from A in 1 bit (pos 0),
+# C in 2 bits (pos 0 and 2), D is A's complement (distance 64)
 _A = "01" * 32
 _B = "11" + "01" * 31
-_C = "1101" + "01" * 30
+_C = "1111" + "01" * 30
 _D = "10" * 32
+assert sum(x != y for x, y in zip(_A, _B)) == 1
+assert sum(x != y for x, y in zip(_A, _C)) == 2
+assert sum(x != y for x, y in zip(_B, _C)) == 1
+assert sum(x != y for x, y in zip(_A, _D)) == 64
 
 
 def _df(spark, rows):
@@ -144,8 +148,7 @@ def test_band_candidates_exact_under_radius_sweep(spark, index_path):
              "".join(("1" if c == "0" else "0") if p in flip else c
                      for p, c in enumerate(h)))
         )
-    build_phash_index(_df(spark, idx).withColumnRenamed("doc_id", "doc_id"),
-                      index_path)
+    build_phash_index(_df(spark, idx), index_path)
     for radius in (0, 1, 3, 7):
         got = {
             r["id"]: (r["n_index_dups"], r["nearest_index_id"])
@@ -157,3 +160,29 @@ def test_band_candidates_exact_under_radius_sweep(spark, index_path):
         }
         for pid, h in probes:
             assert got[pid] == _brute(h, idx, radius), (radius, pid)
+
+
+def test_normalization_and_guard_rails(spark, index_path):
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.phash_index import dhash_bands
+
+    # intra-batch duplicate ids collapse deterministically (min hash)
+    assert build_phash_index(
+        _df(spark, [(1, _B), (1, _A), (2, _D)]), index_path
+    ) == 2
+    rows = {r["id"]: r["dhash"] for r in
+            read_phash_index(spark, index_path).collect()}
+    assert rows[1] == min(_A, _B)
+    assert append_phash_index(_df(spark, [(3, _C), (3, _D)]), index_path) == 1
+
+    # empty build is a loud error, not an unreadable directory
+    empty = _df(spark, [(1, _A)]).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty input"):
+        build_phash_index(empty, str(index_path) + "_empty")
+
+    # band arithmetic that would silently corrupt Hamming is rejected
+    with pytest.raises(ValueError, match="does not divide"):
+        dhash_bands(F.col("dhash"), n_bands=3)
+    with pytest.raises(ValueError, match="overflows"):
+        dhash_bands(F.col("dhash"), n_bands=2)
