@@ -538,8 +538,115 @@ ORDER BY i, j
 """
 
 
+# ---------------------------------------------------------------------------
+# preference_pair_construction — DPO/RLHF preference-pair assembly: the
+# data-prep step that turns a scored candidate pool into (chosen,
+# rejected) training pairs. Candidates are grouped by prompt key (here
+# lang x length-bucket, the way response pools group by prompt id),
+# scored with an integer-grid type-token-ratio quality (uniq_tokens *
+# 1e6 DIV tokens — exact integer arithmetic, so both engines agree
+# bit-for-bit), and each group emits its best-vs-worst pair with a
+# positive-margin gate (ties produce no pair — a zero-margin pair is
+# noise to a DPO loss). Tie-breaks inside a rank are deterministic on
+# doc_id.
+# Scale: one map-side tokenize + ONE exchange on the group key (both
+# window sorts and the final groupBy reuse the same hash partitioning);
+# output is |groups| rows. No self-join — the naive pairing formulation
+# (candidates x candidates per prompt) is replaced by two rank-1
+# windows, which is how this survives prompt pools of any size.
+# ---------------------------------------------------------------------------
+
+
+def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 200").cast("long").alias("len_bucket"),
+        F.expr(
+            "CAST(CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS BIGINT)"
+            " * 1000000 div size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("q_ppm"),
+    )
+    grp = W.partitionBy("lang", "len_bucket")
+    ranked = scored.select(
+        "lang",
+        "len_bucket",
+        "doc_id",
+        "q_ppm",
+        F.row_number()
+        .over(grp.orderBy(F.desc("q_ppm"), F.asc("doc_id")))
+        .alias("rn_best"),
+        F.row_number()
+        .over(grp.orderBy(F.asc("q_ppm"), F.asc("doc_id")))
+        .alias("rn_worst"),
+    )
+    pairs = ranked.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(F.when(F.col("rn_best") == 1, F.col("doc_id"))).alias("chosen_id"),
+        F.max(F.when(F.col("rn_best") == 1, F.col("q_ppm"))).alias("chosen_q_ppm"),
+        F.max(F.when(F.col("rn_worst") == 1, F.col("doc_id"))).alias("rejected_id"),
+        F.max(F.when(F.col("rn_worst") == 1, F.col("q_ppm"))).alias("rejected_q_ppm"),
+    )
+    return (
+        pairs.filter(
+            (F.col("n_candidates") >= 2)
+            & (F.col("chosen_q_ppm") > F.col("rejected_q_ppm"))
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "n_candidates",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q_ppm",
+            "rejected_q_ppm",
+            (F.col("chosen_q_ppm") - F.col("rejected_q_ppm")).alias("margin_ppm"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+_PREF_PAIR_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         n_chars // 200 AS len_bucket,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+              * 1000000
+              // len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS q_ppm
+  FROM documents
+),
+ranked AS (
+  SELECT lang, len_bucket, doc_id, q_ppm,
+         row_number() OVER (PARTITION BY lang, len_bucket
+                            ORDER BY q_ppm DESC, doc_id ASC) AS rn_best,
+         row_number() OVER (PARTITION BY lang, len_bucket
+                            ORDER BY q_ppm ASC, doc_id ASC) AS rn_worst
+  FROM scored
+),
+pairs AS (
+  SELECT lang, len_bucket,
+         count(*) AS n_candidates,
+         max(CASE WHEN rn_best = 1 THEN doc_id END) AS chosen_id,
+         max(CASE WHEN rn_best = 1 THEN q_ppm END) AS chosen_q_ppm,
+         max(CASE WHEN rn_worst = 1 THEN doc_id END) AS rejected_id,
+         max(CASE WHEN rn_worst = 1 THEN q_ppm END) AS rejected_q_ppm
+  FROM ranked
+  GROUP BY 1, 2
+)
+SELECT lang, len_bucket, n_candidates, chosen_id, rejected_id,
+       chosen_q_ppm, rejected_q_ppm,
+       chosen_q_ppm - rejected_q_ppm AS margin_ppm
+FROM pairs
+WHERE n_candidates >= 2 AND chosen_q_ppm > rejected_q_ppm
+ORDER BY lang, len_bucket
+"""
+
+
 QUERIES = {
     "ml_fold_assignment": ml_fold_assignment,
+    "preference_pair_construction": preference_pair_construction,
     "ml_feature_stats": ml_feature_stats,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
     "ml_group_ols_trend": ml_group_ols_trend,
@@ -548,6 +655,7 @@ QUERIES = {
 
 ORACLES = {
     "ml_fold_assignment": _FOLD_SQL,
+    "preference_pair_construction": _PREF_PAIR_SQL,
     "ml_feature_stats": _STATS_SQL,
     "kmeans_lloyd_embeddings": _KMEANS_SQL,
     "ml_group_ols_trend": _OLS_SQL,

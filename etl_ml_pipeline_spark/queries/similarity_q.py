@@ -47,6 +47,212 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# semantic_decontam_stats — embedding-space decontamination: the gram-
+# hash decontam family (split_decontamination_stats) catches verbatim
+# and near-verbatim overlap, but paraphrased benchmark leakage only
+# shows up in embedding space. Benchmark = 40 eval vectors; corpus =
+# the rest PLUS deterministically injected contaminated copies
+# (positively-scaled benchmark vectors, x*2.0 — exact IEEE exponent
+# shift, the embedding_near_dup_pairs construction) so the query's
+# recall on known leaks is itself part of the checked contract
+# (all_injected_caught). A corpus row is contaminated when its max
+# cosine against ANY benchmark vector clears 0.999.
+# Scale: the benchmark is broadcast (eval sets are small by nature);
+# the corpus is scanned ONCE with per-row cost |bench|, then two
+# map-side-combined groupBys (c_id -> max, label rollup). This linear
+# scan IS the production topology for small benchmarks; for huge
+# benchmark suites the IVF shortlist path (ann_ivf_topk) bounds the
+# per-row candidate set instead.
+# ---------------------------------------------------------------------------
+
+_SEM_DECON_THR = 0.999
+
+
+def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings", heavy=True)
+    bench = emb.filter(F.col("vec_id") < 40).select(
+        as_double(F.col("embedding")).alias("bv")
+    )
+    base = emb.filter(F.col("vec_id") >= 40).select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        "label",
+    )
+    injected = emb.filter(
+        (F.col("vec_id") < 40) & (F.col("vec_id") % 4 == 0)
+    ).select(
+        (F.col("vec_id") + 200000).alias("c_id"),
+        F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("cv"),
+        "label",
+    )
+    corpus = base.unionByName(injected)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "c_id", "label", cosine(F.col("cv"), F.col("bv")).alias("cos")
+    )
+    per = scored.groupBy("c_id", "label").agg(F.max("cos").alias("max_cos"))
+    hit = F.col("max_cos") >= _SEM_DECON_THR
+    inj = F.col("c_id") >= 200000
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.sum(hit.cast("long")).alias("n_contaminated"),
+            F.sum(inj.cast("long")).alias("n_injected"),
+            F.coalesce(F.min(F.when(inj, hit)), F.lit(True)).alias(
+                "all_injected_caught"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_SEM_DECON_SQL = f"""
+WITH bench AS (
+  SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 40
+),
+base AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label
+  FROM embeddings WHERE vec_id >= 40
+),
+injected AS (
+  SELECT vec_id + 200000 AS c_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS cv, label
+  FROM embeddings WHERE vec_id < 40 AND vec_id % 4 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM injected),
+per AS (
+  SELECT c_id, label, max(list_cosine_similarity(cv, bv)) AS max_cos
+  FROM corpus CROSS JOIN bench
+  GROUP BY 1, 2
+)
+SELECT label,
+       count(*) AS n_corpus,
+       CAST(sum(CASE WHEN max_cos >= {_SEM_DECON_THR} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN c_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_injected,
+       coalesce(min(CASE WHEN c_id >= 200000
+                         THEN max_cos >= {_SEM_DECON_THR} END), TRUE)
+         AS all_injected_caught
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_metrics — the retrieval-eval harness: recall@10 and
+# reciprocal rank for 20 eval queries against the full corpus, with the
+# same-label vectors as each query's gold set (the standard proxy when
+# no human judgments exist). Metrics land on an exact ppm integer grid
+# (hits*1e6 div min(10, n_gold); 1e6 div first_gold_rank) so both
+# engines agree bit-for-bit; cosine ranking reuses the established
+# sequential-fold parity path with deterministic c_id tie-breaks.
+# Scale: the eval set is broadcast (20 rows — eval sets are small by
+# construction); the corpus is scanned ONCE, ranked per query on a
+# q_id-partitioned window (20 partitions), and reduced to one row per
+# query. This is linear in the corpus like any exact-eval pass; the
+# sampled-candidate variant at 100 TB is the existing IVF path whose
+# quality THIS query is the yardstick for (ann_recall_battery).
+# ---------------------------------------------------------------------------
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings", heavy=True)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    gold = F.col("c_label") == F.col("q_label")
+    per = ranked.groupBy("q_id", "q_label").agg(
+        F.sum(gold.cast("long")).alias("n_gold"),
+        F.sum((gold & (F.col("rank") <= 10)).cast("long")).alias("hits10"),
+        F.min(F.when(gold, F.col("rank"))).cast("long").alias("fgr"),
+    )
+    return (
+        per.select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            "n_gold",
+            "hits10",
+            F.coalesce("fgr", F.lit(0)).cast("long").alias("first_gold_rank"),
+            F.when(
+                F.col("n_gold") > 0,
+                F.expr("hits10 * 1000000 div least(10, n_gold)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall10_ppm"),
+            F.when(F.col("fgr").isNotNull(), F.expr("1000000 div fgr"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_RETRIEVAL_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label AS c_label
+  FROM embeddings
+),
+ranked AS (
+  SELECT q_id, q_label, c_id, c_label,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qv, cv) DESC, c_id ASC) AS rank
+  FROM q CROSS JOIN c
+  WHERE c_id <> q_id
+),
+per AS (
+  SELECT q_id, q_label,
+         CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gold,
+         CAST(sum(CASE WHEN c_label = q_label AND rank <= 10
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+         min(CASE WHEN c_label = q_label THEN rank END) AS fgr
+  FROM ranked
+  GROUP BY 1, 2
+)
+SELECT q_id, q_label AS label, n_gold, hits10,
+       CAST(coalesce(fgr, 0) AS BIGINT) AS first_gold_rank,
+       CAST(CASE WHEN n_gold > 0
+                 THEN hits10 * 1000000 // least(10, n_gold)
+                 ELSE 0 END AS BIGINT) AS recall10_ppm,
+       CAST(CASE WHEN fgr IS NOT NULL THEN 1000000 // fgr
+                 ELSE 0 END AS BIGINT) AS rr_ppm
+FROM per
+ORDER BY q_id
+"""
+
+
 _BRUTE_SQL = """
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
@@ -2390,6 +2596,8 @@ ORDER BY s.cent_id
 
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "retrieval_eval_metrics": retrieval_eval_metrics,
+    "semantic_decontam_stats": semantic_decontam_stats,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_index_stats": ann_index_stats,
     "embedding_drift_snapshots": embedding_drift_snapshots,
@@ -2420,6 +2628,8 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
+    "retrieval_eval_metrics": _RETRIEVAL_EVAL_SQL,
+    "semantic_decontam_stats": _SEM_DECON_SQL,
     "ann_filtered_topk": _FILTERED_SQL,
     "ann_index_stats": _INDEX_STATS_SQL,
     "embedding_drift_snapshots": _DRIFT_SQL,

@@ -2590,8 +2590,106 @@ ORDER BY a.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sft_loss_masking_stats — loss-mask token accounting for SFT episodes:
+# the number a fine-tuning run reads off its data loader. Each user's
+# event stream is a chat episode (turns ordered by ts); prompt-side
+# turns (click/view/signup) are MASKED from the loss, completion-side
+# turns (purchase/error) are TRAINED. Per-turn token cost is a
+# deterministic proxy (7 + event_id % 29: 4 content + 3 template
+# tokens). On top of the full-episode mask split, a 64-token context
+# cap truncates from the LEFT (keep the most recent turns — standard
+# chat truncation), computed as a reverse cumulative sum, and the
+# kept-suffix trained tokens are what actually reach the optimizer.
+# All arithmetic is exact integer (ppm via integer div).
+# Scale: ONE exchange on user_id serves both the reverse-cumsum window
+# and the groupBy; output is one row per episode (bounded by the
+# user_id < 300 episode pool at every SF).
+# ---------------------------------------------------------------------------
+
+_SFT_CTX_TOK = 64
+
+
+def sft_loss_masking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(7) + F.col("event_id") % 29).cast("long").alias("n_tok"),
+        F.col("event_type").isin("purchase", "error").cast("int").alias("is_asst"),
+    )
+    wrev = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev = turns.withColumn("rev_cum", F.sum("n_tok").over(wrev))
+    kept = F.col("rev_cum") <= _SFT_CTX_TOK
+    out = rev.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("is_asst").cast("long").alias("n_assistant_turns"),
+        F.sum("n_tok").alias("total_tok"),
+        F.sum(F.when(F.col("is_asst") == 1, F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("trained_tok"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_turns"),
+        F.sum(F.when(kept & (F.col("is_asst") == 1), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_trained_tok"),
+    )
+    return out.select(
+        "user_id",
+        "n_turns",
+        "n_assistant_turns",
+        "total_tok",
+        "trained_tok",
+        (F.col("total_tok") - F.col("trained_tok")).alias("masked_tok"),
+        F.expr("trained_tok * 1000000 div total_tok").alias("trained_ppm"),
+        "kept_turns",
+        "kept_trained_tok",
+    ).orderBy("user_id")
+
+
+_SFT_MASK_SQL = f"""
+WITH turns AS (
+  SELECT user_id, ts, event_id,
+         CAST(7 + event_id % 29 AS BIGINT) AS n_tok,
+         CASE WHEN event_type IN ('purchase', 'error') THEN 1 ELSE 0 END
+           AS is_asst
+  FROM events WHERE user_id < 300
+),
+rev AS (
+  SELECT *,
+         sum(n_tok) OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC
+                          ROWS UNBOUNDED PRECEDING) AS rev_cum
+  FROM turns
+)
+SELECT user_id,
+       count(*) AS n_turns,
+       CAST(sum(is_asst) AS BIGINT) AS n_assistant_turns,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       CAST(sum(CASE WHEN is_asst = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS trained_tok,
+       CAST(sum(n_tok)
+            - sum(CASE WHEN is_asst = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS masked_tok,
+       CAST(sum(CASE WHEN is_asst = 1 THEN n_tok ELSE 0 END) * 1000000
+            // sum(n_tok) AS BIGINT) AS trained_ppm,
+       CAST(sum(CASE WHEN rev_cum <= {_SFT_CTX_TOK} THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_turns,
+       CAST(sum(CASE WHEN rev_cum <= {_SFT_CTX_TOK} AND is_asst = 1
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS kept_trained_tok
+FROM rev
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "feature_store_snapshot": feature_store_snapshot,
+    "sft_loss_masking_stats": sft_loss_masking_stats,
     "stream_decontam_replay": stream_decontam_replay,
     "sft_episode_construction": sft_episode_construction,
     "sma_events": sma_events,
@@ -2630,6 +2728,7 @@ ORACLES = {
     "feature_store_snapshot": _FEATURE_SNAPSHOT_SQL,
     "stream_decontam_replay": _STREAM_DECONTAM_SQL,
     "sft_episode_construction": _SFT_EPISODE_SQL,
+    "sft_loss_masking_stats": _SFT_MASK_SQL,
     "sma_events": _SMA_SQL,
     "stream_late_data_window_replay": _LATE_WINDOW_SQL,
     "stream_late_dedup_eviction_replay": _LATE_DEDUP_SQL,

@@ -378,8 +378,81 @@ ORDER BY source
 """.replace("{suffixes}", SUFFIX_SQL_LIST)
 
 
+# ---------------------------------------------------------------------------
+# crawl_frontier_schedule — per-host politeness scheduling: the crawl
+# frontier assigns each host's deduped canonical pages to fetch slots
+# spaced by that host's crawl delay (slot k starts at k*delay), so the
+# per-host schedule summary is closed-form from the page count: makespan
+# = (n_pages-1)*delay, and a 60 s dispatch horizon admits
+# floor(60/delay)+1 fetches. Delay is derived deterministically from the
+# host string (1 + len % 5 seconds) the way a real frontier buckets
+# per-host rate limits when robots.txt offers none.
+# Scale: URL synthesis + canonicalization are map-side projections; the
+# only shuffle is ONE groupBy(host) with a partial-aggregated distinct
+# page count — output is |hosts| rows at any corpus size, and the slot
+# assignment never materializes per-page rows (the closed form replaces
+# the row_number a naive scheduler would shuffle for).
+# ---------------------------------------------------------------------------
+
+
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = _with_urls(docs)
+    c = u.select(
+        U.url_host(F.col("url")).alias("host"),
+        U.url_dedup_key(F.col("url")).alias("page_key"),
+    )
+    per = c.groupBy("host").agg(
+        F.countDistinct("page_key").cast("long").alias("n_pages")
+    )
+    delay = (F.length("host") % 5 + 1).cast("long")
+    within = F.least(
+        F.col("n_pages"), (F.floor(F.lit(60) / delay) + 1).cast("long")
+    )
+    return (
+        per.select(
+            "host",
+            "n_pages",
+            delay.alias("delay_s"),
+            ((F.col("n_pages") - 1) * delay).alias("makespan_s"),
+            within.alias("n_within_60s"),
+            (F.col("n_pages") - within).alias("backlog"),
+        )
+        .orderBy("host")
+    )
+
+
+_FRONTIER_SQL = f"""
+WITH urls AS ({_URLGEN_SQL}),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+             ':[0-9]+$', ''), '^www\\.', ''), '\\.$', '') AS host
+  FROM urls
+),
+canon AS ({_CANON_SQL}),
+per AS (
+  SELECT p.host, CAST(count(DISTINCT c.page_key) AS BIGINT) AS n_pages
+  FROM parts p JOIN canon c USING (doc_id)
+  GROUP BY 1
+)
+SELECT host, n_pages,
+       CAST(length(host) % 5 + 1 AS BIGINT) AS delay_s,
+       CAST((n_pages - 1) * (length(host) % 5 + 1) AS BIGINT) AS makespan_s,
+       CAST(least(n_pages, CAST(floor(60 / (length(host) % 5 + 1)) AS BIGINT)
+                           + 1) AS BIGINT) AS n_within_60s,
+       CAST(n_pages
+            - least(n_pages, CAST(floor(60 / (length(host) % 5 + 1)) AS BIGINT)
+                             + 1) AS BIGINT) AS backlog
+FROM per
+ORDER BY host
+"""
+
+
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
+    "crawl_frontier_schedule": crawl_frontier_schedule,
     "url_blocklist_stats": url_blocklist_stats,
     "url_host_dedup_stats": url_host_dedup_stats,
     "url_tracking_scrub_stats": url_tracking_scrub_stats,
@@ -387,6 +460,7 @@ QUERIES = {
 
 ORACLES = {
     "url_canonical_dedup": _CANON_DEDUP_SQL,
+    "crawl_frontier_schedule": _FRONTIER_SQL,
     "url_blocklist_stats": _BLOCKLIST_SQL,
     "url_host_dedup_stats": _HOST_STATS_SQL,
     "url_tracking_scrub_stats": _TRACKING_SQL,

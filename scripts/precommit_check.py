@@ -110,6 +110,16 @@ def main() -> None:
             f"'python scripts/sf1_diff.py --only {','.join(uncovered)}' "
             "and commit the updated json alongside the catalog change"
         )
+    # A present-but-red row is as bad as a missing one (an sf1 run
+    # against a stale/absent .sf1 dir records ok=False in ~0.1s per
+    # name — regenerate with scripts/make_sf1.py and re-run --only).
+    sf1_red = sorted(n for n in qs if not sf1["results"][n].get("ok"))
+    if sf1_red:
+        fail(
+            f"sf1_diff.json has ok=false for {sf1_red} — regenerate .sf1 "
+            "(scripts/make_sf1.py) if absent, then "
+            f"'python scripts/sf1_diff.py --only {','.join(sf1_red)}'"
+        )
 
     # 6. staleness contract (VERDICT r09 ask #4): simulate the next
     # driver record — the first PREFIX names in emission order get a
