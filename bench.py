@@ -114,6 +114,15 @@ HEADLINE = [
     # slice is fixed-size, so a bench series would track Python/JVM
     # fixed costs, not data-scale behavior (the ladder pins it flat).
     "pack_attention_boundary_stats",
+    # round-14 batch 2: preference-pair assembly (the shared-exchange
+    # two-window + groupBy shape over the full corpus) and embedding-
+    # space decontamination (broadcast-benchmark x corpus scan — the
+    # widest new per-row compute). The other five stay catalog-only by
+    # the standing rules: mmr/retrieval are k-bounded eval shapes,
+    # sft masking / crawl frontier / doremi are single-shuffle
+    # sub-second shapes the ladder tracks.
+    "preference_pair_construction",
+    "semantic_decontam_stats",
 ]
 
 # The pre-round-5 headline set: emitted as `value_22q` so round-over-

@@ -379,8 +379,10 @@ _LAST_RECORDED["sketch_theta_overlap_matrix"] = 1
 # bound at r14 and sort directly behind the round-14 additions (tier 0
 # via the .get default) and the theta-matrix pin above; additions +
 # 1 + 39 must stay ≤ the ~50-entry driver prefix, so round 14 adds at
-# most 10 new catalog names. Enforced mechanically by
-# scripts/precommit_check.py.
+# most 10 new catalog names. Round 14 added EXACTLY 10 (phash pair +
+# boundary stats + the 7 batch-2 LLM-pipeline names), filling the
+# 50-slot prefix to the brim: 10 tier-0 + 1 theta pin + 39 r09.
+# Enforced mechanically by scripts/precommit_check.py.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1699,8 +1699,126 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture_doremi_weights — DoReMi-style domain reweighting: iteratively
+# boost the training weight of domains whose quality deficit ("excess
+# loss" proxy: how far the domain's mean type-token-ratio sits below a
+# 0.70 reference target) is high AND whose current mixture share is
+# low — the multiplicative-weights shape of the published domain-
+# reweighting recipes, with the model-in-the-loop loss replaced by the
+# deterministic corpus statistic so the allocation is auditable. Three
+# unrolled rounds: share = w*1e6 div SUM(w); boost = excess*(1e6-share)
+# div 1e6; w' = w*(1e6+boost) div 1e6. EVERY step is exact integer
+# arithmetic on a ppm grid (no exp(), no doubles), so both engines
+# agree bit-for-bit and the update is overflow-safe by construction
+# (w <= 8e6 after 3 doubling-bounded rounds; products <= 1.6e13 << 2^63).
+# Scale: ONE corpus pass (map-side tokenize + groupBy(source)), then 3
+# rounds of arithmetic on |domains| rows with a broadcast 1-row total
+# each — the corpus is never rescanned.
+# ---------------------------------------------------------------------------
+
+_DOREMI_TARGET_PPM = 700_000
+_DOREMI_ROUNDS = 3
+
+
+def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    q_ppm = F.expr(
+        "CAST(CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS BIGINT)"
+        " * 1000000 div size(split(trim(text), '\\\\s+')) AS BIGINT)"
+    )
+    per = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum(q_ppm).alias("sum_q"))
+        .withColumn("mean_q_ppm", F.expr("sum_q div n_docs"))
+        .withColumn(
+            "excess_ppm",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(_DOREMI_TARGET_PPM) - F.col("mean_q_ppm"),
+            ),
+        )
+        .withColumn("w", F.lit(1_000_000).cast("long"))
+    )
+    for i in range(1, _DOREMI_ROUNDS + 1):
+        tot = per.agg(F.sum("w").alias("__tot"))
+        per = (
+            per.crossJoin(F.broadcast(tot))
+            .withColumn("__share", F.expr("w * 1000000 div __tot"))
+            .withColumn(
+                "__boost", F.expr("excess_ppm * (1000000 - __share) div 1000000")
+            )
+            .withColumn("w", F.expr("w * (1000000 + __boost) div 1000000"))
+            .withColumn(f"w{i}", F.col("w"))
+            .drop("__tot", "__share", "__boost")
+        )
+    tot = per.agg(F.sum("w").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "mean_q_ppm",
+            "excess_ppm",
+            "w1",
+            "w2",
+            "w3",
+            F.expr("w * 1000000 div __tot").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOREMI_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+              * 1000000
+              // len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS q_ppm
+  FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(q_ppm) AS BIGINT) AS sum_q
+  FROM scored GROUP BY 1
+),
+base AS (
+  SELECT source, n_docs,
+         sum_q // n_docs AS mean_q_ppm,
+         greatest(0, {_DOREMI_TARGET_PPM} - sum_q // n_docs) AS excess_ppm,
+         CAST(1000000 AS BIGINT) AS w
+  FROM per
+),
+r1 AS (
+  SELECT *, w * (1000000 + excess_ppm
+                 * (1000000 - w * 1000000 // (SELECT sum(w) FROM base))
+                 // 1000000) // 1000000 AS w1
+  FROM base
+),
+r2 AS (
+  SELECT *, w1 * (1000000 + excess_ppm
+                  * (1000000 - w1 * 1000000 // (SELECT sum(w1) FROM r1))
+                  // 1000000) // 1000000 AS w2
+  FROM r1
+),
+r3 AS (
+  SELECT *, w2 * (1000000 + excess_ppm
+                  * (1000000 - w2 * 1000000 // (SELECT sum(w2) FROM r2))
+                  // 1000000) // 1000000 AS w3
+  FROM r2
+)
+SELECT source, n_docs, mean_q_ppm, excess_ppm,
+       CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+       CAST(w3 AS BIGINT) AS w3,
+       CAST(w3 * 1000000 // (SELECT sum(w3) FROM r3) AS BIGINT) AS weight_ppm
+FROM r3
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_hash_documents": sample_hash_documents,
+    "mixture_doremi_weights": mixture_doremi_weights,
     "sample_token_budget_mixture": sample_token_budget_mixture,
     "sample_dsir_weights": sample_dsir_weights,
     "sample_perplexity_buckets": sample_perplexity_buckets,
@@ -1724,6 +1842,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_hash_documents": _HASH_SAMPLE_SQL,
+    "mixture_doremi_weights": _DOREMI_SQL,
     "sample_token_budget_mixture": _MIX_TOKENS_SQL,
     "sample_dsir_weights": _DSIR_SQL,
     "sample_perplexity_buckets": _PPL_SQL,

@@ -48,6 +48,203 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ann_mmr_rerank_topk — maximal-marginal-relevance diversification: the
+# re-rank step a RAG retriever runs after ANN shortlisting, trading
+# relevance against redundancy (score = 0.7*cos(q,c) - 0.3*max cos to
+# the already-selected set; step 1 is pure relevance). Greedy selection
+# is unrolled to exactly K=4 DataFrame stages over a 12-candidate pool
+# per query — the pool and its pairwise cosines are computed ONCE and
+# lineage-pinned (lazy localCheckpoint, the pipeline_q narrow-pin
+# pattern) so the iterations never rescan the corpus. All doubles are
+# combined in the same literal op order on both engines (0.7*a - 0.3*b
+# over bit-identical cosines), ties break on c_id, so the greedy
+# selections agree exactly.
+# Scale: ONE corpus scan builds the pool (broadcast 8-query eval set +
+# q_id-partitioned top-12 window); everything after is k-bounded
+# (12 rows + 132 pair rows per query) regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+# NOT computed as 1 - _MMR_LAMBDA: in Python that is 0.30000000000000004,
+# which would diverge from the oracle's literal 0.3 at the double ulp.
+_MMR_MU = 0.3
+_MMR_POOL = 12
+_MMR_K = 4
+
+
+def _cos_clamped(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine clamped to [-1, 1]. The raw sequential fold returns
+    1.0000000000000002 for identical vectors (s / (sqrt(s)*sqrt(s)))
+    while DuckDB's list_cosine_similarity clamps — invisible under
+    trunc4 until MMR's 0.7*rel - 0.3*div subtraction lands the ulp
+    exactly on a truncation boundary (caught at synthetic sf1, where
+    replication guarantees identical-vector pairs and mmr = 0.4). The
+    oracle clamps explicitly too, so both engines share the exact
+    post-clamp doubles."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(a, b)))
+
+
+def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings", heavy=True)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id", "c_id", "cv", _cos_clamped(F.col("qv"), F.col("cv")).alias("cos_qc")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_qc"), F.asc("c_id"))
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        cand.select("q_id", F.col("c_id").alias("ca"), F.col("cv").alias("av"))
+        .join(
+            cand.select("q_id", F.col("c_id").alias("cb"), F.col("cv").alias("bv")),
+            "q_id",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "q_id", "ca", "cb", _cos_clamped(F.col("av"), F.col("bv")).alias("cos_cc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand_slim = cand.select("q_id", "c_id", "cos_qc")
+    sel1 = cand.filter(F.col("rk") == 1).select(
+        "q_id",
+        F.lit(1).alias("sel_rank"),
+        "c_id",
+        (F.lit(_MMR_LAMBDA) * F.col("cos_qc")).alias("mmr"),
+    )
+    outs = [sel1]
+    selected = sel1.select("q_id", "c_id")
+    for step in range(2, _MMR_K + 1):
+        rem = cand_slim.join(selected, ["q_id", "c_id"], "left_anti")
+        sims = (
+            pairs.join(selected.withColumnRenamed("c_id", "cb"), ["q_id", "cb"])
+            .groupBy("q_id", "ca")
+            .agg(F.max("cos_cc").alias("msim"))
+            .withColumnRenamed("ca", "c_id")
+        )
+        pick = (
+            rem.join(sims, ["q_id", "c_id"])
+            .withColumn(
+                "mmr",
+                F.lit(_MMR_LAMBDA) * F.col("cos_qc")
+                - F.lit(_MMR_MU) * F.col("msim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.desc("mmr"), F.asc("c_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("q_id", F.lit(step).alias("sel_rank"), "c_id", "mmr")
+        )
+        outs.append(pick)
+        selected = selected.unionByName(pick.select("q_id", "c_id"))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "q_id",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "c_id",
+        _trunc4(F.col("mmr")).alias("mmr"),
+    ).orderBy("q_id", "sel_rank")
+
+
+def _mmr_step_sql(step: int, prev_sels: list[str]) -> str:
+    prev_union = "\n    UNION ALL ".join(
+        f"SELECT q_id, c_id FROM {s}" for s in prev_sels
+    )
+    return f"""
+selset{step} AS (
+  {prev_union}
+),
+ms{step} AS (
+  SELECT c.q_id, c.c_id, c.cos_qc, max(p.cos_cc) AS msim
+  FROM cand c
+  LEFT JOIN selset{step} x ON x.q_id = c.q_id AND x.c_id = c.c_id
+  JOIN pairs p ON p.q_id = c.q_id AND p.ca = c.c_id
+  JOIN selset{step} s ON s.q_id = p.q_id AND s.c_id = p.cb
+  WHERE x.c_id IS NULL
+  GROUP BY 1, 2, 3
+),
+sel{step} AS (
+  SELECT q_id, c_id, mmr FROM (
+    SELECT q_id, c_id, 0.7 * cos_qc - 0.3 * msim AS mmr,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY 0.7 * cos_qc - 0.3 * msim DESC,
+                                       c_id ASC) AS rn
+    FROM ms{step}
+  ) WHERE rn = 1
+)"""
+
+
+_MMR_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+cand AS (
+  SELECT q_id, c_id, cv, cos_qc FROM (
+    SELECT q_id, c_id, cv,
+           least(1.0, greatest(-1.0, list_cosine_similarity(qv, cv)))
+             AS cos_qc,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY least(1.0, greatest(-1.0,
+                            list_cosine_similarity(qv, cv))) DESC,
+                      c_id ASC) AS rk
+    FROM q CROSS JOIN c
+    WHERE c_id <> q_id
+  ) WHERE rk <= {_MMR_POOL}
+),
+pairs AS (
+  SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+         least(1.0, greatest(-1.0, list_cosine_similarity(a.cv, b.cv)))
+           AS cos_cc
+  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+),
+sel1 AS (
+  SELECT q_id, c_id, 0.7 * cos_qc AS mmr FROM (
+    SELECT q_id, c_id, cos_qc,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_qc DESC, c_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{_mmr_step_sql(2, ["sel1"])},
+{_mmr_step_sql(3, ["sel1", "sel2"])},
+{_mmr_step_sql(4, ["sel1", "sel2", "sel3"])}
+SELECT q_id, CAST(sel_rank AS INTEGER) AS sel_rank, c_id,
+       floor(mmr * 10000) / 10000 AS mmr
+FROM (
+  SELECT q_id, 1 AS sel_rank, c_id, mmr FROM sel1
+  UNION ALL SELECT q_id, 2, c_id, mmr FROM sel2
+  UNION ALL SELECT q_id, 3, c_id, mmr FROM sel3
+  UNION ALL SELECT q_id, 4, c_id, mmr FROM sel4
+)
+ORDER BY q_id, sel_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # semantic_decontam_stats — embedding-space decontamination: the gram-
 # hash decontam family (split_decontamination_stats) catches verbatim
 # and near-verbatim overlap, but paraphrased benchmark leakage only
@@ -2598,6 +2795,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "semantic_decontam_stats": semantic_decontam_stats,
+    "ann_mmr_rerank_topk": ann_mmr_rerank_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_index_stats": ann_index_stats,
     "embedding_drift_snapshots": embedding_drift_snapshots,
@@ -2630,6 +2828,7 @@ ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
     "retrieval_eval_metrics": _RETRIEVAL_EVAL_SQL,
     "semantic_decontam_stats": _SEM_DECON_SQL,
+    "ann_mmr_rerank_topk": _MMR_SQL,
     "ann_filtered_topk": _FILTERED_SQL,
     "ann_index_stats": _INDEX_STATS_SQL,
     "embedding_drift_snapshots": _DRIFT_SQL,

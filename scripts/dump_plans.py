@@ -448,6 +448,31 @@ SHOWCASE = [
         "arithmetic — no second corpus scan, no extra shuffle beyond "
         "the bin groupBy; all bound arithmetic is exact long `div`.",
     ),
+    (
+        "preference_pair_construction",
+        "DPO pair assembly (round 14): ONE parquet scan, ONE hash "
+        "exchange on the prompt-group key serves both rank-1 windows "
+        "AND the final groupBy (the naive per-group candidates x "
+        "candidates self-join never exists in the plan); the quality "
+        "score is exact integer map-side arithmetic.",
+    ),
+    (
+        "semantic_decontam_stats",
+        "Embedding-space decontamination (round 14): the 40-vector "
+        "benchmark enters via BroadcastExchange, the corpus is scanned "
+        "ONCE with per-row cost |bench|, and both groupBys are "
+        "map-side-combined — no shuffle ever carries a corpus x bench "
+        "product.",
+    ),
+    (
+        "ann_mmr_rerank_topk",
+        "MMR diversified re-rank (round 14): one corpus scan builds "
+        "the 12-candidate pool (broadcast 8-query eval set + q_id "
+        "window); the pool and its pairwise cosines are lineage-pinned "
+        "with a lazy localCheckpoint so the 3 unrolled greedy stages "
+        "join k-bounded frames only — no corpus re-scan appears "
+        "anywhere in the executed plan.",
+    ),
 ]
 
 

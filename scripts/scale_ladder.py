@@ -181,6 +181,22 @@ QUERIES = [
     # per run — fixed 120-image slice, so expect flat like its batch
     # twin; the measured work is the index IO + gate machinery).
     "dedup_images_phash_replay",
+    # round-14 batch 2: preference-pair assembly (map-side score + one
+    # group-key exchange, linear), semantic decontamination (broadcast
+    # 40-vector benchmark x corpus scan, linear in corpus), SFT mask
+    # accounting (one user_id exchange over the bounded episode pool —
+    # expect flat-ish: the <300-user filter prunes at the scan),
+    # DoReMi reweighting (one corpus pass + |domains|-row iterations),
+    # MMR re-rank (one corpus scan into a 12-candidate pool; the
+    # greedy stages are k-bounded), retrieval eval (one scan, ranked
+    # per 20 queries), crawl frontier (one groupBy(host) closed form).
+    "preference_pair_construction",
+    "semantic_decontam_stats",
+    "sft_loss_masking_stats",
+    "mixture_doremi_weights",
+    "ann_mmr_rerank_topk",
+    "retrieval_eval_metrics",
+    "crawl_frontier_schedule",
 ]
 
 

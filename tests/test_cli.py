@@ -135,8 +135,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 247, sorted(qs)
-    assert len(oracles) == 247, sorted(oracles)
+    assert len(qs) == 249, sorted(qs)
+    assert len(oracles) == 249, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
