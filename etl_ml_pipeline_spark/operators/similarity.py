@@ -215,6 +215,71 @@ class SimilarityTopK(BaseTransform):
         return brute_force_topk(queries, df, k=k)
 
 
+@register_transform("semantic_decontam")
+class SemanticDecontam(BaseTransform):
+    """Drop rows whose embedding is a near-duplicate (cosine >=
+    threshold) of ANY benchmark vector — the paraphrase-leak complement
+    to the gram-hash ``decontaminate`` transform (catalog twin:
+    ``semantic_decontam_stats``; see that query for the audited
+    semantics).
+
+    config:
+      benchmark_path: PATH    # parquet with the benchmark vectors
+      vec_col: embedding      # vector column on the input frame
+      bench_vec_col: null     # benchmark's vector column (default vec_col)
+      id_col: doc_id
+      threshold: 0.999
+
+    Scale: the benchmark is collected to a broadcast (eval sets are
+    small by construction) and the corpus is scanned ONCE with per-row
+    cost |bench|; the gate is an id anti-join. A benchmark larger than
+    the broadcast cap raises loudly instead of silently shuffling an
+    all-pairs product — at that size route through the IVF shortlist
+    path (ann_index.build + gate on probe candidates) instead.
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        cfg = self.config
+        if "benchmark_path" not in cfg:
+            raise ValueError("semantic_decontam: config needs 'benchmark_path'")
+        for key in (cfg.get("vec_col", "embedding"), cfg.get("id_col", "doc_id")):
+            if key not in df.columns:
+                raise ValueError(
+                    f"semantic_decontam: column {key!r} not in input"
+                )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from etl_ml_pipeline_spark.sizing import BROADCAST_MAX_BYTES, path_bytes
+
+        cfg = self.config
+        vec_col = cfg.get("vec_col", "embedding")
+        id_col = cfg.get("id_col", "doc_id")
+        bench_vec = cfg.get("bench_vec_col") or vec_col
+        thr = float(cfg.get("threshold", 0.999))
+        path = str(cfg["benchmark_path"])
+        nbytes = path_bytes(path)
+        if nbytes is not None and nbytes > BROADCAST_MAX_BYTES:
+            raise ValueError(
+                f"semantic_decontam: benchmark at {path!r} is {nbytes} bytes "
+                f"(> broadcast cap {BROADCAST_MAX_BYTES}); an all-pairs "
+                "cosine join at that size is a scale-killer — shortlist "
+                "candidates with the IVF index path instead"
+            )
+        bench = df.sparkSession.read.parquet(path).select(
+            as_double(F.col(bench_vec)).alias("__bv")
+        )
+        hits = (
+            df.select(F.col(id_col).alias("__sid"), as_double(F.col(vec_col)).alias("__cv"))
+            .crossJoin(F.broadcast(bench))
+            .filter(cosine(F.col("__cv"), F.col("__bv")) >= thr)
+            .select("__sid")
+            .distinct()
+        )
+        return df.join(
+            hits, F.col(id_col) == F.col("__sid"), "left_anti"
+        )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -656,6 +656,105 @@ class Decontaminate(BaseTransform):
         )
 
 
+@register_transform("preference_pairs")
+class PreferencePairs(BaseTransform):
+    """Assemble DPO/RLHF (chosen, rejected) training pairs from a
+    scored candidate pool — the YAML-pipeline form of the catalog's
+    ``preference_pair_construction`` (see that query for the audited
+    semantics). Candidates are grouped by a prompt key, the best and
+    worst scorer in each group become the pair, and zero-margin groups
+    emit nothing (a tie teaches a DPO loss nothing).
+
+    config:
+      id_col: doc_id
+      group_cols: [lang]    # prompt-group key columns
+      bucket_col: n_chars   # optional numeric column bucketed into the key
+      bucket_size: 200
+      score_col: null       # precomputed score column; default derives an
+                            # integer-grid type-token-ratio from text_col
+      text_col: text        # only read when score_col is absent
+
+    Output: one row per positive-margin group — the group key columns
+    (+ ``bucket`` when bucket_col is set), n_candidates, chosen_id,
+    rejected_id, chosen_score, rejected_score, margin.
+    Scale: one map-side score projection + ONE exchange on the group
+    key (both rank-1 windows and the rollup share it); never a
+    per-group candidates x candidates self-join.
+    """
+
+    def validate(self, df: DataFrame) -> None:
+        cfg = self.config
+        group_cols = cfg.get("group_cols", ["lang"])
+        if not group_cols and "bucket_col" not in cfg:
+            raise ValueError(
+                "preference_pairs: need group_cols and/or bucket_col"
+            )
+        need = [cfg.get("id_col", "doc_id"), *group_cols]
+        if "bucket_col" in cfg:
+            need.append(cfg["bucket_col"])
+        need.append(cfg.get("score_col") or cfg.get("text_col", "text"))
+        for c in need:
+            if c not in df.columns:
+                raise ValueError(
+                    f"preference_pairs: column {c!r} not in input"
+                )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        cfg = self.config
+        id_col = cfg.get("id_col", "doc_id")
+        group_cols = list(cfg.get("group_cols", ["lang"]))
+        if "bucket_col" in cfg:
+            size = int(cfg.get("bucket_size", 200))
+            df = df.withColumn(
+                "bucket", F.floor(F.col(cfg["bucket_col"]) / size).cast("long")
+            )
+            group_cols.append("bucket")
+        if cfg.get("score_col"):
+            score = F.col(cfg["score_col"]).cast("double")
+        else:
+            toks = F.split(F.trim(F.col(cfg.get("text_col", "text"))), r"\s+")
+            score = F.floor(
+                F.size(F.array_distinct(toks)).cast("long")
+                * 1_000_000
+                / F.size(toks)
+            ).cast("double")
+        scored = df.select(*group_cols, F.col(id_col).alias("__pid"),
+                           score.alias("__score"))
+        grp = W.partitionBy(*group_cols)
+        ranked = scored.select(
+            *group_cols,
+            "__pid",
+            "__score",
+            F.row_number()
+            .over(grp.orderBy(F.desc("__score"), F.asc("__pid")))
+            .alias("__rb"),
+            F.row_number()
+            .over(grp.orderBy(F.asc("__score"), F.asc("__pid")))
+            .alias("__rw"),
+        )
+        pairs = ranked.groupBy(*group_cols).agg(
+            F.count("*").alias("n_candidates"),
+            F.max(F.when(F.col("__rb") == 1, F.col("__pid"))).alias("chosen_id"),
+            F.max(F.when(F.col("__rb") == 1, F.col("__score"))).alias(
+                "chosen_score"
+            ),
+            F.max(F.when(F.col("__rw") == 1, F.col("__pid"))).alias(
+                "rejected_id"
+            ),
+            F.max(F.when(F.col("__rw") == 1, F.col("__score"))).alias(
+                "rejected_score"
+            ),
+        )
+        return pairs.filter(
+            (F.col("n_candidates") >= 2)
+            & (F.col("chosen_score") > F.col("rejected_score"))
+        ).withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+
+
 @register_transform("pii_scrub")
 class PiiScrub(BaseTransform):
     """Adds pii counts and replaces the text column with its scrubbed

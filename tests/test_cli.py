@@ -116,6 +116,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("url_dedup_corpus", tmp_path / "out10"),
         ("decontaminated_corpus", tmp_path / "out11"),
         ("ffd_packed_corpus", tmp_path / "out12"),
+        ("preference_pairs", tmp_path / "out13"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),

@@ -170,6 +170,84 @@ def test_doremi_weight_behavior(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# registry transforms: preference_pairs + semantic_decontam
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_transform(spark):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    df = spark.createDataFrame(
+        [
+            # group (en): clear best (distinct-heavy) vs worst (repetitive)
+            (1, "en", 100, "a b c d e"),
+            (2, "en", 120, "a a a a a"),
+            (3, "en", 150, "a b a b c"),
+            # group (de): single candidate -> no pair
+            (4, "de", 100, "x y z"),
+            # group (fr): tie scores -> zero margin -> no pair
+            (5, "fr", 100, "p q"),
+            (6, "fr", 110, "r s"),
+        ],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    t = TRANSFORMS.get("preference_pairs")({"group_cols": ["lang"]})
+    out = t(df).toPandas().set_index("lang")
+    assert list(out.index) == ["en"]
+    assert out.loc["en", "chosen_id"] == 1
+    assert out.loc["en", "rejected_id"] == 2
+    assert out.loc["en", "n_candidates"] == 3
+    assert out.loc["en", "margin"] > 0
+    # bucket_col splits groups; score_col overrides the TTR default
+    t2 = TRANSFORMS.get("preference_pairs")(
+        {"group_cols": ["lang"], "bucket_col": "n_chars", "bucket_size": 50,
+         "score_col": "n_chars"}
+    )
+    out2 = t2(df).toPandas()
+    assert "bucket" in out2.columns
+    # validation errors are loud
+    with pytest.raises(ValueError, match="not in input"):
+        TRANSFORMS.get("preference_pairs")({"group_cols": ["nope"]})(df)
+
+
+def test_semantic_decontam_transform(spark, tmp_path):
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(bench_path)
+    df = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # scaled copy of bench 100 -> dropped
+            (2, [0.0, 0.0, 1.0]),   # orthogonal -> kept
+            (3, [0.0, 3.0, 0.0]),   # scaled copy of bench 101 -> dropped
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    t = TRANSFORMS.get("semantic_decontam")({"benchmark_path": bench_path})
+    kept = sorted(r.doc_id for r in t(df).collect())
+    assert kept == [2]
+    # oversized benchmark refuses instead of shuffling an all-pairs join
+    big = TRANSFORMS.get("semantic_decontam")(
+        {"benchmark_path": bench_path, "threshold": 0.5}
+    )
+    from unittest import mock
+
+    with mock.patch(
+        "etl_ml_pipeline_spark.sizing.path_bytes", return_value=1 << 40
+    ):
+        with pytest.raises(ValueError, match="scale-killer"):
+            big(df)
+    # missing column is loud
+    with pytest.raises(ValueError, match="not in input"):
+        TRANSFORMS.get("semantic_decontam")(
+            {"benchmark_path": bench_path, "vec_col": "nope"}
+        )(df)
+
+
 def test_mmr_selection_structure(spark, sf_dir):
     out = ann_mmr_rerank_topk(spark, sf_dir).toPandas()
     assert set(out.q_id.unique()) == set(range(8))
