@@ -1134,3 +1134,47 @@ def test_pack_boundary_stats_single_scan_no_join(spark, sf_dir):
     # the post-kernel aggregates are map-side combined
     assert "partial_" in plan
     assert plan.count("Exchange hashpartitioning(segment_id") <= 3
+
+
+def test_preference_pairs_single_group_exchange(spark, sf_dir):
+    """DPO pair assembly must keep the single-exchange topology: both
+    rank-1 windows AND the rollup ride ONE hashpartitioning on the
+    prompt-group key; no join of any kind ever appears (the naive
+    formulation self-joins candidates per group)."""
+    from etl_ml_pipeline_spark.queries.ml_q import preference_pair_construction
+
+    plan = _plan(preference_pair_construction(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(lang") == 1
+    # one parquet scan of documents; the score is map-side
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+def test_semantic_decontam_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark side must enter via BroadcastExchange (eval sets
+    are small by construction) and the corpus must never shuffle into
+    a sort-merge join against it — the all-pairs cosine product exists
+    only inside the broadcast nested loop, row-at-a-time."""
+    from etl_ml_pipeline_spark.queries.similarity_q import semantic_decontam_stats
+
+    plan = _plan(semantic_decontam_stats(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # both rollups are map-side combined
+    assert "partial_" in plan
+
+
+def test_mmr_greedy_stages_never_rescan_corpus(spark, sf_dir):
+    """The 12-candidate pool and its pairwise cosines are lineage-
+    pinned (lazy localCheckpoint): the executed plan of the final
+    4-stage union must read ONLY the checkpointed RDDs — a parquet
+    scan here means a greedy stage re-derived the pool from the
+    corpus (3 extra corpus scans at 100 TB)."""
+    from etl_ml_pipeline_spark.queries.similarity_q import ann_mmr_rerank_topk
+
+    df = ann_mmr_rerank_topk(spark, sf_dir)
+    df.collect()  # materialize the lazy checkpoints
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan
