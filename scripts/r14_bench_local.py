@@ -18,7 +18,15 @@ REPO = Path(__file__).resolve().parents[1]
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # MERGE with any earlier batch this round instead of clobbering it —
+    # the session list is the round's evidence base. `value` totals are
+    # only comparable within a batch when the headline set changed
+    # mid-round (batch 2 added 2 queries); value_22q is always
+    # comparable, which is why it exists.
     sessions = []
+    prior = REPO / "BENCH_LOCAL_r14.json"
+    if prior.exists():
+        sessions = json.loads(prior.read_text()).get("sessions", [])
     best = None
     for i in range(n):
         import os
