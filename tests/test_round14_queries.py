@@ -10,7 +10,6 @@ behavior, and MMR selection structure (incl. a numpy greedy replay).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pytest
 
 from etl_ml_pipeline_spark.queries.ml_q import preference_pair_construction
