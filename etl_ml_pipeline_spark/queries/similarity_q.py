@@ -51,17 +51,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_mmr_rerank_topk — maximal-marginal-relevance diversification: the
 # re-rank step a RAG retriever runs after ANN shortlisting, trading
 # relevance against redundancy (score = 0.7*cos(q,c) - 0.3*max cos to
-# the already-selected set; step 1 is pure relevance). Greedy selection
-# is unrolled to exactly K=4 DataFrame stages over a 12-candidate pool
-# per query — the pool and its pairwise cosines are computed ONCE and
-# lineage-pinned (lazy localCheckpoint, the pipeline_q narrow-pin
-# pattern) so the iterations never rescan the corpus. All doubles are
-# combined in the same literal op order on both engines (0.7*a - 0.3*b
-# over bit-identical cosines), ties break on c_id, so the greedy
-# selections agree exactly.
+# the already-selected set; step 1 is pure relevance). The greedy K=4
+# selection runs as ONE Arrow cogroup-applyInPandas kernel over the
+# 12-candidate pool + its pairwise cosines (operators/similarity.py::
+# mmr_select) — the kernel only compares / linearly combines the
+# Spark-computed cosine doubles with the same IEEE ops as the oracle's
+# expression (0.7*a - 0.3*b over bit-identical, [-1,1]-clamped
+# cosines; ties on c_id), so the picks hash-match DuckDB's unrolled
+# CTEs exactly. An earlier formulation unrolled the greedy into 4
+# DataFrame stages: identical results, but ~79 exchanges of <=132-row
+# frames = ~1.5s of pure scheduling latency at ANY scale factor
+# (sf0.1: 2.0-2.4s steady vs ~0.6s through the kernel).
 # Scale: ONE corpus scan builds the pool (broadcast 8-query eval set +
-# q_id-partitioned top-12 window); everything after is k-bounded
-# (12 rows + 132 pair rows per query) regardless of corpus size.
+# q_id-partitioned top-12 window), lineage-pinned with a lazy
+# localCheckpoint so the pairs self-join doesn't rescan it; everything
+# after is k-bounded (12 rows + 132 pair rows per query) regardless of
+# corpus size.
 # ---------------------------------------------------------------------------
 
 _MMR_LAMBDA = 0.7
@@ -117,49 +122,23 @@ def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id", "ca", "cb", _cos_clamped(F.col("av"), F.col("bv")).alias("cos_cc")
         )
+        # fresh attribute ids: the cogroup below groups cand AND this
+        # cand-derived frame on q_id, which is self-join-ambiguous
+        # while they share lineage
         .localCheckpoint(eager=False)
     )
-    cand_slim = cand.select("q_id", "c_id", "cos_qc")
-    sel1 = cand.filter(F.col("rk") == 1).select(
-        "q_id",
-        F.lit(1).alias("sel_rank"),
-        "c_id",
-        (F.lit(_MMR_LAMBDA) * F.col("cos_qc")).alias("mmr"),
+    from etl_ml_pipeline_spark.operators.similarity import mmr_select
+
+    out = mmr_select(
+        cand.select("q_id", "c_id", "cos_qc", "rk"),
+        pairs,
+        k=_MMR_K,
+        lam=_MMR_LAMBDA,
+        mu=_MMR_MU,
     )
-    outs = [sel1]
-    selected = sel1.select("q_id", "c_id")
-    for step in range(2, _MMR_K + 1):
-        rem = cand_slim.join(selected, ["q_id", "c_id"], "left_anti")
-        sims = (
-            pairs.join(selected.withColumnRenamed("c_id", "cb"), ["q_id", "cb"])
-            .groupBy("q_id", "ca")
-            .agg(F.max("cos_cc").alias("msim"))
-            .withColumnRenamed("ca", "c_id")
-        )
-        pick = (
-            rem.join(sims, ["q_id", "c_id"])
-            .withColumn(
-                "mmr",
-                F.lit(_MMR_LAMBDA) * F.col("cos_qc")
-                - F.lit(_MMR_MU) * F.col("msim"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("q_id").orderBy(F.desc("mmr"), F.asc("c_id"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("q_id", F.lit(step).alias("sel_rank"), "c_id", "mmr")
-        )
-        outs.append(pick)
-        selected = selected.unionByName(pick.select("q_id", "c_id"))
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionByName(p)
     return out.select(
         "q_id",
-        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "sel_rank",
         "c_id",
         _trunc4(F.col("mmr")).alias("mmr"),
     ).orderBy("q_id", "sel_rank")

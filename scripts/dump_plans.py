@@ -469,9 +469,12 @@ SHOWCASE = [
         "MMR diversified re-rank (round 14): one corpus scan builds "
         "the 12-candidate pool (broadcast 8-query eval set + q_id "
         "window); the pool and its pairwise cosines are lineage-pinned "
-        "with a lazy localCheckpoint so the 3 unrolled greedy stages "
-        "join k-bounded frames only — no corpus re-scan appears "
-        "anywhere in the executed plan.",
+        "with lazy localCheckpoints, and the greedy K=4 selection runs "
+        "as ONE Arrow cogroup kernel comparing the Spark-computed "
+        "cosines — no corpus re-scan and no per-selection stage "
+        "appears anywhere in the executed plan (an unrolled 4-stage "
+        "formulation measured ~79 exchanges / 2.0-2.4s steady at "
+        "sf0.1 vs 1.1-1.4s for this shape, identical results).",
     ),
 ]
 

@@ -255,6 +255,63 @@ def test_mmr_selection_structure(spark, sf_dir):
         assert g.c_id.nunique() == _MMR_K
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mmr_kernel_matches_python_reference_on_random_pools(spark, seed):
+    """mmr_select (the Arrow cogroup kernel) vs a pure-python greedy on
+    random pools, including EXACT score ties (duplicated cosines) that
+    must break on c_id ascending."""
+    import random
+
+    from etl_ml_pipeline_spark.operators.similarity import mmr_select
+
+    rng = random.Random(seed)
+    cand_rows, pair_rows, want = [], [], {}
+    for qid in range(4):
+        n = rng.randint(2, 8)
+        ids = rng.sample(range(100), n)
+        # quantized cosines force ties
+        rel = {c: rng.randint(-4, 4) / 4.0 for c in ids}
+        cc = {}
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    key = (min(a, b), max(a, b))
+                    if key not in cc:
+                        cc[key] = rng.randint(-4, 4) / 4.0
+                    cc[(a, b)] = cc[key]
+        order = sorted(ids, key=lambda c: (-rel[c], c))
+        for rk, c in enumerate(order, 1):
+            cand_rows.append((qid, c, rel[c], rk))
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    pair_rows.append((qid, a, b, cc[(a, b)]))
+        # python reference greedy
+        sel, scores = [order[0]], [0.7 * rel[order[0]]]
+        while len(sel) < 3 and len(sel) < n:
+            best = None
+            for c in order:
+                if c in sel:
+                    continue
+                s = 0.7 * rel[c] - 0.3 * max(cc[(c, x)] for x in sel)
+                if best is None or (s, -c) > best[0]:
+                    best = ((s, -c), c, s)
+            sel.append(best[1])
+            scores.append(best[2])
+        want[qid] = list(zip(sel, scores))
+    cand = spark.createDataFrame(
+        cand_rows, "q_id long, c_id long, cos_qc double, rk int"
+    )
+    pairs = spark.createDataFrame(
+        pair_rows, "q_id long, ca long, cb long, cos_cc double"
+    )
+    out = mmr_select(cand, pairs, k=3, lam=0.7, mu=0.3).toPandas()
+    for qid, expected in want.items():
+        got = out[out.q_id == qid].sort_values("sel_rank")
+        assert [int(c) for c in got.c_id] == [c for c, _ in expected]
+        assert [float(m) for m in got.mmr] == [s for _, s in expected]
+
+
 def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     vecs = {
