@@ -201,17 +201,59 @@ def lsh_near_dup_pairs(
 @register_transform("similarity_topk")
 class SimilarityTopK(BaseTransform):
     """Config-driven ANN: joins the input (corpus) against a query table
-    registered as a temp view; exact or LSH mode."""
+    registered as a temp view; ``exact``, ``lsh`` or ``mmr`` mode
+    (mmr = exact pool of ``pool`` candidates, then greedy maximal-
+    marginal-relevance diversification down to k via the cogroup
+    kernel — ``lambda`` weighs relevance, 1-lambda redundancy)."""
 
     def transform(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         queries = spark.table(self.config["queries_view"])
         k = int(self.config.get("k", 5))
-        if self.config.get("mode", "exact") == "lsh":
+        mode = self.config.get("mode", "exact")
+        if mode == "lsh":
             dim = int(self.config.get("dim", 64))
             bits = int(self.config.get("n_bits", 12))
             planes = make_hyperplanes(dim, bits, int(self.config.get("seed", 0)))
             return lsh_topk(queries, df, planes, k=k)
+        if mode == "mmr":
+            lam = float(self.config.get("lambda", 0.7))
+            pool_n = int(self.config.get("pool", 3 * k))
+            pool = brute_force_topk(queries, df, k=pool_n).select(
+                "q_id", "c_id", F.col("cos").alias("cos_qc"),
+                F.col("rank").alias("rk"),
+            )
+            vecs = df.select(
+                F.col("c_id"), as_double(F.col("c_vec")).alias("__v")
+            )
+            cand = pool.join(vecs, "c_id").localCheckpoint(eager=False)
+            pairs = (
+                cand.select("q_id", F.col("c_id").alias("ca"),
+                            F.col("__v").alias("__av"))
+                .join(
+                    cand.select("q_id", F.col("c_id").alias("cb"),
+                                F.col("__v").alias("__bv")),
+                    "q_id",
+                )
+                .filter(F.col("ca") != F.col("cb"))
+                .select(
+                    "q_id", "ca", "cb",
+                    F.least(
+                        F.lit(1.0),
+                        F.greatest(
+                            F.lit(-1.0), cosine(F.col("__av"), F.col("__bv"))
+                        ),
+                    ).alias("cos_cc"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            return mmr_select(
+                cand.select("q_id", "c_id", "cos_qc", "rk"),
+                pairs,
+                k=k,
+                lam=lam,
+                mu=1.0 - lam,
+            )
         return brute_force_topk(queries, df, k=k)
 
 

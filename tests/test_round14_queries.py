@@ -312,6 +312,41 @@ def test_mmr_kernel_matches_python_reference_on_random_pools(spark, seed):
         assert [float(m) for m in got.mmr] == [s for _, s in expected]
 
 
+def test_similarity_topk_mmr_mode_diversifies(spark):
+    """The `mmr` mode of similarity_topk must (a) return k rows per
+    query led by the pure-relevance top-1, and (b) actually diversify:
+    with two near-identical top candidates and one distinct runner-up,
+    plain top-2 keeps the duplicate pair, MMR's second pick skips it."""
+    from etl_ml_pipeline_spark.registry import TRANSFORMS
+
+    # all three candidates are EQUALLY relevant to q (cos = 1/sqrt(2));
+    # 11 is a scaled duplicate of 10 (pairwise cos exactly 1), 12 is
+    # orthogonal to both (pairwise cos 0). Relevance ties break on
+    # c_id, so exact top-2 keeps the duplicate; MMR must not.
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 1.0, 0.0]),
+            (11, [2.0, 2.0, 0.0]),
+            (12, [1.0, -1.0, 0.0]),
+        ],
+        "c_id long, c_vec array<double>",
+    )
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "q_id long, q_vec array<double>"
+    ).createOrReplaceTempView("mmr_queries")
+    t = TRANSFORMS.get("similarity_topk")(
+        {"queries_view": "mmr_queries", "mode": "mmr", "k": 2, "pool": 3,
+         "lambda": 0.5}
+    )
+    out = t(corpus).toPandas().sort_values("sel_rank")
+    assert [int(c) for c in out.c_id] == [10, 12]  # 11 skipped as redundant
+    # exact mode would have returned [10, 11]
+    exact = TRANSFORMS.get("similarity_topk")(
+        {"queries_view": "mmr_queries", "mode": "exact", "k": 2}
+    )(corpus).toPandas().sort_values("rank")
+    assert [int(c) for c in exact.c_id] == [10, 11]
+
+
 def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     vecs = {
