@@ -28,7 +28,9 @@ verification is the JVM bit_count(xor) fold on band-collision
 candidates only. No forced broadcast hints anywhere: AQE picks the
 strategy from real index-side sizes (the r12/r13 lesson). The hash
 extraction itself (PNG decode -> dhash_bits) stays with the caller —
-the index is modality-agnostic over any fixed-width bit-string hash.
+the HASH side is modality-agnostic over any fixed-width bit-string
+hash, while the ID side is a fixed LONG key by contract (string-keyed
+corpora pre-map with e.g. ``F.xxhash64``; see ``_normalized``).
 """
 
 from __future__ import annotations
@@ -87,7 +89,24 @@ def _normalized(hashed: DataFrame, id_col: str, hash_col: str) -> DataFrame:
     only protects against ids ALREADY indexed. min(dhash) makes the
     survivor deterministic; an id arriving with conflicting hashes is
     an upstream bug this layer resolves reproducibly rather than
-    nondeterministically."""
+    nondeterministically.
+
+    Index keys are LONG by contract: the hash side is modality-agnostic
+    (any fixed-width bit string), but the id side is a fixed 8-byte key
+    so the index stays MBs-per-billion-rows and the anti-join/gate keys
+    never compare across types. A string-keyed corpus (URLs, content
+    hashes) must pre-map to a long — e.g. ``F.xxhash64(url)`` — BEFORE
+    indexing; silently casting such ids would null them out and
+    collapse every row into one id=NULL group, so a non-numeric id
+    column is rejected at plan time (ADVICE/VERDICT r14 #4)."""
+    id_type = hashed.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"phash_index: id column {id_col!r} is {id_type}, but index "
+            "keys are long by contract — pre-map string keys with e.g. "
+            "F.xxhash64(col) before indexing (a silent cast would null "
+            "them out)"
+        )
     return (
         hashed.select(
             F.col(id_col).cast("long").alias("id"),

@@ -48,6 +48,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cos_clamped(a: Column, b: Column) -> Column:
+    """Cosine clamped to [-1, 1]. The raw sequential fold returns
+    1.0000000000000002 on identical vectors (s / (sqrt(s)*sqrt(s)));
+    any expression DERIVED from cosines (MMR's lam*rel - mu*div, score
+    margins, …) must clamp on BOTH engines or the ulp surfaces exactly
+    on a truncation boundary (caught at synthetic sf1; see
+    verify/SKILL.md). Plain trunc4(cos) outputs are safe unclamped."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(a, b)))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -219,8 +229,17 @@ class SimilarityTopK(BaseTransform):
         if mode == "mmr":
             lam = float(self.config.get("lambda", 0.7))
             pool_n = int(self.config.get("pool", 3 * k))
+            # Clamp the relevance cosines to [-1, 1] like the pairwise
+            # leg below: the MMR score SUBTRACTS the two, so an
+            # unclamped 1.0000000000000002 on a duplicate vector would
+            # land the ulp on a downstream truncation boundary
+            # (ADVICE r14 #1 — brute_force_topk's raw cos is only safe
+            # when emitted as-is).
             pool = brute_force_topk(queries, df, k=pool_n).select(
-                "q_id", "c_id", F.col("cos").alias("cos_qc"),
+                "q_id", "c_id",
+                F.least(
+                    F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cos"))
+                ).alias("cos_qc"),
                 F.col("rank").alias("rk"),
             )
             vecs = df.select(
@@ -238,11 +257,8 @@ class SimilarityTopK(BaseTransform):
                 .filter(F.col("ca") != F.col("cb"))
                 .select(
                     "q_id", "ca", "cb",
-                    F.least(
-                        F.lit(1.0),
-                        F.greatest(
-                            F.lit(-1.0), cosine(F.col("__av"), F.col("__bv"))
-                        ),
+                    cos_clamped(
+                        F.col("__av"), F.col("__bv")
                     ).alias("cos_cc"),
                 )
                 .localCheckpoint(eager=False)
@@ -337,13 +353,29 @@ class SemanticDecontam(BaseTransform):
       bench_vec_col: null     # benchmark's vector column (default vec_col)
       id_col: doc_id
       threshold: 0.999
+      n_cells: 16             # shortlist path: IVF cells over the benchmark
+      n_probe: 4              # shortlist path: cells probed per corpus row
+      force_shortlist: false  # take the shortlist path regardless of size
+      max_broadcast_bytes: null  # override the shared broadcast cap
 
-    Scale: the benchmark is collected to a broadcast (eval sets are
-    small by construction) and the corpus is scanned ONCE with per-row
-    cost |bench|; the gate is an id anti-join. A benchmark larger than
-    the broadcast cap raises loudly instead of silently shuffling an
-    all-pairs product — at that size route through the IVF shortlist
-    path (ann_index.build + gate on probe candidates) instead.
+    Scale: below the broadcast cap the benchmark is broadcast (eval
+    sets are small by construction) and the corpus is scanned ONCE with
+    per-row cost |bench|; the gate is an id anti-join. ABOVE the cap
+    (or with ``force_shortlist``) the transform routes through the IVF
+    shortlist instead of shuffling an all-pairs product (VERDICT r14
+    ask #3): the benchmark is clustered into ``n_cells`` spherical-
+    kmeans cells (``ivf_build_kmeans`` — distributed, centroids are
+    k rows), each benchmark vector lands in its nearest cell, every
+    corpus row probes its ``n_probe`` nearest cells, and exact cosine
+    runs only inside the (cent_id) equi-join — per-row cost is the
+    probed cells' benchmark mass, not |bench|, and nothing is ever
+    broadcast except the k centroids. The shortlist is approximate by
+    construction: an exactly-parallel leak (scaled copy) shares its
+    source's nearest cell bit-for-bit so probe>=1 always catches it,
+    while near-threshold paraphrases straddling a cell boundary rely
+    on ``n_probe`` — the catalog twin
+    ``semantic_decontam_shortlist_stats`` pins recall on injected
+    leaks AND reports shortlist-vs-exact contamination side by side.
     """
 
     def validate(self, df: DataFrame) -> None:
@@ -365,26 +397,51 @@ class SemanticDecontam(BaseTransform):
         bench_vec = cfg.get("bench_vec_col") or vec_col
         thr = float(cfg.get("threshold", 0.999))
         path = str(cfg["benchmark_path"])
+        cap = int(cfg.get("max_broadcast_bytes") or BROADCAST_MAX_BYTES)
         nbytes = path_bytes(path)
-        if nbytes is not None and nbytes > BROADCAST_MAX_BYTES:
-            raise ValueError(
-                f"semantic_decontam: benchmark at {path!r} is {nbytes} bytes "
-                f"(> broadcast cap {BROADCAST_MAX_BYTES}); an all-pairs "
-                "cosine join at that size is a scale-killer — shortlist "
-                "candidates with the IVF index path instead"
-            )
+        over_cap = nbytes is None or nbytes > cap
         bench = df.sparkSession.read.parquet(path).select(
             as_double(F.col(bench_vec)).alias("__bv")
         )
-        hits = (
-            df.select(F.col(id_col).alias("__sid"), as_double(F.col(vec_col)).alias("__cv"))
-            .crossJoin(F.broadcast(bench))
+        probes = df.select(
+            F.col(id_col).alias("__sid"),
+            as_double(F.col(vec_col)).alias("__cv"),
+        )
+        if over_cap or cfg.get("force_shortlist"):
+            hits = self._shortlist_hits(bench, probes, thr)
+        else:
+            hits = (
+                probes.crossJoin(F.broadcast(bench))
+                .filter(cosine(F.col("__cv"), F.col("__bv")) >= thr)
+                .select("__sid")
+                .distinct()
+            )
+        return df.join(
+            hits, F.col(id_col) == F.col("__sid"), "left_anti"
+        )
+
+    def _shortlist_hits(
+        self, bench: DataFrame, probes: DataFrame, thr: float
+    ) -> DataFrame:
+        """IVF shortlist gate for over-cap benchmarks: exact cosine only
+        inside the probed-cell equi-join (see class docstring)."""
+        cfg = self.config
+        n_cells = int(cfg.get("n_cells", 16))
+        n_probe = int(cfg.get("n_probe", 4))
+        # one count over the benchmark (cheap next to the kmeans build
+        # that follows) so a tiny benchmark can't ask MLlib for more
+        # clusters than it has rows
+        n_cells = max(1, min(n_cells, bench.count()))
+        centroids = ivf_build_kmeans(bench, vec_col="__bv", k=n_cells)
+        bench_cells = ivf_assign(
+            bench, centroids, "__bv", "__bv"
+        ).select("cent_id", "__bv")
+        probed = _probe_exploded(probes, centroids, n_probe, "__sid", "__cv")
+        return (
+            probed.join(bench_cells, "cent_id")   # shuffle equi-join, no broadcast
             .filter(cosine(F.col("__cv"), F.col("__bv")) >= thr)
             .select("__sid")
             .distinct()
-        )
-        return df.join(
-            hits, F.col(id_col) == F.col("__sid"), "left_anti"
         )
 
 
@@ -825,4 +882,92 @@ def ivfpq_rerank_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "cos")
+    )
+
+
+def ivf_mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 4,
+    pool: int = 12,
+    n_candidates: int = 50,
+    n_probe: int = 4,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """The full production retrieval stack ending in diversification:
+    IVF-PQ shortlist -> exact rescoring of the shortlist only -> greedy
+    MMR re-rank (VERDICT r14 ask #2 — composition of the two audited
+    pieces, ``ivfpq_topk`` and ``mmr_select``, replacing the exact
+    full-corpus pool build of the standalone MMR query).
+
+    Corpus-side cost is the IVF probe: the only corpus-wide work is ADC
+    over compressed PQ codes within probed cells (cent_id equi-join);
+    full vectors are read just for the ``n_candidates`` shortlist ids
+    (a point-lookup join on c_id — no full-vector corpus scan, pinned
+    by tests/test_plans.py: every join in the pool build is an
+    equi-join, never a broadcast-nested-loop over the corpus). The
+    shortlist is cut by ADC INCLUDING any self-match, then self is
+    dropped before the exact-cosine pool ranking — the oracle mirrors
+    that order exactly. Everything after the pool cut is k-bounded
+    (``pool`` rows + pool^2 pair rows per query) regardless of corpus
+    size; the greedy runs as the one Arrow cogroup kernel over
+    lineage-pinned (lazily checkpointed) frames.
+
+    ``mu`` is passed explicitly, never computed as ``1 - lam`` (Python
+    1 - 0.7 = 0.30000000000000004 diverges from a SQL literal 0.3).
+    """
+    from pyspark.sql import Window as W
+
+    short = (
+        ivfpq_topk(
+            queries, corpus, centroids, codebooks,
+            k=n_candidates, n_probe=n_probe,
+            q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+        )
+        .select(q_id, c_id)
+        .filter(F.col(c_id) != F.col(q_id))
+    )
+    rescored = (
+        short.join(corpus, c_id)                     # point-lookup fetch
+        .join(F.broadcast(queries), q_id)
+        .select(
+            q_id,
+            c_id,
+            as_double(F.col(c_vec)).alias("__cv"),
+            cos_clamped(
+                as_double(F.col(q_vec)), as_double(F.col(c_vec))
+            ).alias("cos_qc"),
+        )
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cos_qc"), F.asc(c_id))
+    cand = (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pool)
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        cand.select(q_id, F.col(c_id).alias("ca"), F.col("__cv").alias("__av"))
+        .join(
+            cand.select(q_id, F.col(c_id).alias("cb"), F.col("__cv").alias("__bv")),
+            q_id,
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            q_id, "ca", "cb",
+            cos_clamped(F.col("__av"), F.col("__bv")).alias("cos_cc"),
+        )
+        # fresh attribute ids: the cogroup groups cand AND this
+        # cand-derived frame on q_id (self-join-ambiguous while they
+        # share lineage)
+        .localCheckpoint(eager=False)
+    )
+    return mmr_select(
+        cand.select(q_id, c_id, "cos_qc", "rk"), pairs, k=k, lam=lam, mu=mu
     )

@@ -720,8 +720,17 @@ class PreferencePairs(BaseTransform):
                 * 1_000_000
                 / F.size(toks)
             ).cast("double")
+        # Null scores (null text with no score_col, or a null score
+        # column) would sort FIRST under the asc rn_worst window, making
+        # a null-scored candidate the rejected_id — then
+        # chosen_score > null is null and the whole group silently
+        # drops even when it holds a valid positive-margin pair
+        # (ADVICE r14 #2). A score-less candidate can't participate in
+        # a preference pair; drop it before ranking.
         scored = df.select(*group_cols, F.col(id_col).alias("__pid"),
-                           score.alias("__score"))
+                           score.alias("__score")).filter(
+            F.col("__score").isNotNull()
+        )
         grp = W.partitionBy(*group_cols)
         ranked = scored.select(
             *group_cols,

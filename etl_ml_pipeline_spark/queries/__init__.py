@@ -367,22 +367,61 @@ _RECORDED_R13 = {
 for _n in _RECORDED_R13:
     _LAST_RECORDED[_n] = 13
 
-# sketch_theta_overlap_matrix's only driver record is the stale r12
-# rows-only row from BEFORE its 4-contract oracle landed (r13). Pin it
-# to tier 1 — directly behind the round-14 tier-0 additions and ahead
-# of the r09 staleness cohort — so its first hash-checked driver row
-# lands at r14 (VERDICT r13 ask #1).
-_LAST_RECORDED["sketch_theta_overlap_matrix"] = 1
+# Round 14 driver records (the exact key set of CORRECTNESS_r14.json —
+# all 50 green: the 10 round-14 additions at tier 0, the theta-matrix
+# tier-1 pin (first hash-checked row), and the 39 r09 names at the
+# ≤5-round bound). NOTE: the 7 r10 refreshes ROADMAP budgeted for this
+# prefix did NOT fit — 10 + 1 + 39 filled all 50 slots — so the r10
+# tier below stays at its full 50 names.
+_RECORDED_R14 = {
+    "ann_mmr_rerank_topk", "ann_recall_contract",
+    "attribution_linear_events", "bloom_prune_brand_revenue",
+    "changepoint_cusum_events", "clean_dedup_keep_first",
+    "clean_pipeline_customer", "clean_standardize_cast",
+    "crawl_frontier_schedule", "dedup_images_phash",
+    "dedup_images_phash_replay", "dedup_segments_documents",
+    "embedding_covariance_pca", "forecast_holt_events",
+    "hybrid_search_rrf", "kmeans_lloyd_embeddings",
+    "layout_bucketed_join_stats", "layout_zorder_prune_stats",
+    "mixture_doremi_weights", "ml_group_ols_trend",
+    "multimodal_video_frames", "pack_attention_boundary_stats",
+    "preference_pair_construction", "privacy_k_anonymity",
+    "q10_returned_revenue", "q11_important_value", "q13_order_histogram",
+    "q15_top_supplier", "q21_waiting_supplier", "retrieval_eval_metrics",
+    "sample_perplexity_buckets", "sample_source_cap_documents",
+    "semantic_decontam_stats", "sft_loss_masking_stats",
+    "sketch_theta_overlap_matrix", "sma_events",
+    "split_leakage_safe_documents", "stream_cusum_replay",
+    "stream_dedup_index_replay", "text_bpe_train_merges",
+    "validate_drop_customers", "validate_flag_summary",
+    "window_activity_streaks", "window_dist_functions",
+    "window_first_last", "window_lag_lead_orders",
+    "window_quartile_stats", "window_rank_suppliers",
+    "window_running_total", "window_topk_orders_per_customer",
+}
+for _n in _RECORDED_R14:
+    _LAST_RECORDED[_n] = 14
 
-# Round-14 rotation (VERDICT r13 ask #1): after the r13 refresh the
-# oldest tier is the 39 r09 names — they hit the ≤5-round staleness
-# bound at r14 and sort directly behind the round-14 additions (tier 0
-# via the .get default) and the theta-matrix pin above; additions +
-# 1 + 39 must stay ≤ the ~50-entry driver prefix, so round 14 adds at
-# most 10 new catalog names. Round 14 added EXACTLY 10 (phash pair +
-# boundary stats + the 7 batch-2 LLM-pipeline names), filling the
-# 50-slot prefix to the brim: 10 tier-0 + 1 theta pin + 39 r09.
-# Enforced mechanically by scripts/precommit_check.py.
+# Round-15 rotation (VERDICT r14 ask #1) — the rotation is SATURATED.
+# Tier counts after absorbing r14: 50@r10, 50@r11, 49@r12, 50@r13,
+# 50@r14 = 249 names, and the driver records exactly 50 rows/round, so
+# the 5-round staleness window has capacity 5*50 = 250. The r14 prefix
+# had no room for the 7 r10 refreshes ROADMAP planned (VERDICT r14
+# assumed 43 r10 names remain; the actual CORRECTNESS_r14 key set shows
+# all 50 r10 names still stand). Therefore the round-15 prefix must be
+# EXACTLY the 50 r10-era names — zero slots for additions — and any
+# round-15 catalog addition is pinned at tier 10.5 below: behind the
+# whole r10 cohort (so the bound holds at r15) and ahead of the r11
+# cohort (so additions lead the first free slot — 1 opens at r17 when
+# the 49-name r12 tier comes due). Enforced by precommit check #6.
+_ADDED_R15: set[str] = {
+    "ann_mmr_ivf_topk",
+    "semantic_decontam_shortlist_stats",
+    "crawl_ingest_e2e",
+    "dedup_audio_fingerprint",
+}
+for _n in _ADDED_R15:
+    _LAST_RECORDED[_n] = 10.5
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -318,6 +318,192 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# semantic_decontam_shortlist_stats — the IVF-shortlist decontamination
+# path the SemanticDecontam transform takes ABOVE the broadcast cap
+# (VERDICT r14 ask #3), as an oracle-checked contract: benchmark
+# vectors land in cells (5 deterministic cell seeds, nearest-centroid
+# assignment), every corpus row probes its 2 nearest cells, and exact
+# cosine runs ONLY inside the probed-cell equi-join. The output pins
+# BOTH recall contracts per label: all injected scaled-copy leaks are
+# caught THROUGH the shortlist (an exactly-parallel leak shares its
+# source's nearest cell bit-for-bit, so probe>=1 always finds it), and
+# shortlist-vs-exact contamination counts ship side by side with a ppm
+# recall so the approximation loss on organic hits is measured, not
+# assumed. The exact leg is the same |bench|-per-row scan as
+# semantic_decontam_stats (the yardstick); the shortlist leg's per-row
+# cost is the probed cells' benchmark mass — the posture that holds
+# when the benchmark suite itself is too big to broadcast.
+# ---------------------------------------------------------------------------
+
+_SHORTLIST_CELL_STEP = 8   # bench vec_id % 8 == 0 -> 5 cell seeds
+_SHORTLIST_PROBE = 2
+
+
+def semantic_decontam_shortlist_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import (
+        _probe_exploded,
+        ivf_assign,
+    )
+
+    emb = t(spark, sf_dir, "embeddings", heavy=True)
+    cent = emb.filter(
+        (F.col("vec_id") < 40) & (F.col("vec_id") % _SHORTLIST_CELL_STEP == 0)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        as_double(F.col("embedding")).alias("cent_vec"),
+    )
+    bench = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("b_id"), as_double(F.col("embedding")).alias("bv")
+    )
+    bench_cells = ivf_assign(bench, cent, "bv", "b_id").select("cent_id", "bv")
+    base = emb.filter(F.col("vec_id") >= 40).select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        "label",
+    )
+    injected = emb.filter(
+        (F.col("vec_id") < 40) & (F.col("vec_id") % 4 == 0)
+    ).select(
+        (F.col("vec_id") + 200000).alias("c_id"),
+        F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("cv"),
+        "label",
+    )
+    corpus = base.unionByName(injected)
+    # exact leg (the yardstick): ONE scan x broadcast benchmark
+    exact = (
+        corpus.crossJoin(F.broadcast(bench.select("bv")))
+        .select("c_id", "label", cosine(F.col("cv"), F.col("bv")).alias("cos"))
+        .groupBy("c_id", "label")
+        .agg(F.max("cos").alias("max_cos_exact"))
+    )
+    # shortlist leg: probe 2 cells, cosine only inside the cell join
+    probed = _probe_exploded(corpus, cent, _SHORTLIST_PROBE, "c_id", "cv")
+    short = (
+        probed.join(bench_cells, "cent_id")
+        .select("c_id", cosine(F.col("cv"), F.col("bv")).alias("cos"))
+        .groupBy("c_id")
+        .agg(F.max("cos").alias("max_cos_short"))
+    )
+    thr = F.lit(_SEM_DECON_THR)
+    per = exact.join(short, "c_id", "left").select(
+        "c_id",
+        "label",
+        (F.col("max_cos_exact") >= thr).alias("hit_exact"),
+        F.coalesce(F.col("max_cos_short") >= thr, F.lit(False)).alias(
+            "hit_short"
+        ),
+    )
+    inj = F.col("c_id") >= 200000
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.sum(F.col("hit_exact").cast("long")).alias("n_contam_exact"),
+            F.sum(F.col("hit_short").cast("long")).alias("n_contam_shortlist"),
+            F.sum(inj.cast("long")).alias("n_injected"),
+            F.coalesce(F.min(F.when(inj, F.col("hit_short"))), F.lit(True)).alias(
+                "all_injected_caught"
+            ),
+            F.sum((F.col("hit_exact") & F.col("hit_short")).cast("long")).alias(
+                "__both"
+            ),
+        )
+        .select(
+            "label",
+            "n_corpus",
+            "n_contam_exact",
+            "n_contam_shortlist",
+            "n_injected",
+            "all_injected_caught",
+            F.when(F.col("n_contam_exact") > 0,
+                   F.expr("__both * 1000000 div n_contam_exact"))
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("shortlist_recall_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_SHORTLIST_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec
+  FROM embeddings WHERE vec_id < 40 AND vec_id % {_SHORTLIST_CELL_STEP} = 0
+),
+bench AS (
+  SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id < 40
+),
+bench_cells AS (
+  SELECT cent_id, bv FROM (
+    SELECT b.b_id, c.cent_id, b.bv,
+           row_number() OVER (
+             PARTITION BY b.b_id
+             ORDER BY list_cosine_similarity(b.bv, c.cent_vec) DESC,
+                      c.cent_id ASC) AS rn
+    FROM bench b CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label
+  FROM embeddings WHERE vec_id >= 40
+),
+injected AS (
+  SELECT vec_id + 200000 AS c_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS cv, label
+  FROM embeddings WHERE vec_id < 40 AND vec_id % 4 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM injected),
+exact AS (
+  SELECT c_id, label, max(list_cosine_similarity(cv, bv)) AS max_cos_exact
+  FROM corpus CROSS JOIN bench
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT c_id, cv, cent_id FROM (
+    SELECT co.c_id, co.cv, c.cent_id,
+           row_number() OVER (
+             PARTITION BY co.c_id
+             ORDER BY list_cosine_similarity(co.cv, c.cent_vec) DESC,
+                      c.cent_id ASC) AS rn
+    FROM corpus co CROSS JOIN cent c
+  ) WHERE rn <= {_SHORTLIST_PROBE}
+),
+short AS (
+  SELECT p.c_id, max(list_cosine_similarity(p.cv, b.bv)) AS max_cos_short
+  FROM probed p JOIN bench_cells b USING (cent_id)
+  GROUP BY 1
+),
+per AS (
+  SELECT e.c_id, e.label,
+         e.max_cos_exact >= {_SEM_DECON_THR} AS hit_exact,
+         coalesce(s.max_cos_short >= {_SEM_DECON_THR}, FALSE) AS hit_short
+  FROM exact e LEFT JOIN short s USING (c_id)
+)
+SELECT label,
+       count(*) AS n_corpus,
+       CAST(sum(CASE WHEN hit_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam_exact,
+       CAST(sum(CASE WHEN hit_short THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam_shortlist,
+       CAST(sum(CASE WHEN c_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_injected,
+       coalesce(min(CASE WHEN c_id >= 200000 THEN hit_short END), TRUE)
+         AS all_injected_caught,
+       CAST(CASE WHEN sum(CASE WHEN hit_exact THEN 1 ELSE 0 END) > 0
+            THEN sum(CASE WHEN hit_exact AND hit_short THEN 1 ELSE 0 END)
+                 * 1000000
+                 // sum(CASE WHEN hit_exact THEN 1 ELSE 0 END)
+            ELSE 1000000 END AS BIGINT) AS shortlist_recall_ppm
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # retrieval_eval_metrics — the retrieval-eval harness: recall@10 and
 # reciprocal rank for 20 eval queries against the full corpus, with the
 # same-label vectors as each query's gold set (the standard proxy when
@@ -1017,6 +1203,185 @@ nbrs AS (
   SELECT id1 AS id, id2 AS nb FROM ham WHERE d <= {_PHASH_RADIUS}
   UNION ALL
   SELECT id2, id1 FROM ham WHERE d <= {_PHASH_RADIUS}
+),
+agg AS (SELECT id, count(*) AS n, min(nb) AS mn FROM nbrs GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_dup_neighbors,
+       CAST(least(d.doc_id, coalesce(a.mn, d.doc_id)) AS BIGINT)
+         AS canonical_id,
+       (least(d.doc_id, coalesce(a.mn, d.doc_id)) = d.doc_id)
+         AS is_canonical
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_audio_fingerprint — audio near-dup via a spectral-energy
+# fingerprint (VERDICT r14 ask #6, completing the multimodal dedup
+# mandate): each clip's int8 PCM round-trips through the REAL FPCM
+# container (operators/multimodal.encode_pcm — the decode_audio_features
+# path), is framed into 65 fixed-length windows, and the 64-bit
+# fingerprint is the energy-delta sign chain (bit p = E(p+1) > E(p),
+# the Shazam/Chromaprint-style landmark reduced to its deterministic
+# core; energies are exact int64 sums, so both engines agree
+# bit-for-bit). Near-dups come from the SAME banded Hamming-ball gate
+# as the image family — operators/phash_index.dhash_bands +
+# hamming_from_bands are hash-agnostic over any 64-bit string — with
+# radius 2 (a silenced frame flips at most the two bits it borders).
+# Corpus model: 24 clip classes x 5 copies; variant v of a class
+# silences v deterministic frames (re-encoded ad jingles / dropped
+# stream chunks), so each class carries planted near-dups at known
+# distances. Scale: identical to dedup_images_phash — banded
+# (pos, band-value) equi-join, pigeonhole-exact verification on
+# band-collision candidates only, never an all-pairs product; the
+# oracle replays the full PCM -> energy -> bit chain in SQL and does
+# all-pairs Hamming at oracle scale only.
+# ---------------------------------------------------------------------------
+
+_AFP_DOCS = 120        # 24 classes x 5 copies (variants 0,1,2,0,1)
+_AFP_FRAMES = 65       # 65 frames -> 64 energy-delta bits
+_AFP_FRAME_LEN = 16    # samples per frame
+_AFP_BANDS = 8
+_AFP_RADIUS = 2        # one silenced frame flips <= 2 bits
+
+
+def _audio_fp_kernel(batches):
+    """mapInPandas kernel: synthesize each doc's class PCM, silence the
+    variant frames, round-trip through the FPCM container, emit the
+    64-bit energy-delta fingerprint. Top-level so every query/test
+    serializes the same code (the _phash_gen_hash convention)."""
+    import numpy as np
+
+    from etl_ml_pipeline_spark.operators.multimodal import encode_pcm
+
+    n = _AFP_FRAMES * _AFP_FRAME_LEN
+    for pdf in batches:
+        fps = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            k, v = d % 24, (d // 24) % 3
+            i = np.arange(n, dtype=np.int64)
+            s = (k * 31 + i * 7) % 256 - 128
+            for j in range(v):
+                f = (k * 3 + j * 17) % _AFP_FRAMES
+                s[f * _AFP_FRAME_LEN : (f + 1) * _AFP_FRAME_LEN] = 0
+            blob = encode_pcm(s)
+            ss = np.frombuffer(blob[8:], np.int8).astype(np.int64)
+            e = (ss.reshape(_AFP_FRAMES, _AFP_FRAME_LEN) ** 2).sum(axis=1)
+            bits = e[1:] > e[:-1]
+            fps.append("".join("1" if b else "0" for b in bits))
+        pdf = pdf.copy()
+        pdf["afp"] = fps
+        yield pdf
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.phash_index import (
+        dhash_bands,
+        hamming_from_bands,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AFP_DOCS)
+        .select("doc_id")
+    )
+    # narrow-pin the (id, bands) frame once: the fingerprint lineage
+    # (PCM synth -> container round-trip -> energy chain) feeds five
+    # differently-keyed plan branches (the dedup_images_phash pattern)
+    hashed = (
+        docs.mapInPandas(_audio_fp_kernel, schema="doc_id: long, afp: string")
+        .select(
+            "doc_id",
+            dhash_bands(F.col("afp"), _AFP_BANDS).alias("bands"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    band = F.posexplode("bands")
+    c1 = hashed.select("doc_id", band.alias("pos", "bv")).alias("c1")
+    c2 = hashed.select("doc_id", band.alias("pos", "bv")).alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.pos") == F.col("c2.pos"))
+            & (F.col("c1.bv") == F.col("c2.bv"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .select(
+            F.col("c1.doc_id").alias("id1"), F.col("c2.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    h1 = hashed.select(F.col("doc_id").alias("id1"), F.col("bands").alias("b1"))
+    h2 = hashed.select(F.col("doc_id").alias("id2"), F.col("bands").alias("b2"))
+    dup_pairs = (
+        cand.join(h1, "id1")
+        .join(h2, "id2")
+        .withColumn("hd", hamming_from_bands("b1", "b2"))
+        .filter(F.col("hd") <= _AFP_RADIUS)
+        .select("id1", "id2")
+    )
+    nbrs = dup_pairs.select(
+        F.col("id1").alias("id"), F.col("id2").alias("nb")
+    ).unionAll(
+        dup_pairs.select(F.col("id2").alias("id"), F.col("id1").alias("nb"))
+    )
+    agg = nbrs.groupBy("id").agg(F.count("*").alias("n"), F.min("nb").alias("mn"))
+    return (
+        hashed.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_dup_neighbors"),
+            F.least(
+                F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))
+            ).alias("canonical_id"),
+            (
+                F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
+                == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_AFP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 24 AS k, (doc_id // 24) % 3 AS v
+  FROM documents WHERE doc_id < {_AFP_DOCS}
+),
+sv AS (
+  SELECT doc_id, k, v, i // {_AFP_FRAME_LEN} AS f,
+         ((k * 31 + i * 7) % 256) - 128 AS val
+  FROM docs, (SELECT unnest(range({_AFP_FRAMES * _AFP_FRAME_LEN})) AS i)
+),
+sz AS (
+  SELECT doc_id, f,
+         CASE WHEN (v >= 1 AND f = (k * 3) % {_AFP_FRAMES})
+                OR (v >= 2 AND f = (k * 3 + 17) % {_AFP_FRAMES})
+              THEN 0 ELSE val END AS val
+  FROM sv
+),
+en AS (SELECT doc_id, f, sum(val * val) AS e FROM sz GROUP BY 1, 2),
+lagged AS (
+  SELECT doc_id, f - 1 AS p,
+         CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS b
+  FROM en
+),
+bits AS (SELECT doc_id, p, b FROM lagged WHERE p >= 0),
+ham AS (
+  SELECT a.doc_id AS id1, bb.doc_id AS id2,
+         sum(CASE WHEN a.b <> bb.b THEN 1 ELSE 0 END) AS d
+  FROM bits a JOIN bits bb ON a.p = bb.p AND a.doc_id < bb.doc_id
+  GROUP BY 1, 2
+),
+nbrs AS (
+  SELECT id1 AS id, id2 AS nb FROM ham WHERE d <= {_AFP_RADIUS}
+  UNION ALL
+  SELECT id2, id1 FROM ham WHERE d <= {_AFP_RADIUS}
 ),
 agg AS (SELECT id, count(*) AS n, min(nb) AS mn FROM nbrs GROUP BY 1)
 SELECT d.doc_id,
@@ -1931,6 +2296,192 @@ ORDER BY q_id, rank
 
 
 # ---------------------------------------------------------------------------
+# ann_mmr_ivf_topk — the production retrieval stack END-TO-END: IVF-PQ
+# shortlist (8 probed cells, ADC over compressed codes prunes to 50
+# candidates) -> exact cosine rescoring of JUST those candidates cuts
+# the 12-candidate MMR pool -> greedy K=4 diversification through the
+# cogroup kernel. This is VERDICT r14 ask #2: the standalone
+# ann_mmr_rerank_topk builds its pool with an exact full-corpus scan
+# per query (the oracle-baseline posture); here the corpus-side cost is
+# the IVF probe and full vectors are read only for the 50 shortlist ids
+# (point-lookup equi-join on c_id — plan-pinned: no nested-loop join
+# anywhere in the pool build). Same lambda/mu/tie semantics as the
+# standalone MMR query, so the two differ ONLY in pool construction.
+# ---------------------------------------------------------------------------
+
+_MMR_IVF_PROBE = 8
+_MMR_IVF_CANDS = 50
+
+
+def ann_mmr_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.similarity import (
+        ivf_mmr_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    codebooks = pq_codebooks_from_rows(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = ivf_mmr_topk(
+        queries,
+        corpus,
+        centroids,
+        codebooks,
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        n_candidates=_MMR_IVF_CANDS,
+        n_probe=_MMR_IVF_PROBE,
+        lam=_MMR_LAMBDA,
+        mu=_MMR_MU,
+    )
+    return out.select(
+        "q_id", "sel_rank", "c_id", _trunc4(F.col("mmr")).alias("mmr")
+    ).orderBy("q_id", "sel_rank")
+
+
+def _ivf_mmr_oracle() -> str:
+    """IVF-PQ shortlist CTEs verbatim from _ivfpq_rerank_oracle (the
+    hash-green ADC mirror), then the exact-cosine pool cut (self
+    dropped AFTER the ADC shortlist, exactly like the Spark side) and
+    the same unrolled greedy steps as _MMR_SQL.
+
+    The multi-referenced CTEs (vecs/dists/cand/pairs) are AS
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and here
+    ``cand`` (referenced ~6x by pairs + the greedy steps) carries the
+    WHOLE ADC chain — at synthetic sf1 the inlined form re-evaluated a
+    ~25s/100GB pipeline per reference and ground for an hour where the
+    materialized form finishes in seconds."""
+    dsub = 64 // _PQ_M
+    return f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cent
+  FROM vecs WHERE vec_id % {_PQ_STEP} = 0 ORDER BY vec_id LIMIT {_PQ_K}
+),
+codebook AS (
+  SELECT cent, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS cv
+  FROM seeds, unnest(range({_PQ_M})) AS u(j)
+),
+subs AS (
+  SELECT vec_id, j, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS sv
+  FROM vecs, unnest(range({_PQ_M})) AS u(j)
+),
+dists AS MATERIALIZED (
+  SELECT s.vec_id, s.j, c.cent,
+         list_sum(list_transform(list_zip(s.sv, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM subs s JOIN codebook c USING (j)
+),
+codes AS (
+  SELECT vec_id, j, cent AS code FROM (
+    SELECT vec_id, j, cent,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cent ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, j, cent, d FROM dists WHERE vec_id < 8
+),
+qprobe AS (
+  SELECT vec_id AS q_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM vecs a CROSS JOIN cent c WHERE a.vec_id < 8
+  ) WHERE rn <= {_MMR_IVF_PROBE}
+),
+adc_scored AS (
+  SELECT q.q_id, co.vec_id AS c_id,
+         list_sum(list(l.d ORDER BY l.j)) AS adc
+  FROM codes co
+  JOIN assigned a ON a.vec_id = co.vec_id
+  JOIN qprobe q ON q.cent_id = a.cent_id
+  JOIN lut l ON l.q_id = q.q_id AND l.j = co.j AND l.cent = co.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rank
+    FROM adc_scored
+  ) WHERE rank <= {_MMR_IVF_CANDS}
+),
+cand AS MATERIALIZED (
+  SELECT q_id, c_id, cos_qc, rk FROM (
+    SELECT s.q_id, s.c_id,
+           least(1.0, greatest(-1.0, list_cosine_similarity(qv.v, cv.v)))
+             AS cos_qc,
+           row_number() OVER (
+             PARTITION BY s.q_id
+             ORDER BY least(1.0, greatest(-1.0,
+                            list_cosine_similarity(qv.v, cv.v))) DESC,
+                      s.c_id ASC) AS rk
+    FROM short s
+    JOIN vecs qv ON qv.vec_id = s.q_id
+    JOIN vecs cv ON cv.vec_id = s.c_id
+    WHERE s.c_id <> s.q_id
+  ) WHERE rk <= {_MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+         least(1.0, greatest(-1.0, list_cosine_similarity(av.v, bv.v)))
+           AS cos_cc
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+  JOIN vecs av ON av.vec_id = a.c_id
+  JOIN vecs bv ON bv.vec_id = b.c_id
+),
+sel1 AS (
+  SELECT q_id, c_id, 0.7 * cos_qc AS mmr FROM (
+    SELECT q_id, c_id, cos_qc,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_qc DESC, c_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{_mmr_step_sql(2, ["sel1"])},
+{_mmr_step_sql(3, ["sel1", "sel2"])},
+{_mmr_step_sql(4, ["sel1", "sel2", "sel3"])}
+SELECT q_id, CAST(sel_rank AS INTEGER) AS sel_rank, c_id,
+       floor(mmr * 10000) / 10000 AS mmr
+FROM (
+  SELECT q_id, 1 AS sel_rank, c_id, mmr FROM sel1
+  UNION ALL SELECT q_id, 2, c_id, mmr FROM sel2
+  UNION ALL SELECT q_id, 3, c_id, mmr FROM sel3
+  UNION ALL SELECT q_id, 4, c_id, mmr FROM sel4
+)
+ORDER BY q_id, sel_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_recall_contract — recall@10 of the sqrt(N) IVF index vs the exact
 # brute-force top-10, measured INSIDE the engine at two probe settings
 # and asserted as data (VERDICT r04 #5: IVF recall lived only in pytest).
@@ -2774,6 +3325,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "semantic_decontam_stats": semantic_decontam_stats,
+    "semantic_decontam_shortlist_stats": semantic_decontam_shortlist_stats,
     "ann_mmr_rerank_topk": ann_mmr_rerank_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_index_stats": ann_index_stats,
@@ -2787,6 +3339,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
+    "ann_mmr_ivf_topk": ann_mmr_ivf_topk,
     "embedding_quantize_sq8": embedding_quantize_sq8,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_label_centroids": embedding_label_centroids,
@@ -2798,6 +3351,7 @@ QUERIES = {
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_image_ahash_dedup": multimodal_image_ahash_dedup,
     "dedup_images_phash": dedup_images_phash,
+    "dedup_audio_fingerprint": dedup_audio_fingerprint,
     "dedup_images_phash_replay": dedup_images_phash_replay,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
@@ -2807,6 +3361,7 @@ ORACLES = {
     "ann_bruteforce_topk": _BRUTE_SQL,
     "retrieval_eval_metrics": _RETRIEVAL_EVAL_SQL,
     "semantic_decontam_stats": _SEM_DECON_SQL,
+    "semantic_decontam_shortlist_stats": _SHORTLIST_SQL,
     "ann_mmr_rerank_topk": _MMR_SQL,
     "ann_filtered_topk": _FILTERED_SQL,
     "ann_index_stats": _INDEX_STATS_SQL,
@@ -2820,6 +3375,7 @@ ORACLES = {
     "ann_pq_adc_topk": _pq_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_ivfpq_rerank_topk": _ivfpq_rerank_oracle(),
+    "ann_mmr_ivf_topk": _ivf_mmr_oracle(),
     "embedding_quantize_sq8": _SQ8_SQL,
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
@@ -2831,6 +3387,7 @@ ORACLES = {
     "multimodal_image_dedup": _IMAGE_DEDUP_SQL,
     "multimodal_image_ahash_dedup": _AHASH_SQL,
     "dedup_images_phash": _PHASH_SQL,
+    "dedup_audio_fingerprint": _AFP_SQL,
     "dedup_images_phash_replay": _PHASH_REPLAY_SQL,
     "multimodal_audio_features": _AUDIO_SQL,
     "multimodal_video_frames": _VIDEO_SQL,

@@ -450,8 +450,229 @@ ORDER BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl_ingest_e2e — the image analog of training_data_prep_decontam_e2e
+# (VERDICT r14 ask #5): one crawl-ingest cycle under a realistic
+# topology, chaining the family's audited pieces end-to-end.
+#   frontier slice (doc_id 60..119, messy synthetic URLs)
+#     -> canonical URL dedup (keep-first fetch per page_key)
+#     -> pHash gate of the survivors against the PERSISTED image index
+#        built from the previously-ingested corpus (doc_id < 60, gen 0;
+#        the gate reads the index with a gen=0 filter, so the scan is
+#        partition-pruned — plan-pinned)
+#     -> append the clean survivors as gen 1.
+# Output: per-host ingest funnel (fetched -> canonical pages -> image
+# dups -> ingested) + the index lifecycle counts, all hash-checked (the
+# oracle replays URL canonicalization byte-identically and the image
+# verdicts from the analytic dHash bit model, probe x index all-pairs
+# at oracle scale only).
+# Scale: URL work is map-side algebra + one page_key groupBy; the gate
+# is the banded (band_idx, band_value) equi-join with pigeonhole-exact
+# Hamming verification (never all-pairs); the append anti-join is
+# linear in the clean batch. The full-vector/image bytes never move —
+# only 64-bit hashes.
+# ---------------------------------------------------------------------------
+
+_CRAWL_IX_BASE = 60    # previously-ingested images: gen 0
+_CRAWL_IX_CLASSES = 16  # the archive has seen image classes 0..15 only
+_CRAWL_DOCS = 120      # frontier slice end (the analytic image model)
+_CRAWL_RADIUS = 1
+# Re-crawl fold: fetch d requests the page of doc 60 + (d-60) % 28, so
+# the 60-fetch batch covers 28 distinct pages and the URL-dedup stage
+# collapses real re-fetches (the page-key moduli — source d%10, host
+# d%4, path d%7 — lcm to 140, so WITHOUT the fold a 60-doc slice can
+# never produce a canonical collision and the funnel's dedup leg would
+# be vacuously pass-through).
+_CRAWL_FOLD = 28
+
+
+def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ml_pipeline_spark.operators.phash_index import (
+        append_phash_index,
+        build_phash_index,
+        gate_against_phash_index,
+        read_phash_index,
+    )
+    from etl_ml_pipeline_spark.queries.similarity_q import (
+        _phash_gen_hash,
+        _run_scoped_index_dir,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    # previously-ingested corpus -> persisted index, gen 0. Only image
+    # classes 0..15 have been archived, so the crawl batch carries BOTH
+    # near-dups of archived content (classes < 16 -> gated out) AND
+    # genuinely new images (classes >= 16 -> ingested) — the funnel
+    # exercises every branch.
+    base = docs.filter(
+        (F.col("doc_id") < _CRAWL_IX_BASE)
+        & (F.col("doc_id") % 24 < _CRAWL_IX_CLASSES)
+    ).select("doc_id")
+    base_hashed = base.mapInPandas(
+        _phash_gen_hash, schema="doc_id: long, dhash: string"
+    )
+    path = _run_scoped_index_dir("crawl_ix")
+    n_base = build_phash_index(base_hashed, path)
+
+    # crawl batch: each fetch requests its folded page's URL (re-crawl
+    # duplicates), messy spelling -> canonical keep-first per page
+    batch = docs.filter(
+        (F.col("doc_id") >= _CRAWL_IX_BASE) & (F.col("doc_id") < _CRAWL_DOCS)
+    )
+    folded = batch.select(
+        F.col("doc_id").alias("fetch_doc"),
+        (
+            F.lit(_CRAWL_IX_BASE)
+            + (F.col("doc_id") - _CRAWL_IX_BASE) % _CRAWL_FOLD
+        ).alias("url_doc"),
+    )
+    src = docs.select(F.col("doc_id").alias("url_doc"), "source")
+    ub = folded.join(src, "url_doc").select(
+        "fetch_doc", F.col("url_doc").alias("doc_id"), "source"
+    )
+    c = _with_urls(ub).select(
+        F.col("fetch_doc").alias("doc_id"),
+        U.url_host(F.col("url")).alias("host"),
+        U.url_dedup_key(F.col("url")).alias("page_key"),
+    )
+    fetched = c.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetched")
+    )
+    pages = c.groupBy("host", "page_key").agg(
+        F.min("doc_id").alias("keep_doc")
+    )
+    hashed = (
+        pages.select(F.col("keep_doc").alias("doc_id"))
+        .mapInPandas(_phash_gen_hash, schema="doc_id: long, dhash: string")
+        .localCheckpoint(eager=False)
+    )
+    # gate BEFORE appending, against gen 0 only (partition-pruned scan)
+    verdicts = gate_against_phash_index(
+        hashed,
+        read_phash_index(spark, path).filter(F.col("gen") == 0),
+        radius=_CRAWL_RADIUS,
+    ).select(F.col("id").alias("keep_doc"), "duplicate")
+    clean_hashed = hashed.join(
+        verdicts.filter(~F.col("duplicate")).select(
+            F.col("keep_doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    n_app = append_phash_index(clean_hashed, path)
+
+    per = (
+        pages.join(verdicts, "keep_doc")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.col("duplicate").cast("long")).alias("n_image_dup"),
+            F.sum((~F.col("duplicate")).cast("long")).alias("n_ingested"),
+        )
+    )
+    return (
+        fetched.join(per, "host")
+        .select(
+            "host",
+            "n_fetched",
+            "n_pages",
+            "n_image_dup",
+            "n_ingested",
+            F.lit(n_base).cast("long").alias("idx_base"),
+            F.lit(n_app).cast("long").alias("idx_appended"),
+            F.lit(n_base + n_app).cast("long").alias("idx_live"),
+        )
+        .orderBy("host")
+    )
+
+
+_HOST_RE_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    f"lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),"
+    " ':[0-9]+$', ''), '^www\\.', ''), '\\.$', '')"
+)
+
+_CRAWL_E2E_SQL = f"""
+WITH all_urls AS ({_URLGEN_SQL}),
+urls AS (
+  SELECT b.doc_id, u.source, u.url
+  FROM (SELECT doc_id,
+               {_CRAWL_IX_BASE} + (doc_id - {_CRAWL_IX_BASE}) % {_CRAWL_FOLD}
+                 AS url_doc
+        FROM documents
+        WHERE doc_id >= {_CRAWL_IX_BASE} AND doc_id < {_CRAWL_DOCS}) b
+  JOIN all_urls u ON u.doc_id = b.url_doc
+),
+canon AS ({_CANON_SQL}),
+parts AS (
+  SELECT doc_id, {_HOST_RE_SQL} AS host FROM urls
+),
+fetched AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetched
+  FROM parts GROUP BY 1
+),
+pages AS (
+  SELECT p.host, c.page_key, min(c.doc_id) AS keep_doc
+  FROM canon c JOIN parts p USING (doc_id)
+  GROUP BY 1, 2
+),
+imgdocs AS (
+  SELECT doc_id, doc_id % 24 AS k, (doc_id // 24) % 3 AS v
+  FROM documents WHERE doc_id < {_CRAWL_DOCS}
+),
+bits AS (
+  SELECT doc_id, p,
+         (CASE WHEN ((k*37 + p*11 + ((k+1)*(p+3)) % 13) % 5) = 0
+               THEN 1 ELSE 0 END
+          + CASE WHEN v >= 1 AND p = (k*3) % 64 THEN 1 ELSE 0 END
+          + CASE WHEN v >= 2 AND p = (k*3 + 17) % 64 THEN 1 ELSE 0 END
+         ) % 2 AS b
+  FROM imgdocs, (SELECT unnest(range(64)) AS p)
+),
+ham AS (
+  SELECT pr.doc_id AS probe_id, ix.doc_id AS ix_id,
+         sum(CASE WHEN pr.b <> ix.b THEN 1 ELSE 0 END) AS d
+  FROM bits pr
+  JOIN bits ix ON pr.p = ix.p AND ix.doc_id < {_CRAWL_IX_BASE}
+             AND ix.doc_id % 24 < {_CRAWL_IX_CLASSES}
+  WHERE pr.doc_id IN (SELECT keep_doc FROM pages)
+  GROUP BY 1, 2
+),
+dup AS (SELECT DISTINCT probe_id FROM ham WHERE d <= {_CRAWL_RADIUS}),
+verd AS (
+  SELECT s.host, s.keep_doc, (d.probe_id IS NOT NULL) AS duplicate
+  FROM pages s LEFT JOIN dup d ON d.probe_id = s.keep_doc
+),
+per AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN duplicate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_image_dup,
+         CAST(sum(CASE WHEN duplicate THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ingested
+  FROM verd GROUP BY 1
+),
+tot AS (
+  SELECT
+    CAST((SELECT count(*) FROM documents
+          WHERE doc_id < {_CRAWL_IX_BASE}
+            AND doc_id % 24 < {_CRAWL_IX_CLASSES}) AS BIGINT) AS idx_base,
+    CAST((SELECT sum(CASE WHEN duplicate THEN 0 ELSE 1 END) FROM verd)
+         AS BIGINT) AS idx_appended
+)
+SELECT f.host, f.n_fetched, p.n_pages, p.n_image_dup, p.n_ingested,
+       t.idx_base, t.idx_appended,
+       t.idx_base + t.idx_appended AS idx_live
+FROM fetched f
+JOIN per p USING (host)
+CROSS JOIN tot t
+ORDER BY host
+"""
+
+
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
+    "crawl_ingest_e2e": crawl_ingest_e2e,
     "crawl_frontier_schedule": crawl_frontier_schedule,
     "url_blocklist_stats": url_blocklist_stats,
     "url_host_dedup_stats": url_host_dedup_stats,
@@ -460,6 +681,7 @@ QUERIES = {
 
 ORACLES = {
     "url_canonical_dedup": _CANON_DEDUP_SQL,
+    "crawl_ingest_e2e": _CRAWL_E2E_SQL,
     "crawl_frontier_schedule": _FRONTIER_SQL,
     "url_blocklist_stats": _BLOCKLIST_SQL,
     "url_host_dedup_stats": _HOST_STATS_SQL,

@@ -117,6 +117,7 @@ def test_example_configs_parse_and_run(tmp_path, monkeypatch, spark):
         ("decontaminated_corpus", tmp_path / "out11"),
         ("ffd_packed_corpus", tmp_path / "out12"),
         ("preference_pairs", tmp_path / "out13"),
+        ("mixture_reweighted_corpus", tmp_path / "out14"),
     ):
         engine = PipelineEngine(
             str(repo / "configs" / f"{name}.yaml"),
@@ -136,8 +137,8 @@ def test_query_catalog_counts():
     from etl_ml_pipeline_spark.queries import all_oracles, all_queries
 
     qs, oracles = all_queries(), all_oracles()
-    assert len(qs) == 249, sorted(qs)
-    assert len(oracles) == 249, sorted(oracles)
+    assert len(qs) == 253, sorted(qs)
+    assert len(oracles) == 253, sorted(oracles)
     # every catalog entry is oracle-checkable except the documented
     # rows-only set (non-SQL-expressible outputs — e.g. raw theta-sketch
     # estimates — each paired with an oracle-checked contract twin)
@@ -156,36 +157,37 @@ def test_query_catalog_counts():
 
 def test_query_emission_triage_order():
     """The driver records only a ~50-entry wall-clock prefix of queries()
-    in emission order, so emission is triaged: never-driver-recorded
-    queries lead (tier 0 = new this round), then stale driver rows
-    oldest-first (r08 < r09 < ... < r12 after the round-13 rotation
-    refresh)."""
-    from etl_ml_pipeline_spark.queries import _LAST_RECORDED, all_queries
+    in emission order, so emission is triaged oldest-driver-record
+    first. Round 15 is the saturated case: the oldest tier is the FULL
+    50-name r10 cohort (the r14 prefix had no room for the refreshes
+    ROADMAP budgeted), so the prefix must be exactly those 50 names and
+    round-15 additions are pinned at tier 10.5 — behind the whole r10
+    cohort, ahead of the 50 r11 names that come due at r16."""
+    from etl_ml_pipeline_spark.queries import (
+        _ADDED_R15,
+        _LAST_RECORDED,
+        all_queries,
+    )
 
     keys = list(all_queries())
     tier = lambda k: _LAST_RECORDED.get(k, 0)
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers)
-    # never-driver-recorded names (tier 0 round-14 additions) lead the
-    # prefix
-    never = [k for k in keys if tier(k) <= 0]
-    assert keys[: len(never)] == never
-    # tier 1 is the single theta-matrix pin: its only driver record is
-    # the stale r12 no_oracle row from before its 4-contract oracle
-    # landed — it must ride directly behind the tier-0 additions so its
-    # first hash-checked row lands at r14 (VERDICT r13 ask #1)
-    pinned = [k for k in keys if tier(k) == 1]
-    assert pinned == ["sketch_theta_overlap_matrix"]
-    # the oldest stale tier is the 39 r09 names, due exactly at the
-    # <=5-rounds-stale bound in round 14; they come right after the
-    # pin, and together all three blocks must fit the ~50 prefix or
-    # the staleness contract breaks by arithmetic (so round 14 may add
-    # at most 10 new catalog names)
-    r09 = [k for k in keys if tier(k) == 9]
-    assert len(r09) == 39
-    assert keys[len(never) + 1 : len(never) + 1 + len(r09)] == r09
-    assert len(never) + 1 + len(r09) <= 50
-    assert _LAST_RECORDED.get(keys[-1]) == 13
+    # nothing may sort ahead of the r10 cohort: every catalog name has
+    # an explicit tier >= 10 (a forgotten pin would default to 0 and
+    # steal a prefix slot from a name at the staleness bound)
+    assert min(tiers) == 10
+    # the 50 r10-era names fill the 50-slot prefix exactly
+    r10 = [k for k in keys if tier(k) == 10]
+    assert len(r10) == 50
+    assert keys[:50] == r10
+    # round-15 additions ride at 10.5, directly behind the cohort, so
+    # they lead the first free slot (r17, when the 49-name r12 tier
+    # comes due) without displacing anything at the bound
+    added = [k for k in keys if tier(k) == 10.5]
+    assert sorted(added) == sorted(_ADDED_R15)
+    assert keys[50 : 50 + len(added)] == added
+    assert _LAST_RECORDED.get(keys[-1]) == 14
     # every triage name must still exist in the catalog (no stale entries)
     assert set(_LAST_RECORDED) <= set(keys)
 

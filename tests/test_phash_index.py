@@ -186,3 +186,19 @@ def test_normalization_and_guard_rails(spark, index_path):
         dhash_bands(F.col("dhash"), n_bands=3)
     with pytest.raises(ValueError, match="overflows"):
         dhash_bands(F.col("dhash"), n_bands=2)
+
+    # long-id contract (VERDICT r14 #4): a string-keyed corpus must
+    # pre-map (e.g. xxhash64) — a silent cast("long") would null every
+    # URL id and collapse the batch into one id=NULL group
+    url_keyed = spark.createDataFrame(
+        [("https://a.example/x", _A)], "doc_id string, dhash string"
+    )
+    with pytest.raises(ValueError, match="long by contract"):
+        build_phash_index(url_keyed, str(index_path) + "_url")
+    # pre-mapped long keys pass through the same door
+    assert build_phash_index(
+        url_keyed.select(
+            F.xxhash64("doc_id").alias("doc_id"), "dhash"
+        ),
+        str(index_path) + "_url",
+    ) == 1

@@ -1187,3 +1187,113 @@ def test_mmr_greedy_kernel_never_rescans_corpus(spark, sf_dir):
     # appears at most twice)
     assert plan.count("FlatMapCoGroupsInPandas") <= 2
     assert plan.count("Exchange") <= 12
+
+
+def test_ivf_mmr_pool_build_has_no_corpus_nested_loop(spark, sf_dir):
+    """ann_mmr_ivf_topk (VERDICT r14 ask #2): the MMR pool must come
+    from the IVF-PQ shortlist, never an exact full-corpus scan. The
+    structural tell: the brute-force pool build computes cosine inside
+    a BroadcastNestedLoopJoin (corpus x broadcast queries cross join);
+    the composed stack reaches the corpus only through equi-joins
+    (cent_id for ADC, c_id for the 50-id point-lookup fetch), so the
+    PRE-checkpoint pool plan must contain no nested-loop/cartesian
+    node at all. The post-checkpoint greedy carries the same
+    kernel-only pins as the standalone MMR query."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks_from_rows,
+    )
+    from etl_ml_pipeline_spark.queries.similarity_q import (
+        _MMR_IVF_CANDS,
+        _MMR_IVF_PROBE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_STEP,
+        ann_mmr_ivf_topk,
+    )
+    from etl_ml_pipeline_spark.queries.tables import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    codebooks = pq_codebooks_from_rows(
+        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    short = ivfpq_topk(
+        queries, corpus, centroids, codebooks,
+        k=_MMR_IVF_CANDS, n_probe=_MMR_IVF_PROBE,
+    ).select("q_id", "c_id").filter(F.col("c_id") != F.col("q_id"))
+    pool = short.join(corpus, "c_id").join(F.broadcast(queries), "q_id")
+    plan = _plan(pool)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # end-to-end: the greedy itself reads only the checkpointed pool
+    df = ann_mmr_ivf_topk(spark, sf_dir)
+    df.collect()
+    final = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in final
+    assert "Scan ExistingRDD" in final
+    assert "FileScan" not in final and "Scan parquet" not in final
+    assert final.count("FlatMapCoGroupsInPandas") <= 2
+
+
+def test_semantic_decontam_shortlist_is_cell_equi_join(spark, sf_dir):
+    """semantic_decontam_shortlist_stats (VERDICT r14 ask #3): the
+    shortlist leg's corpus-vs-benchmark cosine must run inside the
+    (cent_id) equi-join — if the probed-cell pruning fell away, the
+    leg would degenerate to the same nested-loop all-pairs product as
+    the exact yardstick leg. The full query plan keeps exactly ONE
+    nested-loop join (the exact leg) and at most the tiny centroid
+    collects drive the probe UDF."""
+    from etl_ml_pipeline_spark.queries.similarity_q import (
+        semantic_decontam_shortlist_stats,
+    )
+
+    plan = _plan(semantic_decontam_shortlist_stats(spark, sf_dir))
+    # exact leg only: one broadcast nested loop (AQE may print the
+    # final and initial plans, so allow each node to appear twice)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    # the shortlist leg is a real equi-join on cent_id
+    assert "cent_id" in plan
+
+
+def test_crawl_gate_index_read_is_partition_pruned(spark, tmp_path):
+    """crawl_ingest_e2e gates new crawl batches against gen 0 only —
+    the index is partitioned by gen, so the gate's scan must carry a
+    gen partition filter instead of listing every generation (VERDICT
+    r14 ask #5's 'partition-pruned index reads')."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.phash_index import (
+        append_phash_index,
+        build_phash_index,
+        gate_against_phash_index,
+        read_phash_index,
+    )
+
+    path = str(tmp_path / "ix")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, dhash string")
+    h = "01" * 32
+    build_phash_index(mk([(1, h)]), path)
+    append_phash_index(mk([(2, h)]), path)
+    gated = gate_against_phash_index(
+        mk([(9, h)]),
+        read_phash_index(spark, path).filter(F.col("gen") == 0),
+        radius=1,
+    )
+    plan = _formatted(gated)
+    import re
+
+    scans = re.findall(r"PartitionFilters: \[[^\]]*gen[^\]]*\]", plan)
+    assert scans, plan[:2000]

@@ -229,17 +229,25 @@ def test_semantic_decontam_transform(spark, tmp_path):
     t = TRANSFORMS.get("semantic_decontam")({"benchmark_path": bench_path})
     kept = sorted(r.doc_id for r in t(df).collect())
     assert kept == [2]
-    # oversized benchmark refuses instead of shuffling an all-pairs join
+    # an over-cap benchmark routes through the IVF shortlist path
+    # (VERDICT r14 ask #3) instead of refusing or shuffling an
+    # all-pairs product — same verdicts on the planted scaled copies
     big = TRANSFORMS.get("semantic_decontam")(
-        {"benchmark_path": bench_path, "threshold": 0.5}
+        {"benchmark_path": bench_path, "n_cells": 2, "n_probe": 1}
     )
     from unittest import mock
 
     with mock.patch(
         "etl_ml_pipeline_spark.sizing.path_bytes", return_value=1 << 40
     ):
-        with pytest.raises(ValueError, match="scale-killer"):
-            big(df)
+        assert sorted(r.doc_id for r in big(df).collect()) == [2]
+    # unknown benchmark size (remote path) is treated as NOT small ->
+    # shortlist path too, and force_shortlist takes it explicitly
+    forced = TRANSFORMS.get("semantic_decontam")(
+        {"benchmark_path": bench_path, "force_shortlist": True,
+         "n_cells": 2, "n_probe": 1}
+    )
+    assert sorted(r.doc_id for r in forced(df).collect()) == [2]
     # missing column is loud
     with pytest.raises(ValueError, match="not in input"):
         TRANSFORMS.get("semantic_decontam")(
