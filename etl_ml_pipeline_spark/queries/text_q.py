@@ -678,21 +678,44 @@ _FUNNEL_EN, _FUNNEL_Q = 0.05, 0.8
 
 
 def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 optimization (guide §1.2-1, don't recompute what you throw
+    # away): the original built one count branch PER STAGE, so the
+    # corpus scan + scoring lineage evaluated 5x (and the dedup window
+    # 3x — once each for the n3, gram, and anti-join consumers). Now:
+    # stage counts 0-2 come from ONE scoring pass (a single aggregate
+    # with conditional counts — the flags are cumulative, p2 implies
+    # p1), the dedup survivors are pinned once (lazy localCheckpoint —
+    # the scan+score+window lineage otherwise re-evaluates for the
+    # gram side AND both sides of the anti-join), and n3/n4 fold into
+    # ONE aggregate over a contamination-flag left join instead of two
+    # more count branches. Same five numbers, hash-identical; the
+    # oracle SQL is untouched.
     from etl_ml_pipeline_spark.queries.dedup_q import _dup_corpus
 
     corpus = _dup_corpus(spark, sf_dir, heavy=True).filter(
         F.col("doc_id") % 97 != 0
     )
     c = F.col("text")
-    s1 = corpus.filter(X.en_score(c) >= _FUNNEL_EN)
-    s2 = s1.filter(X.quality_score(c) >= _FUNNEL_Q)
+    p1 = X.en_score(c) >= _FUNNEL_EN
+    p2 = p1 & (X.quality_score(c) >= _FUNNEL_Q)
+    counts012 = corpus.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(p1, 1)).alias("n1"),
+        F.count(F.when(p2, 1)).alias("n2"),
+    )
 
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(
         W.partitionBy(X.fingerprint(c)).orderBy("doc_id")
     )
-    s3 = s2.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    s3 = (
+        corpus.filter(p2)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
 
     bench_grams = (
         t(spark, sf_dir, "documents")
@@ -707,24 +730,21 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(X.word_ngrams(c, 5))).alias("g"),
     ).select("doc_id", X.token_hash60(F.col("g")).alias("gh"))
-    contaminated = s3_grams.join(F.broadcast(bench_grams), "gh").select(
-        "doc_id"
-    ).distinct()
-    s4 = s3.join(contaminated, "doc_id", "left_anti")
+    contaminated = (
+        s3_grams.join(F.broadcast(bench_grams), "gh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dirty", F.lit(1))
+    )
+    counts34 = s3.join(contaminated, "doc_id", "left").agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.count(F.when(F.col("__dirty").isNull(), 1)).alias("n4"),
+    )
 
-    stages = [
-        ("0_corpus", corpus),
-        ("1_langid", s1),
-        ("2_quality", s2),
-        ("3_dedup", s3),
-        ("4_decontaminated", s4),
-    ]
-    counts = None
-    for name, frame in stages:
-        cnt = frame.agg(F.count("*").alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-        counts = cnt if counts is None else counts.unionByName(cnt)
+    counts = counts012.crossJoin(counts34).selectExpr(
+        "stack(5, '0_corpus', n0, '1_langid', n1, '2_quality', n2, "
+        "'3_dedup', n3, '4_decontaminated', n4) AS (stage, n_docs)"
+    )
     return counts.orderBy("stage")
 
 

@@ -410,6 +410,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events_ts(_table_stream(spark, sf_dir, "events"))
 
 
+def _events_bytes(sf_dir: str) -> int:
+    """On-disk size of the replay source table (state-sizing hint)."""
+    from etl_ml_pipeline_spark.queries.tables import _table_bytes
+
+    return _table_bytes(sf_dir, "events") or (1 << 40)
+
+
 def _replay_ckpt_root() -> str:
     """One session-scoped checkpoint root, removed at process exit —
     repeated correctness/bench runs no longer accumulate per-invocation
@@ -467,7 +474,39 @@ def _write_batches_spark(
         os.utime(path, (stamp, stamp))
 
 
-def _replay(stream_result: DataFrame, output_mode: str) -> DataFrame:
+# Streaming state partitioning is FIXED at query start (the count is
+# baked into the checkpoint; AQE cannot coalesce it at runtime the way
+# it coalesces batch shuffles), and every partition of every stateful
+# operator pays per-trigger file/commit overhead on the checkpoint
+# volume. So size it from the bounded input the way AQE's advisory
+# target sizes batch partitions: one state partition per ~32 MB of
+# source input, clamped to [1, session shuffle partitions]. For a
+# 100 TB stream input_bytes/32MB >> cores, so the clamp leaves the
+# session's own parallelism in charge — the derivation only shrinks
+# tiny bounded replays, where it is pure fixed-cost removal (measured:
+# stream_late_outer_join_replay at sf0.1, 32 -> 4 partitions, identical
+# rows, 14.2s -> 5.0s interleaved in one session). Cluster operators
+# can pin an explicit count with SPARK_GRAFT_STREAM_SHUFFLE.
+_STREAM_STATE_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _stream_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "")
+    if env.isdigit() and int(env) > 0:
+        return int(env)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = (input_bytes + _STREAM_STATE_TARGET_BYTES - 1) // _STREAM_STATE_TARGET_BYTES
+    return max(1, min(cur, derived))
+
+
+def _replay(
+    stream_result: DataFrame,
+    output_mode: str,
+    input_bytes: int | None = None,
+    python_state: bool = False,
+) -> DataFrame:
     """Run a bounded streaming plan to completion into a memory sink
     and return its contents.
 
@@ -476,21 +515,49 @@ def _replay(stream_result: DataFrame, output_mode: str) -> DataFrame:
     — verified behavior) and the checkpoint lives under the session-
     scoped root above: a long session running many replays leaks
     neither registered tables nor checkpoint directories.
+
+    ``input_bytes`` (the on-disk size of the stream's source) drives
+    the state-partition sizing above; the conf is set only for the
+    stream's start and restored right after (replays are sequential in
+    this process). Partition count never changes results — stateful
+    operators key state by value hash, not by partition layout (pinned
+    by tests/test_streaming.py::test_replay_invariant_to_state_partitions).
+
+    ``python_state=True`` marks plans whose state transition is an
+    ``applyInPandasWithState`` kernel: their per-trigger cost is
+    per-GROUP Python compute, not JVM state-store file overhead, so
+    shrinking partitions serializes the groups through one Python
+    worker instead of removing fixed cost (measured at sf0.1:
+    stream_sessionize_replay 2.4s at 32 parts -> 9.4s at the derived
+    1). Those replays keep the session's own parallelism.
     """
     import uuid
 
     name = f"replay_{uuid.uuid4().hex}"
     spark = stream_result.sparkSession
-    q = (
-        stream_result.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{_replay_ckpt_root()}/{name}")
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()  # terminated already (availableNow); releases the handle
+    prev_parts = None
+    if python_state:
+        input_bytes = None
+    if input_bytes is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_state_partitions(spark, input_bytes)),
+        )
+    try:
+        q = (
+            stream_result.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{_replay_ckpt_root()}/{name}")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()  # terminated already (availableNow); releases the handle
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name)
     out.schema  # force analysis: resolve the view reference NOW
     spark.catalog.dropTempView(name)
@@ -509,7 +576,7 @@ def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="36500 days",  # >> data span: nothing late, no timeouts
     )
     return (
-        _replay(sessions, "append")
+        _replay(sessions, "append", python_state=True)
         .select(
             "user_id",
             F.col("session_start").cast("string").alias("session_start"),
@@ -576,7 +643,7 @@ def stream_tumble_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
     )
     return (
-        _replay(agg, "complete")
+        _replay(agg, "complete", input_bytes=_events_bytes(sf_dir))
         .select(
             F.col("window_start").cast("string").alias("window_start"),
             "event_type",
@@ -617,7 +684,7 @@ def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     totals = stateful_running_totals(_events_stream(spark, sf_dir))
     return (
-        _replay(totals, "update")
+        _replay(totals, "update", python_state=True)
         .select(
             "user_id",
             "n",
@@ -652,7 +719,7 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.streaming.windows import stateful_topk
 
     board = stateful_topk(_events_stream(spark, sf_dir), k=5)
-    return _replay(board, "update").orderBy("event_type", "rank")
+    return _replay(board, "update", python_state=True).orderBy("event_type", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -750,7 +817,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled, keys=("event_id",), ts_col="ts", watermark="36500 days"
     )
     return (
-        _replay(deduped, "append")
+        _replay(deduped, "append", input_bytes=_events_bytes(sf_dir))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -975,7 +1042,7 @@ def stream_slide_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
     )
     return (
-        _replay(agg, "complete")
+        _replay(agg, "complete", input_bytes=_events_bytes(sf_dir))
         .select(
             F.col("window_start").cast("string").alias("window_start"),
             "n_events",
@@ -1022,7 +1089,7 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
     )
     return (
-        _replay(agg, "complete")
+        _replay(agg, "complete", input_bytes=_events_bytes(sf_dir))
         .select(
             "user_id",
             F.col("session_start").cast("string").alias("session_start"),
@@ -1105,7 +1172,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="36500 days",
     )
     return (
-        _replay(joined, "append")
+        _replay(joined, "append", input_bytes=_events_bytes(sf_dir))
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
@@ -1315,7 +1382,7 @@ def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    return _replay(agg, "complete").orderBy("segment", "event_type")
+    return _replay(agg, "complete", input_bytes=_events_bytes(sf_dir)).orderBy("segment", "event_type")
 
 
 _STREAM_STATIC_JOIN_SQL = """
@@ -1520,7 +1587,7 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     monitor = stateful_cusum(_events_stream(spark, sf_dir))
     return (
-        _replay(monitor, "update")
+        _replay(monitor, "update", python_state=True)
         .select("event_type", "day", "y", "s", "alarm")
         .orderBy("event_type", "day")
     )
@@ -1677,7 +1744,7 @@ def stream_ttl_eviction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttl_minutes=_TTL_MS // 60000,
     )
     return (
-        _replay(out, "update")
+        _replay(out, "update", python_state=True)
         .select(
             "user_id", "n", F.round("total", 2).alias("total"), "evicted"
         )
@@ -1836,7 +1903,7 @@ def stream_topk_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = stateful_topk(stream, k=5)
     return (
-        _replay(out, "update")
+        _replay(out, "update", python_state=True)
         .select("event_type", "rank", "user_id", "total_cents")
         .orderBy("event_type", "rank", "total_cents", "user_id")
     )
@@ -1945,7 +2012,7 @@ def stream_late_data_window_replay(spark: SparkSession, sf_dir: str) -> DataFram
             "sum_cents",
         )
     )
-    return _replay(agg, "append").orderBy("window_start")
+    return _replay(agg, "append", input_bytes=_events_bytes(sf_dir)).orderBy("window_start")
 
 
 _LATE_WINDOW_SQL = """
@@ -2040,7 +2107,7 @@ def stream_late_dedup_eviction_replay(
     )
     out = stream_dedup(stream, keys=("event_id",), ts_col="ts", watermark="4 days")
     return (
-        _replay(out, "append")
+        _replay(out, "append", input_bytes=_events_bytes(sf_dir))
         .groupBy("event_id")
         .agg(F.count("*").alias("n_emits"))
         .orderBy("event_id")
@@ -2164,7 +2231,7 @@ def _late_join_replay(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         & (rs.rts <= ls.lts + F.expr("INTERVAL 1 DAY")),
         how,
     ).select(ls.user_id, "lts", "click_id", "buy_id")
-    return _replay(j, "append")
+    return _replay(j, "append", input_bytes=_events_bytes(sf_dir))
 
 
 def stream_late_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,7 +2547,7 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.max(F.coalesce("hit", F.lit(0))).alias("contaminated"))
     )
-    table = _replay(flagged, "complete")
+    table = _replay(flagged, "complete", input_bytes=_events_bytes(sf_dir))
     return (
         table.groupBy("lang")
         .agg(
