@@ -923,6 +923,79 @@ def nearest_rank_percentiles(
     return ranked.groupBy(*keys).agg(*aggs)
 
 
+def interpolated_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    pcts: dict[str, float],
+) -> DataFrame:
+    """Per-key EXACT interpolated percentiles over the cumulative-
+    frequency grid — bit-identical to Spark's ``percentile()`` but
+    without its per-group value buffer (which holds every distinct
+    value of a group in one aggregation buffer: the memory-bound shape
+    at 100 TB; r15 optimization of agg_approx_percentile_prices).
+
+    Replicates Percentile.getPercentile exactly: position =
+    p * (n - 1) in doubles (nulls excluded from n), lower/higher are
+    the data values at 1-indexed ranks floor(position)+1 /
+    ceil(position)+1 from the cumulative-frequency walk, result =
+    lower + (position - floor(position)) * (higher - lower) in
+    doubles — every arithmetic step the same IEEE operation on the
+    same operands, so results hash-match the builtin (pinned by
+    tests/test_relational_ops.py).
+
+    Scale: one shuffle on (keys, value) for the frequency aggregate,
+    one per-key window over the distinct-value grid, one final
+    aggregate — every stage bounded by grid cardinality, same shape as
+    :func:`nearest_rank_percentiles`.
+    """
+    from pyspark.sql.window import Window
+
+    freqs = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count("*").alias("__f"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    ranked = freqs.select(
+        *keys,
+        value_col,
+        F.sum("__f").over(w_cum).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    # position/rank expressions are PER-ROW (``__total`` is constant
+    # within a key group), so the rank probes are plain conditional
+    # mins; the interpolation arithmetic re-derives position from the
+    # aggregated n in the post-select.
+    aggs = [F.max("__total").alias("__n")]
+    for name, p in pcts.items():
+        pos = F.lit(float(p)) * (F.col("__total") - 1).cast("double")
+        v_lo = F.min(
+            F.when(F.col("__cum") >= F.floor(pos) + 1, F.col(value_col))
+        ).alias(f"__lo_{name}")
+        v_hi = F.min(
+            F.when(F.col("__cum") >= F.ceil(pos) + 1, F.col(value_col))
+        ).alias(f"__hi_{name}")
+        aggs.extend([v_lo, v_hi])
+    grouped = ranked.groupBy(*keys).agg(*aggs)
+    outs = []
+    for name, p in pcts.items():
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        frac = pos - F.floor(pos).cast("double")
+        outs.append(
+            (
+                F.col(f"__lo_{name}")
+                + frac * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}"))
+            ).alias(name)
+        )
+    return grouped.select(*keys, *outs)
+
+
 def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     """2D Pareto skyline: rows not dominated under (minimize
     ``min_col``, maximize ``max_col``). A dominates B iff A.min <=

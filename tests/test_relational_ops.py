@@ -169,3 +169,52 @@ def test_compaction_binning_property(spark):
         assert bins == naive
 
     run()
+
+
+def test_interpolated_percentiles_bitmatch_builtin(spark):
+    """interpolated_percentiles must reproduce the builtin
+    ``percentile()`` BIT-FOR-BIT (the r15 optimization swaps it in for
+    the exact envelope of agg_approx_percentile_prices, whose contract
+    booleans compare sketch outputs against these exact values — a
+    1-ulp divergence could flip a boundary comparison). Adversarial
+    sets: heavy duplication, negatives, single element, values whose
+    interpolation lands between distinct neighbors, NULLs, and an
+    all-NULL group."""
+    from pyspark.sql import functions as F
+
+    from etl_ml_pipeline_spark.operators.relational import (
+        interpolated_percentiles,
+    )
+
+    cases = {
+        "a": [5.0],
+        "b": [-3.25, -3.25, -3.25],
+        "c": [1.0, 2.0, 2.0, 2.0, 2.5, 3.0, 107.125],
+        "d": [float(x) for x in range(20)] + [7.0] * 30,
+        "e": [-10.5, 0.0, 0.0, 10.1, 10.1, 10.1, 10.2, None],
+        "f": [None, None],
+    }
+    ps = {"q1": 0.498, "q2": 0.502, "q3": 0.948, "q4": 0.952, "q5": 0.25}
+    rows = [(k, v) for k, vals in cases.items() for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    mine = {
+        r["k"]: r
+        for r in interpolated_percentiles(df, ["k"], "v", ps).collect()
+    }
+    plist = ", ".join(str(p) for p in ps.values())
+    builtin = {
+        r["k"]: r["ex"]
+        for r in df.groupBy("k")
+        .agg(F.expr(f"percentile(v, array({plist}))").alias("ex"))
+        .collect()
+    }
+    for k in cases:
+        if builtin[k] is None:
+            assert k not in mine or all(
+                mine[k][name] is None for name in ps
+            ), k
+            continue
+        for i, name in enumerate(ps):
+            got, want = mine[k][name], builtin[k][i]
+            # bit equality, not approx — the contract depends on it
+            assert got == want and str(got) == str(want), (k, name, got, want)
