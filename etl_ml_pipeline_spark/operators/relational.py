@@ -583,16 +583,24 @@ class TokenBudgetMixture(BaseTransform):
         weights = (
             df.select(gcol).distinct().select(F.col(gcol), wexpr.alias("__w"))
         ).filter(F.col("__w") > 0)
-        wt_tot = weights.agg(F.sum("__w").alias("__wt"))
-        quota = weights.crossJoin(F.broadcast(wt_tot)).select(
+        # r15 optimization: weight total and spare as unpartitioned
+        # window sums over the |groups|-row frame instead of agg +
+        # crossJoin diamonds — the diamond re-derives the corpus-scale
+        # distinct() once per branch (column pruning de-identifies the
+        # subtrees, so exchange reuse never fires). Same integer
+        # arithmetic — identical allocation (mirrors
+        # sample_exact_allocation).
+        w_all = W.partitionBy()
+        quota = weights.withColumn("__wt", F.sum("__w").over(w_all)).select(
             gcol,
             F.expr(f"{budget} * __w DIV __wt").alias("__base"),
             F.expr(f"({budget} * __w) % __wt").alias("__rem"),
         )
-        spare = quota.agg((F.lit(budget) - F.sum("__base")).alias("__spare"))
         w_rem = W.orderBy(F.desc("__rem"), gcol)  # |groups|-sized window
         alloc = (
-            quota.crossJoin(F.broadcast(spare))
+            quota.withColumn(
+                "__spare", F.lit(budget) - F.sum("__base").over(w_all)
+            )
             .withColumn("__pos", F.row_number().over(w_rem))
             .select(
                 gcol,
@@ -699,10 +707,19 @@ class MixtureReweight(BaseTransform):
             .withColumn("__w", F.lit(1_000_000).cast("long"))
             .drop("__sum_q")
         )
+        # r15 optimization: per-round totals as unpartitioned window
+        # sums instead of agg + crossJoin diamonds — the diamond embeds
+        # the previous round's subtree twice (2^rounds corpus-aggregate
+        # copies; column pruning kills exchange reuse). One corpus
+        # pass, then linear per-round arithmetic over |groups| rows.
+        # Same integer ppm arithmetic — identical results (mirrors
+        # mixture_doremi_weights).
+        from pyspark.sql import Window as W
+
+        w_all = W.partitionBy()
         for _ in range(rounds):
-            tot = per.agg(F.sum("__w").alias("__tot"))
             per = (
-                per.crossJoin(F.broadcast(tot))
+                per.withColumn("__tot", F.sum("__w").over(w_all))
                 .withColumn("__share", F.expr("__w * 1000000 div __tot"))
                 .withColumn(
                     "__boost",
@@ -714,8 +731,7 @@ class MixtureReweight(BaseTransform):
                 .withColumn("__w", F.expr("__w * (1000000 + __boost) div 1000000"))
                 .drop("__tot", "__share", "__boost")
             )
-        tot = per.agg(F.sum("__w").alias("__tot"))
-        weights = per.crossJoin(F.broadcast(tot)).select(
+        weights = per.withColumn("__tot", F.sum("__w").over(w_all)).select(
             gcol,
             "n_docs",
             "mean_q_ppm",

@@ -569,11 +569,19 @@ def sample_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.withColumn(
         "w", F.floor(F.sqrt(F.col("tok")) * 1000000).cast("long")
     )
-    tot = per.agg(
-        F.sum("tok").alias("__tot_tok"), F.sum("w").alias("__tot_w")
-    )
+    # r15 optimization: corpus totals and the post-cap re-spread totals
+    # were agg + crossJoin diamonds; column pruning de-identifies the
+    # branch subtrees, so the token-count corpus aggregate re-derived
+    # once per branch (4 lineage evaluations of the scan+tokenize).
+    # Unpartitioned window sums over the |langs|-row frame keep one
+    # lineage: ONE corpus pass, then arithmetic on the tiny frame.
+    # Identical integer/double arithmetic — same results.
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
     a1 = (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("__tot_tok", F.sum("tok").over(w_all))
+        .withColumn("__tot_w", F.sum("w").over(w_all))
         .withColumn(
             "__budget", (F.lit(_EPOCH_BUDGET_X) * F.col("__tot_tok")).cast("long")
         )
@@ -587,12 +595,11 @@ def sample_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("alloc1", F.least("target", "cap"))
         .withColumn("capped1", F.col("target") > F.col("cap"))
     )
-    tot2 = a1.agg(
-        F.sum("alloc1").alias("__sum_a1"),
-        F.sum(F.when(~F.col("capped1"), F.col("w"))).alias("__w_unc"),
-    )
     out = (
-        a1.crossJoin(F.broadcast(tot2))
+        a1.withColumn("__sum_a1", F.sum("alloc1").over(w_all))
+        .withColumn(
+            "__w_unc", F.sum(F.when(~F.col("capped1"), F.col("w"))).over(w_all)
+        )
         .withColumn("__deficit", F.col("__budget") - F.col("__sum_a1"))
         .withColumn(
             "extra",
@@ -883,11 +890,20 @@ _TEMP_FRACTION = 0.2  # sample budget: 20% of the corpus
 def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    total = docs.agg(F.count("*").alias("__N"))
+    # r15 optimization: corpus total and normalizer as unpartitioned
+    # window sums over the |langs|-row frame instead of a separate
+    # corpus-count branch + agg/crossJoin diamonds (the corpus scan and
+    # the lang groupBy re-derived once per branch). sum(n_total) over
+    # the groups IS the corpus count, so the arithmetic operands are
+    # identical — same thresholds, same sample.
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
     # weight ~ sqrt(f_l), quantized to exact integer micro-units
     wq = F.floor(F.sqrt(F.col("n_total") / F.col("__N")) * 1e9).cast("long")
-    weighted = counts.crossJoin(F.broadcast(total)).withColumn("wq", wq)
-    z = weighted.agg(F.sum("wq").alias("__Z"))  # exact: sum of longs
+    weighted = counts.withColumn(
+        "__N", F.sum("n_total").over(w_all)
+    ).withColumn("wq", wq)
     budget = F.floor(F.col("__N") * _TEMP_FRACTION)
     thr = F.least(
         F.lit(10000).cast("long"),
@@ -895,7 +911,7 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wq") / F.col("__Z") * budget * 10000 / F.col("n_total")
         ),
     )
-    plan = weighted.crossJoin(F.broadcast(z)).select(
+    plan = weighted.withColumn("__Z", F.sum("wq").over(w_all)).select(
         "lang", "n_total", thr.alias("threshold")
     )
     sampled = (
@@ -1030,7 +1046,19 @@ def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.queries.dedup_q import _dup_corpus
 
     corpus = _dup_corpus(spark, sf_dir).filter((F.col("doc_id") % 1_000_000) < 300)
-    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    # r15 optimization: pin the candidate-pair and per-doc frames with
+    # lazy localCheckpoints. `pairs` (the expensive shingle-join
+    # product) feeds BOTH the components loop and the leak count, and
+    # `per_doc` feeds three consumers (two leak-join legs + the split
+    # rollup); the branches prune different columns, so the executed
+    # plan re-derived the jaccard joins per consumer (19 scans / 9
+    # sort-merge joins measured). Both frames are id-scale and narrow —
+    # the _pin_partitioning trade (operators/relational.py). Measured
+    # 0.70x interleaved at sf0.1 (2.75s -> 1.92s medians,
+    # scripts/r15_ab3.json); rows unchanged (oracle-green).
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5
+    ).localCheckpoint(eager=False)
     comp = connected_components(pairs)
     assigned = (
         corpus.join(comp, corpus["doc_id"] == comp["node"], "left")
@@ -1042,7 +1070,7 @@ def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = assigned.withColumn(
         "split",
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
-    )
+    ).localCheckpoint(eager=False)
     leaks = (
         pairs.join(
             per_doc.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
@@ -1347,7 +1375,14 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", "lang", "text"
     )
-    # shared kernel with the perplexity_bucket pipeline transform
+    # shared kernel with the perplexity_bucket pipeline transform.
+    # r15 examined, left alone: pinning per_doc with a lazy
+    # localCheckpoint (to stop the cuts branch + tagging join from
+    # re-deriving the s4 join / doc aggregate) measured 1.17x SLOWER
+    # interleaved at sf0.1 — the (doc,bucket) exchange is already
+    # reused, so the re-derived residue is doc-scale only, and the
+    # checkpoint write/read costs more than it saves (scripts/
+    # r15_ab2.json). Matches the operator docstring's standing call.
     per_doc = unigram_surprisal_scores(docs, n_buckets=_DSIR_B)
     cuts = nearest_rank_percentiles(
         per_doc, ["lang"], "spp", {"c1": (1, 3), "c2": (2, 3)}
@@ -1455,17 +1490,25 @@ def sample_exact_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
-    tot = cnt.agg(F.sum("n").alias("nt"))
-    quota = cnt.crossJoin(F.broadcast(tot)).select(
+    # r15 optimization: total and spare were agg + crossJoin diamonds —
+    # each branch prunes different columns, so the branch subtrees stop
+    # being identical, exchange reuse never fires, and the doc-scale
+    # groupBy (and its scan) re-derives once per branch (measured 5
+    # lineage evaluations). Unpartitioned window sums over the
+    # |langs|-row frame keep ONE lineage: one corpus pass, then
+    # arithmetic on the tiny frame (the frame already collapses to a
+    # single partition for the w_rem rank window below, so the window
+    # totals are free). Integer arithmetic unchanged — same results.
+    w_all = W.partitionBy()
+    quota = cnt.withColumn("nt", F.sum("n").over(w_all)).select(
         "lang",
         F.expr(f"{_ALLOC_N} * n DIV nt").alias("base"),
         F.expr(f"({_ALLOC_N} * n) % nt").alias("rem"),
     )
-    spare = quota.agg((F.lit(_ALLOC_N) - F.sum("base")).alias("spare"))
     # strata-sized window (languages, not rows) — bounded cardinality
     w_rem = W.orderBy(F.desc("rem"), "lang")
     alloc = (
-        quota.crossJoin(F.broadcast(spare))
+        quota.withColumn("spare", F.lit(_ALLOC_N) - F.sum("base").over(w_all))
         .withColumn("pos", F.row_number().over(w_rem))
         .select(
             "lang",
@@ -1604,17 +1647,23 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     wexpr = 1 + token_hash60(F.col("source")) % 4
     cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs_src"))
     weights = cnt.select("source", wexpr.alias("w"))
-    wt = weights.agg(F.sum("w").alias("wt"))
-    quota = weights.crossJoin(F.broadcast(wt)).select(
+    # r15 optimization: weight total and spare as unpartitioned window
+    # sums over the |sources|-row frame instead of agg + crossJoin
+    # diamonds (each branch re-derived the source scan+groupBy; column
+    # pruning de-identifies the subtrees so exchange reuse never
+    # fires). Same integer arithmetic — identical allocation.
+    w_all = W.partitionBy()
+    quota = weights.withColumn("wt", F.sum("w").over(w_all)).select(
         "source",
         "w",
         F.expr(f"{_MIX_BUDGET} * w DIV wt").alias("base"),
         F.expr(f"({_MIX_BUDGET} * w) % wt").alias("rem"),
     )
-    spare = quota.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("spare"))
     w_rem = W.orderBy(F.desc("rem"), "source")  # |sources|-sized window
     budget = (
-        quota.crossJoin(F.broadcast(spare))
+        quota.withColumn(
+            "spare", F.lit(_MIX_BUDGET) - F.sum("base").over(w_all)
+        )
         .withColumn("pos", F.row_number().over(w_rem))
         .select(
             "source",
@@ -1740,10 +1789,20 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w", F.lit(1_000_000).cast("long"))
     )
+    # r15 optimization: each round's total was an agg + crossJoin
+    # diamond, so round r's plan embedded round r-1's subtree TWICE —
+    # 2^rounds copies of the corpus aggregate by round 3 (column
+    # pruning de-identifies the branches, so exchange reuse cannot
+    # collapse them). An unpartitioned window sum over the |domains|-row
+    # frame keeps one linear lineage: ONE corpus pass, then `rounds`
+    # window+project steps over the tiny frame. Same integer ppm
+    # arithmetic — identical results (MixtureReweight mirrors this).
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
     for i in range(1, _DOREMI_ROUNDS + 1):
-        tot = per.agg(F.sum("w").alias("__tot"))
         per = (
-            per.crossJoin(F.broadcast(tot))
+            per.withColumn("__tot", F.sum("w").over(w_all))
             .withColumn("__share", F.expr("w * 1000000 div __tot"))
             .withColumn(
                 "__boost", F.expr("excess_ppm * (1000000 - __share) div 1000000")
@@ -1752,9 +1811,8 @@ def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(f"w{i}", F.col("w"))
             .drop("__tot", "__share", "__boost")
         )
-    tot = per.agg(F.sum("w").alias("__tot"))
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("__tot", F.sum("w").over(w_all))
         .select(
             "source",
             "n_docs",

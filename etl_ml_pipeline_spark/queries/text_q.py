@@ -1066,11 +1066,23 @@ def text_novelty_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reduced form is strictly MORE accurate; the oracle computes
     # the identical reduced expression.
     dtc = tris.groupBy("doc_id", "tri", "ctx").agg(F.count("*").alias("k"))
-    tri_freq = dtc.groupBy("tri").agg(F.sum("k").alias("c3"))
-    ctx_freq = dtc.groupBy("ctx").agg(F.sum("k").alias("c2"))
+    # r15 optimization: the tri/ctx frequency tables were separate
+    # aggregate branches joined back onto dtc — the executed plan showed
+    # the trigram explode re-derived for all three consumers (6 scans,
+    # 14 exchanges, zero ReusedExchange: column pruning de-identifies
+    # the branch subtrees, so AQE reuse never fires). Frequencies are
+    # now WINDOW sums over the single dtc lineage — c3 = sum(k) over
+    # (partition by tri), c2 = sum(k) over (partition by ctx): same
+    # integers into the identical s expression, one scan, two gram-key
+    # window shuffles instead of two aggregate branches + two joins.
+    # At 100 TB each window partition is a gram's postings (bounded by
+    # document frequency), the same key distribution the old aggregate
+    # shuffles had.
+    from pyspark.sql import Window as W
+
     scored = (
-        dtc.join(maybe_broadcast(tri_freq, sf_dir, "documents"), "tri")
-        .join(maybe_broadcast(ctx_freq, sf_dir, "documents"), "ctx")
+        dtc.withColumn("c3", F.sum("k").over(W.partitionBy("tri")))
+        .withColumn("c2", F.sum("k").over(W.partitionBy("ctx")))
         .withColumn("s", F.col("k") * -F.log(F.col("c3") / F.col("c2")))
     )
     return (
@@ -1430,6 +1442,16 @@ def hybrid_search_rrf(
     denom = F.col("tf") + _BM25_K1 * (
         1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
+    # r15 optimization: pin the BM25 postings once — `scored` feeds
+    # both the query-term extraction (5-doc filter + window) and the
+    # corpus-side candidate scoring, and the branches prune differently
+    # enough that the executed plan re-derived the tf pipeline + three
+    # joins per consumer (16 scans / 41 exchanges, only 6 reused). The
+    # postings frame is (doc, term, s_i) — integer-scored and narrow;
+    # materializing it once is the same bytes the reused shuffle files
+    # already cost (the _pin_partitioning trade). Measured 0.83x
+    # interleaved at sf0.1 (1.46s -> 1.20s medians,
+    # scripts/r15_ab4.json); rows unchanged (oracle-green).
     scored = (
         tf.join(maybe_broadcast(df_, sf_dir, "documents"), "term")
         .join(maybe_broadcast(dl, sf_dir, "documents"), "doc_id")
@@ -1441,6 +1463,7 @@ def hybrid_search_rrf(
             .cast("long")
             .alias("s_i"),
         )
+        .localCheckpoint(eager=False)
     )
     wq = Window.partitionBy("doc_id").orderBy(F.desc("s_i"), "term")
     qterms = (

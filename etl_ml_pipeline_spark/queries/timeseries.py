@@ -1619,35 +1619,57 @@ def concurrency_peak_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
-    bounds = sess.select(
-        F.col("s").alias("bt"), F.lit(1).alias("delta")
-    ).unionAll(sess.select(F.col("e").alias("bt"), F.lit(-1).alias("delta")))
-    b = bounds.withColumn("day", F.to_date("bt"))
-    day_sums = b.groupBy("day").agg(F.sum("delta").alias("dsum"))
-    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
-    offsets = day_sums.select(
-        "day", F.coalesce(F.sum("dsum").over(w_days), F.lit(0)).alias("carry")
+    # r15 optimization: the old shape evaluated the session-scale
+    # subtree FOUR times — the +1/-1 boundary union re-derived `sess`
+    # per branch (column pruning de-identifies the branches, so
+    # exchange reuse never fires), and the day_sums/running diamond
+    # doubled that again. Now: explode emits both boundaries in one
+    # pass, the within-day running sum comes first, and ONE per-day
+    # aggregate yields max_run + dsum + n_started, with the cross-day
+    # carry a |days|-row window downstream. peak = max(run) + carry ==
+    # max(run + carry) exactly (carry is constant within a day), so
+    # the integers are unchanged. 4 sessionize evaluations -> 1, and
+    # the broadcast offsets join disappears.
+    b = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("bt"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("bt"), F.lit(-1).alias("delta")),
+            )
+        ).alias("__b")
+    ).select(
+        F.col("__b.bt").alias("bt"),
+        F.col("__b.delta").alias("delta"),
+        F.to_date("__b.bt").alias("day"),
     )
     w_run = (
         W.partitionBy("day")
         .orderBy(F.col("bt"), F.desc("delta"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = b.withColumn("run", F.sum("delta").over(w_run)).join(
-        F.broadcast(offsets), "day"
-    )
-    return (
-        running.groupBy("day")
+    per_day = (
+        b.withColumn("run", F.sum("delta").over(w_run))
+        .groupBy("day")
         .agg(
             F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_sessions_started"),
-            F.max(F.col("run") + F.col("carry"))
+            F.max("run").alias("max_run"),
+            F.sum("delta").alias("dsum"),
+        )
+    )
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        per_day.withColumn(
+            "carry", F.coalesce(F.sum("dsum").over(w_days), F.lit(0))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_sessions_started",
+            (F.col("max_run") + F.col("carry"))
             .cast("long")
             .alias("peak_concurrency"),
         )
-        .select(F.col("day").cast("string").alias("day"),
-                "n_sessions_started", "peak_concurrency")
         .orderBy("day")
     )
 

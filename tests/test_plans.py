@@ -549,14 +549,17 @@ def test_incremental_refresh_semi_join_no_cartesian(spark, sf_dir):
 
 
 def test_trigram_novelty_freq_tables_broadcast_at_small_sf(spark, sf_dir):
-    """Trigram/context frequency tables join back to the exploded gram
-    stream as hash joins (broadcast under the size guard at test SF) —
-    no cartesian shapes."""
+    """r15 shape: trigram/context frequencies are WINDOW sums over the
+    single dtc lineage (partition by tri / by ctx) — no frequency-table
+    joins at all (the old join-back form re-derived the trigram explode
+    for all three consumers: 6 scans, zero reuse), and no cartesian
+    shapes. One scan of documents feeds the whole plan."""
     from etl_ml_pipeline_spark.queries.text_q import text_novelty_trigram
 
     plan = _plan(text_novelty_trigram(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # window sums replaced the freq joins
+    assert plan.count("Scan parquet") == 1
 
 
 def test_new_vs_returning_day_grain_window_only(spark, sf_dir):
