@@ -135,6 +135,62 @@ def _assign_clusters_np(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def _partial_sums_np(
+    df: DataFrame, cents: dict[int, list[int]], e_col: str = "e"
+) -> DataFrame:
+    """Fused assign + per-task partial centroid sums for the Arrow
+    assignment path (r15 optimization): the old update ran the
+    assignment kernel, shipped EVERY row back through the Python
+    boundary, posexploded x d in the JVM, and map-side-aggregated —
+    guide §4's "pass only what the function needs", inverted: the
+    kernel already holds the assignment in numpy, so it can emit the
+    k*d partial sums per TASK directly and the Arrow-out volume drops
+    from N rows to k*d per task. Sums are exact int64 (order-free), the
+    argmin is the same first-occurrence tie-break as assign_clusters,
+    and the downstream combine is the same groupBy(cluster, dim) —
+    bit-identical centroids (pinned in tests/test_kmeans.py)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = sorted(cents)
+    C = np.asarray([cents[i] for i in ids], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    d = C.shape[1]
+
+    def kernel(batches):
+        acc_s: dict[int, "np.ndarray"] = {}
+        acc_n: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[e_col].tolist(), dtype=np.int64)
+            vn = (V * V).sum(axis=1)
+            d2 = vn[:, None] - 2 * (V @ C.T) + cn[None, :]
+            idx = d2.argmin(axis=1)
+            for ci in np.unique(idx):
+                m = idx == ci
+                cl = int(id_arr[ci])
+                s = V[m].sum(axis=0)
+                if cl in acc_s:
+                    acc_s[cl] += s
+                    acc_n[cl] += int(m.sum())
+                else:
+                    acc_s[cl] = s
+                    acc_n[cl] = int(m.sum())
+        if acc_s:
+            rows = [
+                (cl, j, int(acc_s[cl][j]), acc_n[cl])
+                for cl in acc_s
+                for j in range(d)
+            ]
+            yield pd.DataFrame(rows, columns=["cluster", "dim", "s", "n"])
+
+    return df.select(e_col).mapInPandas(
+        kernel, schema="cluster int, dim int, s long, n long"
+    )
+
+
 def lloyd_iterations(
     df: DataFrame,
     k: int,
@@ -154,14 +210,25 @@ def lloyd_iterations(
         raise ValueError(f"need at least k={k} rows to seed, got {len(seeds)}")
     cents = {i: [int(v) for v in r[e_col]] for i, r in enumerate(seeds)}
     d = len(cents[0])
+    use_np = len(cents) * d > _EXPR_PATH_MAX_TERMS
     for _ in range(iters):
-        a = assign_clusters(df, cents, e_col)
-        sums = (
-            a.select("cluster", F.posexplode(e_col).alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        if use_np:
+            # fused Arrow kernel: k*d partials per task, no N-row
+            # Python->JVM return, no posexplode (see _partial_sums_np)
+            sums = (
+                _partial_sums_np(df, cents, e_col)
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+        else:
+            a = assign_clusters(df, cents, e_col)
+            sums = (
+                a.select("cluster", F.posexplode(e_col).alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
         upd: dict[int, dict[int, int]] = {}
         for row in sums:
             # floor(s / n) via double division: both engines compute the

@@ -117,3 +117,26 @@ def test_np_kernel_matches_expression_path(spark):
     assert [(f.name, f.dataType) for f in a.schema.fields] == [
         (f.name, f.dataType) for f in b.schema.fields
     ]
+
+
+def test_fused_partial_sums_match_posexplode_update(spark):
+    """r15: the fused Arrow update (_partial_sums_np — assignment +
+    per-task k*d partial sums in one kernel) must produce centroids
+    bit-identical to the posexplode update path, for the same seeds and
+    schedule."""
+    from etl_ml_pipeline_spark.operators import kmeans as km
+
+    rng = [
+        [((i * 53 + j * 29) % 97) / 48.0 - 1.0 for j in range(8)]
+        for i in range(48)
+    ]
+    df = km.quantize_micro(_vec_df(spark, rng)).select("vec_id", "e")
+    old = km._EXPR_PATH_MAX_TERMS
+    try:
+        km._EXPR_PATH_MAX_TERMS = 0  # force the fused numpy update
+        c_np = km.lloyd_iterations(df, k=5, iters=2)
+        km._EXPR_PATH_MAX_TERMS = 10**9  # force the posexplode update
+        c_expr = km.lloyd_iterations(df, k=5, iters=2)
+    finally:
+        km._EXPR_PATH_MAX_TERMS = old
+    assert c_np == c_expr
