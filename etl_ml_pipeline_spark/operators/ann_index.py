@@ -182,11 +182,13 @@ def ivf_index_vacuum(spark: SparkSession, path: str, c_id: str = "c_id") -> dict
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     tp = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
     tp.getFileSystem(conf).delete(tp, True)
-    rows_after = spark.read.parquet(lists_path).count()
+    # r15 optimization: rows_after == kept_rows by construction (the
+    # swap publishes exactly the frame counted above), so the post-swap
+    # read-back count was a third full pass over the lists — dropped.
     return {
         "rows_before": rows_before,
-        "rows_deleted": rows_before - rows_after,
-        "rows_after": rows_after,
+        "rows_deleted": rows_before - kept_rows,
+        "rows_after": kept_rows,
     }
 
 

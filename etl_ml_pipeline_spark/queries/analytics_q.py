@@ -1329,9 +1329,14 @@ def seasonality_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("dow").agg(
         F.count("*").alias("n_events"), F.sum("c").alias("cents")
     )
-    tot = per.agg(F.sum("cents").alias("total"))
+    # r15 optimization: total as an unpartitioned window sum over the
+    # 7-row frame instead of an agg + crossJoin diamond (which
+    # re-derived the event-scale aggregate for the totals branch).
+    # Same integers — identical results.
+    from pyspark.sql import Window as W
+
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("total", F.sum("cents").over(W.partitionBy()))
         .select(
             "dow",
             "n_events",

@@ -63,17 +63,22 @@ def training_data_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = deduped.filter(
         X.token_hash60(F.col("doc_id").cast("string")) % 100 < rate
     ).select("doc_id", "lang", "n_tok")
-    # Covering doc_id bounds from the RAW table: a guaranteed
-    # column-pruned scan for the prefix sum's bucket boundaries,
-    # independent of how well the pruner guts the gate+dedup+sample
-    # lineage under the self-derived min/max (filtering only shrinks
-    # the id range, so raw bounds stay valid).
-    bounds = docs.agg(
-        F.min(F.col("doc_id").cast("double")).alias("__lo"),
-        F.max(F.col("doc_id").cast("double")).alias("__hi"),
-    )
+    # r15 optimization: pin_input=True — the prefix sum's two branches
+    # re-derived the whole score->gate->dedup->sample lineage (the
+    # documented two-evaluation trade), and the quality-score
+    # tokenization is expensive enough that the post-exchange pin wins
+    # NOW, not just at cluster scale: interleaved A/B at sf0.1 1.405s
+    # -> 1.119s (0.80x). The pin lands AFTER the range exchange, so
+    # both branches read the stored partitions with no further shuffle
+    # — pinning the input frame instead (pre-exchange) measured SLOWER
+    # than the unpinned diamond (2.49s vs 2.19s: each branch still
+    # pays its own __pid shuffle). bounds_df is unused on the pinned
+    # path (the sampled range IS the layout); the decontam twin keeps
+    # the arithmetic-bucket + raw-bounds shape because its lineage is
+    # already narrow behind the anti-join checkpoint. Rows unchanged
+    # (oracle-green).
     cum = global_running_sum(
-        sampled, "n_tok", ["doc_id"], "cum_tok", bounds_df=bounds
+        sampled, "n_tok", ["doc_id"], "cum_tok", pin_input=True
     )
     packed = cum.withColumn(
         "pack_id",

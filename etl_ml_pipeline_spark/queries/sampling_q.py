@@ -102,7 +102,6 @@ _MIX_FRACTION = 0.6  # output corpus target size as a fraction of input
 def sample_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    total = docs.agg(F.count("*").alias("__N"))
     share = F.lit(None).cast("double")
     for lang, s in sorted(_MIX_SHARES.items()):
         share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
@@ -114,9 +113,15 @@ def sample_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             share * F.floor(F.col("__N") * _MIX_FRACTION) * 10000 / F.col("n_total")
         ),
     )
-    plan = counts.crossJoin(F.broadcast(total)).select(
-        "lang", "n_total", thr.alias("threshold")
-    )
+    # r15 optimization: corpus total as a window sum over the per-lang
+    # counts (sum of group counts IS the corpus count) instead of a
+    # separate count branch + crossJoin diamond — one corpus aggregate
+    # instead of two. Same integer operands, same thresholds.
+    from pyspark.sql import Window as W
+
+    plan = counts.withColumn(
+        "__N", F.sum("n_total").over(W.partitionBy())
+    ).select("lang", "n_total", thr.alias("threshold"))
     sampled = (
         docs.join(F.broadcast(plan), "lang")
         .filter(token_hash60(F.col("doc_id").cast("string")) % 10000 < F.col("threshold"))

@@ -3272,11 +3272,16 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index_write(corpus, centroids, path)
     _, lists = ivf_index_read(spark, path)
     sizes = lists.groupBy("cent_id").agg(F.count("*").alias("list_size"))
-    totals = sizes.agg(
-        F.sum("list_size").alias("__n"), F.count("*").alias("__k")
-    )
+    # r15 optimization: totals as window aggregates over the |cells|-row
+    # frame instead of an agg + crossJoin diamond (which re-read and
+    # re-aggregated the lists table for the totals branch). Same
+    # integers — identical shares/flags.
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
     return (
-        sizes.crossJoin(F.broadcast(totals))
+        sizes.withColumn("__n", F.sum("list_size").over(w_all))
+        .withColumn("__k", F.count("*").over(w_all))
         .select(
             "cent_id",
             "list_size",

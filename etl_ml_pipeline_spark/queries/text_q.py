@@ -1635,8 +1635,13 @@ def corpus_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-rank p50: the smallest length whose cumulative frequency
     # reaches ceil(n/2) = (n+1) div 2 — INTEGER division on both
     # engines; float division would select the upper median for even n
+    # r15 optimization: n_docs for the rank threshold comes from a
+    # window sum over the length grid itself (sum of grid counts IS the
+    # doc count) instead of broadcasting the scalars frame in — the
+    # diamond re-derived the expensive 3x-countDistinct scalars
+    # aggregate for the p50 branch. Same integer threshold.
     p50 = (
-        cum.crossJoin(F.broadcast(scalars.select("n_docs")))
+        cum.withColumn("n_docs", F.sum("cnt").over(Window.partitionBy()))
         .filter(F.col("cum") >= F.expr("(n_docs + 1) DIV 2"))
         .agg(F.min("n_chars").alias("p50_chars"))
     )

@@ -367,9 +367,20 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("raw_value"))
     )
-    total = per_part.agg(F.sum("raw_value").alias("grand_total"))
+    # r15 optimization: the grand total as an unpartitioned window sum
+    # over the per-part frame instead of an agg + crossJoin diamond
+    # (which re-derived the lineitem join+aggregate for the totals
+    # branch — 2 fact scans). The window single-partitions |parts|
+    # narrow rows — bounded by the part dimension, far cheaper at any
+    # scale than a second fact-table pass. Same double sum over the
+    # same rows in Spark's single-partition reduce — and the oracle
+    # re-proves the filter boolean cross-engine.
+    from pyspark.sql import Window as W
+
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn(
+            "grand_total", F.sum("raw_value").over(W.partitionBy())
+        )
         .filter(F.col("raw_value") > 0.001 * F.col("grand_total"))
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -457,10 +468,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    # r15 optimization: the max as an unpartitioned window over the
+    # |suppliers|-row revenue frame instead of an agg + crossJoin
+    # diamond (which re-derived the lineitem aggregate for the max
+    # branch — 2 fact scans). Max is order-free; values are the same
+    # rounded doubles — identical equality filter.
+    from pyspark.sql import Window as W
+
     s = t(spark, sf_dir, "supplier")
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
+        revenue.withColumn(
+            "max_revenue", F.max("total_revenue").over(W.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
