@@ -49,13 +49,19 @@ def ivf_index_write(
     path: str,
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    centroid_rows: list | None = None,
 ) -> None:
     """Build + persist the index: assign every corpus vector to its
-    nearest centroid and write centroids + cent_id-partitioned lists."""
+    nearest centroid and write centroids + cent_id-partitioned lists.
+
+    ``centroid_rows``: pre-collected quantizer rows
+    (similarity.collect_centroid_rows) — lifecycle queries that also
+    append/serve against the same centroids pass them once instead of
+    re-collecting per stage (r15 §12)."""
     centroids.select("cent_id", "cent_vec").write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    assigned = ivf_assign(corpus, centroids, c_vec, c_id)
+    assigned = ivf_assign(corpus, centroids, c_vec, c_id, rows=centroid_rows)
     assigned.select(c_id, c_vec, "cent_id").write.mode("overwrite").partitionBy(
         "cent_id"
     ).parquet(f"{path}/lists")
@@ -67,13 +73,27 @@ def ivf_index_append(
     path: str,
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    centroid_rows: list | None = None,
 ) -> None:
     """Grow the index without re-clustering: assign only the new vectors
     against the STORED centroids and append their list rows. Quantizer
     drift is the caller's rebuild decision (FAISS add semantics); the
     serve path is oblivious to which run wrote a row — pinned by
     ann_ivf_incremental_topk's oracle, which replays build+append as one
-    full-corpus assignment."""
+    full-corpus assignment.
+
+    ``centroid_rows``: the quantizer rows, if the caller already holds
+    them (e.g. it just built the index in the same run) — skips the
+    stored-centroids read + collect. Doubles round-trip parquet
+    bit-exactly, so passing the build-time rows is identical to reading
+    them back; the stored table stays the default (and the contract —
+    the quantizer is FROZEN at build time)."""
+    if centroid_rows is not None:
+        assigned = ivf_assign(new_vectors, None, c_vec, c_id, rows=centroid_rows)
+        assigned.select(c_id, c_vec, "cent_id").write.mode("append").partitionBy(
+            "cent_id"
+        ).parquet(f"{path}/lists")
+        return
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(new_vectors, centroids, c_vec, c_id)
     assigned.select(c_id, c_vec, "cent_id").write.mode("append").partitionBy(
@@ -203,6 +223,7 @@ def ivf_topk_from_index(
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     tombstones: DataFrame | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """Serve top-k from a stored index: probe the query's n_probe
     nearest centroids, equi-join the probed lists, exact cosine rerank.
@@ -213,7 +234,10 @@ def ivf_topk_from_index(
     deleted ids, excluded via a broadcast anti-join BEFORE the
     candidate join — map-side, no extra shuffle, and a deleted vector
     can never appear in results even before a vacuum rewrites the
-    lists."""
+    lists.
+
+    ``centroid_rows``: pre-collected quantizer rows (see
+    ivf_index_write) — skips this stage's probe collect."""
     from pyspark.sql import Window as W
 
     if tombstones is not None:
@@ -222,7 +246,7 @@ def ivf_topk_from_index(
             c_id,
             "left_anti",
         )
-    qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec)
+    qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec, rows=centroid_rows)
     cand = lists.join(F.broadcast(qb), "cent_id").withColumn(
         "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
     )

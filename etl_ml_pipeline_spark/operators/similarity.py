@@ -433,16 +433,35 @@ class SemanticDecontam(BaseTransform):
         # clusters than it has rows
         n_cells = max(1, min(n_cells, bench.count()))
         centroids = ivf_build_kmeans(bench, vec_col="__bv", k=n_cells)
+        # one quantizer collect shared by the assign and probe stages
+        # (r15 §12 — each used to run its own driver-sync job)
+        rows = collect_centroid_rows(centroids)
         bench_cells = ivf_assign(
-            bench, centroids, "__bv", "__bv"
+            bench, centroids, "__bv", "__bv", rows=rows
         ).select("cent_id", "__bv")
-        probed = _probe_exploded(probes, centroids, n_probe, "__sid", "__cv")
+        probed = _probe_exploded(probes, centroids, n_probe, "__sid", "__cv", rows=rows)
         return (
             probed.join(bench_cells, "cent_id")   # shuffle equi-join, no broadcast
             .filter(cosine(F.col("__cv"), F.col("__bv")) >= thr)
             .select("__sid")
             .distinct()
         )
+
+
+def collect_centroid_rows(
+    centroids: DataFrame,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> list:
+    """The k-row coarse-quantizer collect, factored out so one query can
+    pay it ONCE and feed every stage (assign, probe, index write/append)
+    via the ``rows=`` / ``centroid_rows=`` pass-throughs. Each IVF stage
+    used to run its own collect — a separate driver-sync Spark job that
+    re-derives the centroid frame's lineage per stage (r15 §12). Within
+    one query invocation this is ordinary subexpression reuse, not
+    cross-run caching: every invocation still computes the rows from the
+    parquet inputs."""
+    return sorted(centroids.select(cent_id, cent_vec).collect(), key=lambda r: r[0])
 
 
 def ivf_assign(
@@ -452,6 +471,7 @@ def ivf_assign(
     id_col: str,
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    rows: list | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
@@ -472,7 +492,8 @@ def ivf_assign(
     zip_with-cosine × centroid-count expression formulation measured
     >10× slower (interpreted higher-order lambdas per pair).
     """
-    rows = sorted(centroids.select(cent_id, cent_vec).collect(), key=lambda r: r[0])
+    if rows is None:
+        rows = collect_centroid_rows(centroids, cent_id, cent_vec)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -495,13 +516,13 @@ def _probe_exploded(
     n_probe: int,
     q_id: str,
     q_vec: str,
+    rows: list | None = None,
 ) -> DataFrame:
     """Per-query probe list: one row per (query, probed cent_id) for the
     query's ``n_probe`` nearest centroids — same broadcast-matrix
     vectorized-UDF pattern as ivf_assign; n_probe=1 reproduces it."""
-    rows = sorted(
-        centroids.select("cent_id", "cent_vec").collect(), key=lambda r: r[0]
-    )
+    if rows is None:
+        rows = collect_centroid_rows(centroids)
     ids_list = [int(r[0]) for r in rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat_list = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).tolist()
@@ -533,6 +554,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``n_probe`` nearest centroid lists,
     exact cosine rerank within those lists only.
@@ -541,11 +563,21 @@ def ivf_topk(
     regions (any provided coarse quantizer — e.g. MLlib KMeans centers —
     works), LSH by fixed random planes. Candidate generation is an
     equi-join on cent_id — sub-linear scan per query at scale.
+
+    ``centroid_rows``: pre-collected quantizer rows
+    (collect_centroid_rows) — callers composing several IVF stages over
+    the same centroids pass them once; default collects here (one job,
+    shared by assign + probe instead of one each).
     """
     from pyspark.sql import Window as W
 
-    cb = ivf_assign(corpus, centroids, c_vec, c_id)
-    qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec)
+    rows = (
+        centroid_rows
+        if centroid_rows is not None
+        else collect_centroid_rows(centroids)
+    )
+    cb = ivf_assign(corpus, centroids, c_vec, c_id, rows=rows)
+    qb = _probe_exploded(queries, centroids, n_probe, q_id, q_vec, rows=rows)
     cand = cb.join(F.broadcast(qb), "cent_id").withColumn(
         "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
     )
@@ -767,6 +799,7 @@ def ivfpq_topk(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production large-scale ANN architecture (FAISS
     IVFADC shape, sans residual encoding): the coarse quantizer prunes
@@ -779,13 +812,21 @@ def ivfpq_topk(
     query), scored via the broadcast ADC lookup table. At 100 TB the
     corpus exists only as (cent_id, id, m int8 codes) — the full-vector
     table is needed just at index-build and rerank time.
+
+    ``centroid_rows``: see ivf_topk — one quantizer collect shared by
+    the assign and probe stages.
     """
     from pyspark.sql import Window as W
 
+    rows = (
+        centroid_rows
+        if centroid_rows is not None
+        else collect_centroid_rows(centroids)
+    )
     coded = pq_encode(
-        ivf_assign(corpus, centroids, c_vec, c_id), codebooks, c_vec
+        ivf_assign(corpus, centroids, c_vec, c_id, rows=rows), codebooks, c_vec
     ).select(c_id, "cent_id", "pq_codes")
-    qassigned = _probe_exploded(queries, centroids, n_probe, q_id, q_vec)
+    qassigned = _probe_exploded(queries, centroids, n_probe, q_id, q_vec, rows=rows)
     lut, m, kcent = _adc_lut_udf(codebooks)
     qlut = qassigned.withColumn("__lut", lut(F.col(q_vec))).select(
         q_id, "cent_id", "__lut"

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from etl_ml_pipeline_spark.operators.similarity import (
     as_double,
     brute_force_topk,
+    collect_centroid_rows as _collect_cent_rows,
     cosine,
     lsh_topk,
     make_hyperplanes,
@@ -344,6 +345,7 @@ def semantic_decontam_shortlist_stats(
 ) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import (
         _probe_exploded,
+        collect_centroid_rows,
         ivf_assign,
     )
 
@@ -354,10 +356,15 @@ def semantic_decontam_shortlist_stats(
         F.col("vec_id").alias("cent_id"),
         as_double(F.col("embedding")).alias("cent_vec"),
     )
+    # r15 §12: one quantizer collect shared by the bench-assign and the
+    # corpus-probe stages (each used to run its own driver-sync job)
+    cent_rows = collect_centroid_rows(cent)
     bench = emb.filter(F.col("vec_id") < 40).select(
         F.col("vec_id").alias("b_id"), as_double(F.col("embedding")).alias("bv")
     )
-    bench_cells = ivf_assign(bench, cent, "bv", "b_id").select("cent_id", "bv")
+    bench_cells = ivf_assign(bench, cent, "bv", "b_id", rows=cent_rows).select(
+        "cent_id", "bv"
+    )
     base = emb.filter(F.col("vec_id") >= 40).select(
         F.col("vec_id").alias("c_id"),
         as_double(F.col("embedding")).alias("cv"),
@@ -379,7 +386,9 @@ def semantic_decontam_shortlist_stats(
         .agg(F.max("cos").alias("max_cos_exact"))
     )
     # shortlist leg: probe 2 cells, cosine only inside the cell join
-    probed = _probe_exploded(corpus, cent, _SHORTLIST_PROBE, "c_id", "cv")
+    probed = _probe_exploded(
+        corpus, cent, _SHORTLIST_PROBE, "c_id", "cv", rows=cent_rows
+    )
     short = (
         probed.join(bench_cells, "cent_id")
         .select("c_id", cosine(F.col("cv"), F.col("bv")).alias("cos"))
@@ -2526,11 +2535,16 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     bf = brute_force_topk(queries, corpus, k=10).select("q_id", "c_id")
+    # r15 §12: the stride-derived quantizer is collected ONCE and shared
+    # by both probe settings' assign+probe stages (was 4 driver-sync
+    # jobs, each re-running the stride aggregate + filter)
+    cent_rows = _collect_cent_rows(centroids)
     recalls = []
     for n_probe in (2, 8):
-        iv = ivf_topk(queries, corpus, centroids, k=10, n_probe=n_probe).select(
-            "q_id", "c_id"
-        )
+        iv = ivf_topk(
+            queries, corpus, centroids, k=10, n_probe=n_probe,
+            centroid_rows=cent_rows,
+        ).select("q_id", "c_id")
         recalls.append(
             bf.join(iv, ["q_id", "c_id"]).agg(
                 (F.count("*") / F.lit(100.0)).alias(f"recall_p{n_probe}")
@@ -2634,12 +2648,22 @@ _BATTERY = [
 
 
 def ann_recall_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
     bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    # r15 §13 (guide §2.6): each member builder runs small eager
+    # driver-sync jobs (quantizer / codebook collects) before returning
+    # its lazy plan; sequentially those syncs dominate the battery's
+    # build time. Build the members CONCURRENTLY so the collects overlap
+    # in the scheduler — map() keeps _BATTERY order, so the composed
+    # union (and the result) is identical to the sequential build.
+    with ThreadPoolExecutor(max_workers=len(_BATTERY)) as pool:
+        idxs = list(
+            pool.map(lambda m: m[1](spark, sf_dir).select("q_id", "c_id"), _BATTERY)
+        )
     rows = []
-    for name, fn, _sql, floor in _BATTERY:
-        idx = fn(spark, sf_dir).select("q_id", "c_id")
+    for (name, _fn, _sql, floor), idx in zip(_BATTERY, idxs):
         rows.append(
             bf.join(idx, ["q_id", "c_id"]).agg(
                 F.lit(name).alias("index_name"),
@@ -2732,12 +2756,18 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     path = _run_scoped_index_dir("ivf_persisted")
-    ivf_index_write(corpus, centroids, path)
+    # r15 §12: one quantizer collect shared by the build-assign and the
+    # serve-probe stages (was one driver-sync job per stage)
+    cent_rows = _collect_cent_rows(centroids)
+    ivf_index_write(corpus, centroids, path, centroid_rows=cent_rows)
     stored_cents, stored_lists = ivf_index_read(spark, path)
     queries = emb.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=2)
+    out = ivf_topk_from_index(
+        queries, stored_cents, stored_lists, k=5, n_probe=2,
+        centroid_rows=cent_rows,
+    )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
     ).orderBy("q_id", "rank")
@@ -2819,13 +2849,26 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     path = _run_scoped_index_dir("ivf_incr")
-    ivf_index_write(corpus.filter(F.col("c_id") % 2 == 0), centroids, path)
-    ivf_index_append(spark, corpus.filter(F.col("c_id") % 2 == 1), path)
+    # r15 §12: one quantizer collect shared by build, append and serve
+    # (was three driver-sync jobs; parquet round-trips doubles
+    # bit-exactly so the build-time rows ARE the stored quantizer)
+    cent_rows = _collect_cent_rows(centroids)
+    ivf_index_write(
+        corpus.filter(F.col("c_id") % 2 == 0), centroids, path,
+        centroid_rows=cent_rows,
+    )
+    ivf_index_append(
+        spark, corpus.filter(F.col("c_id") % 2 == 1), path,
+        centroid_rows=cent_rows,
+    )
     stored_cents, stored_lists = ivf_index_read(spark, path)
     queries = emb.filter(
         (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=1)
+    out = ivf_topk_from_index(
+        queries, stored_cents, stored_lists, k=5, n_probe=1,
+        centroid_rows=cent_rows,
+    )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
     ).orderBy("q_id", "rank")
@@ -2866,7 +2909,9 @@ def ann_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     path = _run_scoped_index_dir("ivf_delete")
-    ivf_index_write(corpus, centroids, path)
+    # r15 §12: one quantizer collect shared by build and serve
+    cent_rows = _collect_cent_rows(centroids)
+    ivf_index_write(corpus, centroids, path, centroid_rows=cent_rows)
     ivf_index_delete(corpus.filter(F.col("c_id") % 7 == 3), path)
     stored_cents, stored_lists = ivf_index_read(spark, path)
     tombs = ivf_index_tombstones(spark, path)
@@ -2874,7 +2919,8 @@ def ann_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 30) & (F.col("vec_id") < 40)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     out = ivf_topk_from_index(
-        queries, stored_cents, stored_lists, k=5, n_probe=2, tombstones=tombs
+        queries, stored_cents, stored_lists, k=5, n_probe=2, tombstones=tombs,
+        centroid_rows=cent_rows,
     )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
@@ -2962,18 +3008,25 @@ def ann_ivf_update_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     path = _run_scoped_index_dir("ivf_update")
-    ivf_index_write(corpus, centroids, path)
+    # r15 §12: one quantizer collect shared by build, append and serve
+    # (the quantizer is FROZEN across the update by contract)
+    cent_rows = _collect_cent_rows(centroids)
+    ivf_index_write(corpus, centroids, path, centroid_rows=cent_rows)
     stale = corpus.filter(F.col("c_id") % 9 == 4)
     ivf_index_delete(stale.select("c_id"), path)
     ivf_index_vacuum(spark, path)
     ivf_index_append(
-        spark, stale.withColumn("c_vec", F.reverse(F.col("c_vec"))), path
+        spark, stale.withColumn("c_vec", F.reverse(F.col("c_vec"))), path,
+        centroid_rows=cent_rows,
     )
     stored_cents, stored_lists = ivf_index_read(spark, path)
     queries = emb.filter(
         (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = ivf_topk_from_index(queries, stored_cents, stored_lists, k=5, n_probe=2)
+    out = ivf_topk_from_index(
+        queries, stored_cents, stored_lists, k=5, n_probe=2,
+        centroid_rows=cent_rows,
+    )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
     ).orderBy("q_id", "rank")

@@ -192,3 +192,50 @@ def test_vacuum_refuses_all_tombstoned(spark, tmp_path):
         _queries(corpus), cents, lists, k=4, n_probe=2, tombstones=tombs
     )
     assert served.count() == 0
+
+
+def test_centroid_rows_pass_through_is_identical(spark, tmp_path):
+    """r15 §12: pre-collected quantizer rows (collect-once pass-through)
+    must be result-identical to each stage collecting for itself — for
+    the index lifecycle (write/append/serve) AND the in-plan ivf_topk.
+    Also pins that the job count actually drops: the pass-through build
+    runs fewer driver-sync jobs than the per-stage-collect build."""
+    from etl_ml_pipeline_spark.operators.similarity import (
+        collect_centroid_rows,
+    )
+
+    corpus = _corpus(spark)
+    cents = _centroids(corpus)
+    even = corpus.filter(F.col("c_id") % 2 == 0)
+    odd = corpus.filter(F.col("c_id") % 2 == 1)
+
+    def build_and_serve(path, rows):
+        ivf_index_write(even, cents, path, centroid_rows=rows)
+        ivf_index_append(spark, odd, path, centroid_rows=rows)
+        sc, sl = ivf_index_read(spark, path)
+        return ivf_topk_from_index(
+            _queries(corpus), sc, sl, k=3, n_probe=2, centroid_rows=rows
+        )
+
+    tracker = spark.sparkContext.statusTracker
+    j0 = len(tracker().getJobIdsForGroup(None) or [])
+    baseline = build_and_serve(str(tmp_path / "idx_a"), None)
+    base_rows = _rows(baseline)
+    j1 = len(tracker().getJobIdsForGroup(None) or [])
+
+    pre = collect_centroid_rows(cents)
+    passed = build_and_serve(str(tmp_path / "idx_b"), pre)
+    assert _rows(passed) == base_rows
+    j2 = len(tracker().getJobIdsForGroup(None) or [])
+    # baseline ran 3 centroid collects (write/append/serve); the
+    # pass-through side paid 1 (the explicit collect) — strictly fewer
+    # jobs for the same result set. (collect() of the final frames and
+    # the writes are common to both sides.)
+    assert (j2 - j1) < (j1 - j0)
+
+    # and the in-plan composite: ivf_topk with pre-collected rows
+    want = ivf_topk(_queries(corpus), corpus, cents, k=3, n_probe=2)
+    got = ivf_topk(
+        _queries(corpus), corpus, cents, k=3, n_probe=2, centroid_rows=pre
+    )
+    assert _rows(got) == _rows(want)
