@@ -1192,24 +1192,59 @@ _SHUFFLE_EPOCHS = 2
 
 
 def shuffle_epoch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
+    from pyspark.sql import Window as W
 
-    from etl_ml_pipeline_spark.operators.relational import global_row_number
+    from etl_ml_pipeline_spark.operators.relational import _ranged_with_pid
 
+    # r15: all epochs in ONE two-phase rank pass instead of one
+    # global_row_number per epoch. The epochs explode out of a single
+    # doc_id scan, the arithmetic __pid bucketing runs over the hash
+    # column alone (monotone in __h, so within every epoch rows in an
+    # earlier bucket rank before a later bucket), the local window
+    # partitions by (__pid, epoch), and the broadcast offsets become
+    # per-(epoch, earlier-pid) count sums — the grouped generalization
+    # of global_row_number's offset stage. One scan + one hash exchange
+    # carries ALL epochs' rows (same bytes as before, half the
+    # shuffles/jobs); positions are identical by construction (rank of
+    # (__h, doc_id) within each epoch, doc_id unique per epoch).
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    parts = []
-    for ep in range(1, _SHUFFLE_EPOCHS + 1):
-        h = token_hash60(
-            F.concat(F.lit(f"ep{ep}:"), F.col("doc_id").cast("string"))
+    eps = F.array(*[F.lit(e) for e in range(1, _SHUFFLE_EPOCHS + 1)])
+    hashed = docs.select(
+        "doc_id", F.explode(eps).alias("epoch")
+    ).withColumn(
+        "__h",
+        token_hash60(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    parts = spark.sparkContext.defaultParallelism
+    ranged = _ranged_with_pid(hashed, parts, ["__h"])
+    w_local = W.partitionBy("__pid", "epoch").orderBy("__h", "doc_id")
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid", "epoch").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        W.partitionBy("epoch")
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        "epoch",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", "epoch"])
+        .select(
+            "epoch",
+            (F.col("__lrn") + F.col("__off")).cast("int").alias("position"),
+            "doc_id",
         )
-        ranked = global_row_number(
-            docs.withColumn("__h", h), ["__h", "doc_id"], out_col="position"
-        )
-        parts.append(
-            ranked.select(F.lit(ep).alias("epoch"), "position", "doc_id")
-        )
-    return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
-        "epoch", "position"
+        .orderBy("epoch", "position")
     )
 
 
@@ -1361,56 +1396,94 @@ LIMIT 20
 # +1e-6 nudge — JVM log vs libm ln 1-ulp fence posture) and the
 # per-doc mean taken with integer DIV, so every downstream comparison
 # is exact. Tertile cuts are per-language nearest-rank percentiles
-# (operators/relational.nearest_rank_percentiles — never interpolated).
+# over the (lang, spp) frequency grid — the same k = ceil(p*n)
+# arithmetic as operators/relational.nearest_rank_percentiles, inlined
+# as window aggregates (see below).
 #
 # Scale: one token-scale map-side-combined shuffle (bucket counts), a
 # 1024-row broadcast back onto the token stream, one doc-level
-# aggregate, per-lang cumulative-frequency walk over the distinct
-# score grid (bounded by grid size, not N), broadcast cuts. The same
-# shape as sample_dsir_weights plus the rfm-style cut stage.
+# aggregate, then everything is grid-bounded: because a document's
+# tier depends only on (lang, spp), BOTH the tertile cuts and the
+# final head/middle/tail rollup are computed from the (lang, spp)
+# frequency grid. One straight lineage — no cuts-aggregate +
+# join-back diamond (which re-derived the doc-scale s4-join/aggregate
+# residue twice), and no doc-scale tagging join at all (r15).
 # ---------------------------------------------------------------------------
 
 
 def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_ml_pipeline_spark.operators.relational import (
-        nearest_rank_percentiles,
-    )
+    from pyspark.sql import Window as W
+
     from etl_ml_pipeline_spark.operators.text import unigram_surprisal_scores
 
     docs = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", "lang", "text"
     )
     # shared kernel with the perplexity_bucket pipeline transform.
-    # r15 examined, left alone: pinning per_doc with a lazy
-    # localCheckpoint (to stop the cuts branch + tagging join from
-    # re-deriving the s4 join / doc aggregate) measured 1.17x SLOWER
-    # interleaved at sf0.1 — the (doc,bucket) exchange is already
-    # reused, so the re-derived residue is doc-scale only, and the
-    # checkpoint write/read costs more than it saves (scripts/
-    # r15_ab2.json). Matches the operator docstring's standing call.
     per_doc = unigram_surprisal_scores(docs, n_buckets=_DSIR_B)
-    cuts = nearest_rank_percentiles(
-        per_doc, ["lang"], "spp", {"c1": (1, 3), "c2": (2, 3)}
+    # (lang, spp) frequency grid — the ONLY consumer of the doc-scale
+    # frame. r15 rework: the previous cuts-aggregate + null-safe-join
+    # formulation evaluated the s4-join + doc-aggregate residue twice
+    # (and a localCheckpoint pin measured 1.17x SLOWER interleaved at
+    # sf0.1 — scripts/r15_ab2.json); aggregating to the grid first
+    # removes the second evaluation without a pin, because the cuts and
+    # the final rollup only need (lang, spp, doc-count, token-sum).
+    grid = per_doc.groupBy("lang", "spp").agg(
+        F.count("*").alias("__cnt"),
+        F.sum("n_tokens").cast("long").alias("__toks"),
+    )
+    # nearest-rank cuts as WINDOW aggregates over the per-lang grid
+    # (identical k = (p*n + den-1) div den arithmetic as
+    # nearest_rank_percentiles) — windows over the same partitioning
+    # chain on one exchange, no aggregate + join-back. A NULL lang is
+    # its own window partition, matching the null-safe-join audit
+    # semantics of the previous formulation.
+    w_cum = (
+        W.partitionBy("lang")
+        .orderBy("spp")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy("lang")
+    ranked = grid.select(
+        "lang",
+        "spp",
+        "__cnt",
+        "__toks",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_tot).alias("__total"),
+    )
+    cut = ranked.select(
+        "lang",
+        "spp",
+        "__cnt",
+        "__toks",
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(1 * __total + 2) div 3"),
+                F.col("spp"),
+            )
+        )
+        .over(w_tot)
+        .alias("c1"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(2 * __total + 2) div 3"),
+                F.col("spp"),
+            )
+        )
+        .over(w_tot)
+        .alias("c2"),
     )
     tier = (F.col("spp") > F.col("c1")).cast("int") + (
         F.col("spp") > F.col("c2")
     ).cast("int")
     name = F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier + 1)
-    # null-safe cuts join: besides the audit semantics (a NULL lang is
-    # its own tertile group), this keeps Catalyst from inferring
-    # isnotnull(lang) into only ONE of the two token-scale subtrees —
-    # with both branches identical, the per-(doc,bucket) exchange is
-    # computed once and the LM side reads a ReusedExchange (the corpus
-    # is tokenized once, not twice).
-    from etl_ml_pipeline_spark.operators.joins import null_safe_join
-
     return (
-        null_safe_join(per_doc, F.broadcast(cuts), ["lang"])
-        .select("lang", name.alias("ppl_bucket"), "n_tokens", "spp")
+        cut.select("lang", name.alias("ppl_bucket"), "__cnt", "__toks", "spp")
         .groupBy("lang", "ppl_bucket")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("__cnt").cast("long").alias("n_docs"),
+            F.sum("__toks").cast("long").alias("n_tokens"),
             F.min("spp").alias("min_spp"),
             F.max("spp").alias("max_spp"),
         )
