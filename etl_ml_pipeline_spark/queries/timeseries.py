@@ -453,6 +453,7 @@ def _write_batches_spark(
     import glob
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     if conds is None:
         t0 = df.agg(F.min(ts_col).alias("t0")).first()["t0"]
@@ -463,7 +464,14 @@ def _write_batches_spark(
             (F.col(ts_col) >= F.lit(c1)) & (F.col(ts_col) < F.lit(c2)),
             F.col(ts_col) >= F.lit(c2),
         )
-    for i, cond in enumerate(conds, 1):
+
+    # The three batch writes are independent single-task jobs — submit
+    # them from a thread pool so they overlap instead of serializing
+    # three driver syncs (guide §2.6; r15). Bytes, file names and the
+    # explicit mtime stamps are identical to the sequential form, so
+    # trigger order is unchanged.
+    def _write_one(i_cond: tuple[int, object]) -> None:
+        i, cond = i_cond
         tmp = f"{root}/_tmp_b{i}"
         df.filter(cond).coalesce(1).write.parquet(tmp)
         (part,) = glob.glob(f"{tmp}/part-*.parquet")
@@ -472,6 +480,10 @@ def _write_batches_spark(
         shutil.rmtree(tmp)
         stamp = 1_700_000_000 + i * 10
         os.utime(path, (stamp, stamp))
+
+    conds = list(conds)
+    with ThreadPoolExecutor(max_workers=len(conds)) as pool:
+        list(pool.map(_write_one, enumerate(conds, 1)))
 
 
 # Streaming state partitioning is FIXED at query start (the count is
@@ -489,15 +501,33 @@ def _write_batches_spark(
 # can pin an explicit count with SPARK_GRAFT_STREAM_SHUFFLE.
 _STREAM_STATE_TARGET_BYTES = 32 * 1024 * 1024
 
+# applyInPandasWithState replays use a much smaller per-partition byte
+# target: their per-trigger fixed cost per partition is one Arrow
+# channel round trip (a few ms), not the JVM state store's checkpoint
+# file set (tens of ms), so the break-even bytes per partition is
+# correspondingly smaller — while the per-GROUP Python compute still
+# wants to spread across workers. Swept at sf0.1/local[32]
+# (events source ~2 MB): 32 parts / 16 / 8 / 4 / 1 read
+# ttl 6.5 / 4.8 / 4.5 / 5.4 / 9.4s and sessionize 2.9 / 2.1 / 2.5 /
+# 3.9s — the 128 KB target lands at the measured sweet spot and, like
+# the JVM rule, leaves the session's own parallelism in charge as soon
+# as the source outgrows target*cores (any 100 TB stream), so the
+# derivation only ever shrinks tiny bounded replays.
+_STREAM_PYSTATE_TARGET_BYTES = 128 * 1024
 
-def _stream_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+
+def _stream_state_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    target_bytes: int = _STREAM_STATE_TARGET_BYTES,
+) -> int:
     import os
 
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "")
     if env.isdigit() and int(env) > 0:
         return int(env)
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    derived = (input_bytes + _STREAM_STATE_TARGET_BYTES - 1) // _STREAM_STATE_TARGET_BYTES
+    derived = (input_bytes + target_bytes - 1) // target_bytes
     return max(1, min(cur, derived))
 
 
@@ -525,24 +555,29 @@ def _replay(
 
     ``python_state=True`` marks plans whose state transition is an
     ``applyInPandasWithState`` kernel: their per-trigger cost is
-    per-GROUP Python compute, not JVM state-store file overhead, so
-    shrinking partitions serializes the groups through one Python
-    worker instead of removing fixed cost (measured at sf0.1:
-    stream_sessionize_replay 2.4s at 32 parts -> 9.4s at the derived
-    1). Those replays keep the session's own parallelism.
+    per-GROUP Python compute plus one Arrow channel per partition, not
+    JVM state-store file overhead — so they size from the SMALLER
+    python-state byte target (``_STREAM_PYSTATE_TARGET_BYTES``) instead
+    of the 32 MB JVM target. Shrinking all the way to 1 serializes the
+    groups through one Python worker (measured at sf0.1:
+    stream_sessionize_replay 2.4s at 32 parts -> 9.4s at 1, with the
+    sweet spot at the 128 KB-derived 8-16 — see the target's comment).
     """
     import uuid
 
     name = f"replay_{uuid.uuid4().hex}"
     spark = stream_result.sparkSession
     prev_parts = None
-    if python_state:
-        input_bytes = None
     if input_bytes is not None:
+        target = (
+            _STREAM_PYSTATE_TARGET_BYTES
+            if python_state
+            else _STREAM_STATE_TARGET_BYTES
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(_stream_state_partitions(spark, input_bytes)),
+            str(_stream_state_partitions(spark, input_bytes, target)),
         )
     try:
         q = (
@@ -576,7 +611,7 @@ def stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="36500 days",  # >> data span: nothing late, no timeouts
     )
     return (
-        _replay(sessions, "append", python_state=True)
+        _replay(sessions, "append", input_bytes=_events_bytes(sf_dir), python_state=True)
         .select(
             "user_id",
             F.col("session_start").cast("string").alias("session_start"),
@@ -684,7 +719,7 @@ def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     totals = stateful_running_totals(_events_stream(spark, sf_dir))
     return (
-        _replay(totals, "update", python_state=True)
+        _replay(totals, "update", input_bytes=_events_bytes(sf_dir), python_state=True)
         .select(
             "user_id",
             "n",
@@ -719,7 +754,7 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_ml_pipeline_spark.streaming.windows import stateful_topk
 
     board = stateful_topk(_events_stream(spark, sf_dir), k=5)
-    return _replay(board, "update", python_state=True).orderBy("event_type", "rank")
+    return _replay(board, "update", input_bytes=_events_bytes(sf_dir), python_state=True).orderBy("event_type", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1587,7 +1622,7 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     monitor = stateful_cusum(_events_stream(spark, sf_dir))
     return (
-        _replay(monitor, "update", python_state=True)
+        _replay(monitor, "update", input_bytes=_events_bytes(sf_dir), python_state=True)
         .select("event_type", "day", "y", "s", "alarm")
         .orderBy("event_type", "day")
     )
@@ -1766,7 +1801,10 @@ def stream_ttl_eviction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttl_minutes=_TTL_MS // 60000,
     )
     return (
-        _replay(out, "update", python_state=True)
+        # input_bytes: pre-filter table size as the sizing hint — the
+        # python-state floor wants group parallelism, not the (tiny)
+        # filtered batch bytes
+        _replay(out, "update", input_bytes=_events_bytes(sf_dir), python_state=True)
         .select(
             "user_id", "n", F.round("total", 2).alias("total"), "evicted"
         )
@@ -1925,7 +1963,10 @@ def stream_topk_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = stateful_topk(stream, k=5)
     return (
-        _replay(out, "update", python_state=True)
+        # input_bytes: pre-filter table size as the sizing hint — the
+        # python-state floor wants group parallelism, not the (tiny)
+        # filtered batch bytes
+        _replay(out, "update", input_bytes=_events_bytes(sf_dir), python_state=True)
         .select("event_type", "rank", "user_id", "total_cents")
         .orderBy("event_type", "rank", "total_cents", "user_id")
     )
