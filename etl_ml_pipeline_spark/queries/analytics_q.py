@@ -539,40 +539,69 @@ def feature_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different interpolation neighbors. Order statistics on actual data
     # values are the standard winsorize bounds anyway, and the
     # cumulative-frequency walk runs over |distinct cents| rows, not N.
-    from etl_ml_pipeline_spark.operators.relational import (
-        nearest_rank_percentiles,
-    )
+    # r15 rework (the grid pattern shared with hist_equidepth /
+    # perplexity buckets): a row's clamp depends only on (event_type,
+    # c), so the winsorize bounds AND the clamped moments all come from
+    # the (event_type, c) frequency grid — one events scan, cuts as
+    # per-type window aggregates (identical k = ceil(p*n) integer
+    # arithmetic), no event-scale broadcast-join-back (which re-derived
+    # the scan per branch).
+    from pyspark.sql import Window as W
 
-    bounds = nearest_rank_percentiles(
-        ev.select("event_type", cents.alias("c")),
-        keys=["event_type"],
-        value_col="c",
-        pcts={"lo_c": (1, 100), "hi_c": (99, 100)},
+    grid = (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count("*").alias("__f"))
     )
-    w = (
-        ev.join(F.broadcast(bounds), "event_type")
-        .select(
-            "event_type",
-            "lo_c",
-            "hi_c",
-            cents.alias("c"),
-        )
-        .select(
-            "event_type",
-            "lo_c",
-            "hi_c",
-            "c",
-            F.greatest(F.least(F.col("c"), F.col("hi_c")), F.col("lo_c")).alias("cw"),
-        )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    agg = w.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("c") < F.col("lo_c")).cast("long")).alias("n_clamped_low"),
-        F.sum((F.col("c") > F.col("hi_c")).cast("long")).alias("n_clamped_high"),
+    w_tot = W.partitionBy("event_type")
+    ranked = grid.select(
+        "event_type",
+        "c",
+        "__f",
+        F.sum("__f").over(w_cum).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    tagged = ranked.select(
+        "event_type",
+        "c",
+        "__f",
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(1 * __total + 99) div 100"),
+                F.col("c"),
+            )
+        )
+        .over(w_tot)
+        .alias("lo_c"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(99 * __total + 99) div 100"),
+                F.col("c"),
+            )
+        )
+        .over(w_tot)
+        .alias("hi_c"),
+    )
+    cw = F.greatest(F.least(F.col("c"), F.col("hi_c")), F.col("lo_c"))
+    agg = tagged.select(
+        "event_type", "c", "__f", "lo_c", "hi_c", cw.alias("cw")
+    ).groupBy("event_type").agg(
+        F.sum("__f").alias("n"),
+        F.sum(
+            (F.col("c") < F.col("lo_c")).cast("long") * F.col("__f")
+        ).alias("n_clamped_low"),
+        F.sum(
+            (F.col("c") > F.col("hi_c")).cast("long") * F.col("__f")
+        ).alias("n_clamped_high"),
         F.min("lo_c").alias("lo_c"),
         F.min("hi_c").alias("hi_c"),
-        F.sum("cw").alias("s1"),
-        F.sum(F.col("cw") * F.col("cw")).alias("s2"),
+        F.sum(F.col("cw") * F.col("__f")).alias("s1"),
+        F.sum(F.col("cw") * F.col("cw") * F.col("__f")).alias("s2"),
     )
     var_c = (
         F.col("s2").cast("double")
@@ -889,30 +918,94 @@ _MAD_K = 5
 
 
 def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_ml_pipeline_spark.operators.relational import (
-        nearest_rank_percentiles,
-    )
+    # r15 rework (the grid pattern): both medians and the outlier count
+    # depend only on (event_type, c) frequencies, so everything runs
+    # off ONE events scan. med = window nearest-rank over the c-grid;
+    # the deviation grid is a GRID-scale re-aggregation by
+    # (event_type, d = |c - med|) — values below/above the median fold
+    # together, no event re-scan; mad = window nearest-rank over the
+    # d-grid; the final rollup sums d-grid frequencies. The previous
+    # formulation derived the event-scale dev frame three times through
+    # two broadcast-join diamonds (4 scans total).
+    from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    med = nearest_rank_percentiles(ev, ["event_type"], "c", {"med": (1, 2)})
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("c") - F.col("med")).alias("d")
+    grid = ev.groupBy("event_type", "c").agg(F.count("*").alias("__f"))
+    w_cum_c = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    mad = nearest_rank_percentiles(
-        dev.select("event_type", "d"), ["event_type"], "d", {"mad": (1, 2)}
+    w_tot = W.partitionBy("event_type")
+    ranked = grid.select(
+        "event_type",
+        "c",
+        "__f",
+        F.sum("__f").over(w_cum_c).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    with_med = ranked.select(
+        "event_type",
+        "c",
+        "__f",
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(1 * __total + 1) div 2"),
+                F.col("c"),
+            )
+        )
+        .over(w_tot)
+        .alias("med"),
+    )
+    dgrid = (
+        with_med.select(
+            "event_type",
+            "med",
+            F.abs(F.col("c") - F.col("med")).alias("d"),
+            "__f",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("__f").alias("__f"), F.max("med").alias("med"))
+    )
+    w_cum_d = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked_d = dgrid.select(
+        "event_type",
+        "d",
+        "med",
+        "__f",
+        F.sum("__f").over(w_cum_d).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    with_mad = ranked_d.select(
+        "event_type",
+        "d",
+        "med",
+        "__f",
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(1 * __total + 1) div 2"),
+                F.col("d"),
+            )
+        )
+        .over(w_tot)
+        .alias("mad"),
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
+        with_mad.groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("__f").alias("n"),
             F.max("med").alias("med_cents"),
             F.max("mad").alias("mad_cents"),
             F.sum(
                 (F.col("d") > _MAD_K * F.col("mad")).cast("long")
+                * F.col("__f")
             ).alias("n_outliers"),
         )
         .orderBy("event_type")

@@ -1769,25 +1769,49 @@ ORDER BY bucket
 
 
 def hist_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_ml_pipeline_spark.operators.relational import (
-        nearest_rank_percentiles,
-    )
+    # r15 rework (the perplexity-buckets grid pattern): a row's bucket
+    # depends only on its cent value c, so the decile cuts AND the
+    # final histogram both come from the c-frequency grid — one orders
+    # scan, no order-scale crossJoin + re-aggregate (the previous
+    # bounds-aggregate + tagging diamond scanned orders twice). The
+    # cuts use the identical k = (i*n + 9) div 10 nearest-rank
+    # arithmetic, inlined as window aggregates over the single-group
+    # grid (the grid walk was already one task under g=1).
+    from pyspark.sql import Window as W
 
     o = t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
-    ).withColumn("g", F.lit(1))
-    pcts = {f"b{i}": (i, 10) for i in range(1, 10)}
-    bounds = nearest_rank_percentiles(o, ["g"], "c", pcts)
+    )
+    freqs = o.groupBy("c").agg(F.count("*").alias("__f"))
+    w_cum = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    w_tot = W.partitionBy()
+    ranked = freqs.select(
+        "c",
+        "__f",
+        F.sum("__f").over(w_cum).alias("__cum"),
+        F.sum("__f").over(w_tot).alias("__total"),
+    )
+    cut_cols = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"({i} * __total + 9) div 10"),
+                F.col("c"),
+            )
+        )
+        .over(w_tot)
+        .alias(f"b{i}")
+        for i in range(1, 10)
+    ]
+    tagged = ranked.select("c", "__f", *cut_cols)
     bucket = None
     for i in range(1, 10):
         term = (F.col("c") > F.col(f"b{i}")).cast("int")
         bucket = term if bucket is None else bucket + term
     return (
-        o.crossJoin(F.broadcast(bounds.drop("g")))
-        .select(bucket.alias("bucket"), "c")
+        tagged.select(bucket.alias("bucket"), "c", "__f")
         .groupBy("bucket")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("__f").alias("n"),
             (F.min("c") / 100.0).alias("lo"),
             (F.max("c") / 100.0).alias("hi"),
         )
