@@ -913,7 +913,16 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p,) for p in _CMS_PROBES], "term string"
     )
     est = count_min_estimate(matrix, probes, "term", _CMS_DEPTH, _CMS_WIDTH)
-    exact = terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+    # exact counts only for the 6 probe terms — the left join below
+    # never consumed the other groups; the aggregate (and its map-side
+    # partials / shuffle) is now |probes| groups, not |vocab|. term is
+    # a derived CASE column, so the filter runs post-projection, not
+    # at the scan (r15)
+    exact = (
+        terms.filter(F.col("term").isin(*_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count("*").alias("exact_count"))
+    )
     return (
         est.join(exact, "term", "left")
         .select(

@@ -36,6 +36,7 @@ TOUCHED = {
     "hist_equidepth_prices": "etl_ml_pipeline_spark/queries/relational.py",
     "feature_winsorize_events": "etl_ml_pipeline_spark/queries/analytics_q.py",
     "anomaly_mad_events": "etl_ml_pipeline_spark/queries/analytics_q.py",
+    "sketch_cms_frequency": "etl_ml_pipeline_spark/queries/text_q.py",
     "split_leakage_safe_documents": "etl_ml_pipeline_spark/queries/sampling_q.py",
     "concurrency_peak_events": "etl_ml_pipeline_spark/queries/timeseries.py",
     "text_novelty_trigram": "etl_ml_pipeline_spark/queries/text_q.py",
