@@ -993,24 +993,31 @@ ORDER BY probe
 
 
 def text_novelty_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
     # tokenize ONCE (round-9 pattern): per-(doc, term) counts are the
-    # single token-scale shuffle; the frequency table re-aggregates it,
-    # the corpus total folds into an unpartitioned window over the
-    # vocab-sized frequency frame (the old agg+crossJoin diamond
-    # re-derived the token stream a third time), and the scoring side
-    # joins back on the shared subtree. k * (-ln p) is one rounding
-    # where the occurrence-sum was k-1 — strictly more accurate; the
-    # oracle computes the identical reduced expression.
-    dtc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
-    freq = dtc.groupBy("term").agg(F.sum("k").alias("tf"))
-    freq = freq.select(
-        "term", "tf", F.sum("tf").over(W.partitionBy()).alias("N")
+    # single token-scale shuffle. r16 (VERDICT r15 #1 sweep): the r15
+    # corpus-total window over the frequency frame single-partitioned
+    # |vocab| rows — and vocab SCALES WITH THE DATA (Heaps' law), the
+    # same shape q11/q15 had to drop. Pin dtc once (lazy
+    # localCheckpoint; it has three consumers: freq, the corpus total,
+    # and the scoring join — the pin guarantees the token-scale explode
+    # runs exactly once regardless of column-pruning de-identification),
+    # then N is a PLAIN aggregate of the pin (sum of int64 counts —
+    # partial aggregation, order-free, bit-identical) broadcast onto
+    # the vocab frame. No data-scaled single partition. k * (-ln p) is
+    # one rounding where the occurrence-sum was k-1 — strictly more
+    # accurate; the oracle computes the identical reduced expression.
+    dtc = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("k")
+    ).localCheckpoint(eager=False)
+    n_tot = dtc.agg(F.sum("k").alias("N"))
+    freq = (
+        dtc.groupBy("term")
+        .agg(F.sum("k").alias("tf"))
+        .crossJoin(F.broadcast(n_tot))
     )
     scored = dtc.join(
         maybe_broadcast(freq, sf_dir, "documents"), "term"

@@ -367,20 +367,21 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("raw_value"))
     )
-    # r15 optimization: the grand total as an unpartitioned window sum
-    # over the per-part frame instead of an agg + crossJoin diamond
-    # (which re-derived the lineitem join+aggregate for the totals
-    # branch — 2 fact scans). The window single-partitions |parts|
-    # narrow rows — bounded by the part dimension, far cheaper at any
-    # scale than a second fact-table pass. Same double sum over the
-    # same rows in Spark's single-partition reduce — and the oracle
-    # re-proves the filter boolean cross-engine.
-    from pyspark.sql import Window as W
-
+    # r16 (VERDICT r15 #1): the r15 unpartitioned window forced the
+    # whole per-part frame through ONE task, and |parts| SCALES WITH
+    # THE DATA (~2e10 rows at TPC-H SF 100k) — the exact shape q22
+    # correctly refuses. Pin the grouped frame once with a lazy
+    # localCheckpoint (both consumers read the materialization — no
+    # diamond re-deriving the lineitem join+aggregate), compute the
+    # scalar as a PLAIN aggregate of the pin (partial aggregation ⇒
+    # O(#tasks) bytes to the final reduce, never |parts| rows in one
+    # task), and broadcast-crossJoin the 1-row total back. Still ONE
+    # fact pass; no data-scaled single partition. Oracle re-proves the
+    # filter boolean cross-engine at sf0.001/0.01/0.1.
+    per_part = per_part.localCheckpoint(eager=False)
+    total = per_part.agg(F.sum("raw_value").alias("grand_total"))
     return (
-        per_part.withColumn(
-            "grand_total", F.sum("raw_value").over(W.partitionBy())
-        )
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("raw_value") > 0.001 * F.col("grand_total"))
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -468,18 +469,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
     )
-    # r15 optimization: the max as an unpartitioned window over the
-    # |suppliers|-row revenue frame instead of an agg + crossJoin
-    # diamond (which re-derived the lineitem aggregate for the max
-    # branch — 2 fact scans). Max is order-free; values are the same
-    # rounded doubles — identical equality filter.
-    from pyspark.sql import Window as W
-
+    # r16 (VERDICT r15 #1): the r15 unpartitioned window forced the
+    # whole revenue frame through ONE task, and |suppliers| SCALES WITH
+    # THE DATA (~1e9 rows at TPC-H SF 100k). Pin the grouped frame once
+    # (lazy localCheckpoint — both consumers read the materialization),
+    # take the max as a PLAIN aggregate of the pin (partial aggregation
+    # ⇒ O(#tasks) bytes to the final reduce), broadcast-crossJoin the
+    # 1-row max back. Still ONE fact pass; no data-scaled single
+    # partition. Max over the same rounded doubles is order-free —
+    # identical equality filter.
     s = t(spark, sf_dir, "supplier")
+    revenue = revenue.localCheckpoint(eager=False)
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn(
-            "max_revenue", F.max("total_revenue").over(W.partitionBy())
-        )
+        revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

@@ -208,3 +208,45 @@ def test_list_modules_surfaces_unavailable(monkeypatch):
     )
     reg = list_registered()
     assert any("playwright" in entry for entry in reg["unavailable"])
+
+
+def test_bench_tail_fits_2000_chars():
+    """VERDICT r15 ask #2: the driver's bench record keeps only the
+    LAST 2000 chars of stdout — the per-query medians line plus the
+    summary line must BOTH fit inside that tail or PERF.per_query comes
+    back empty. Simulate worst-case widths (999.999s medians for every
+    live headline name) and assert the two compact lines json-parse
+    from a 2000-char truncation."""
+    import bench as bench_mod
+
+    timings = {n: 999.999 for n in bench_mod.HEADLINE}
+    perq = json.dumps(
+        {"metric": "headline_per_query", "queries": timings, "sf": 0.1},
+        separators=(",", ":"),
+    )
+    summary = json.dumps(
+        {
+            "metric": "headline_summary",
+            "value": 99999.999,
+            "unit": "sec",
+            "headline_n": len(timings),
+            "value_22q": 99999.999,
+            "value_22q_members": "HEADLINE[:22] frozen pre-round-5",
+            "cold_value": 99999.999,
+            "cpu_probe_sec": 9.999,
+            "value_22q_per_probe": 99999.999,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    stdout_tail = ("x" * 5000 + "\n" + perq + "\n" + summary + "\n")[-2000:]
+    lines = [ln for ln in stdout_tail.splitlines() if ln.startswith("{")]
+    assert len(lines) >= 2, (
+        f"per-query + summary lines exceed the 2000-char tail "
+        f"(perq={len(perq)} summary={len(summary)}); shrink the "
+        f"per-query line (bench.py falls back to the 22q subset)"
+    )
+    parsed = [json.loads(ln) for ln in lines[-2:]]
+    assert parsed[0]["metric"] == "headline_per_query"
+    assert set(parsed[0]["queries"]) == set(bench_mod.HEADLINE)
+    assert parsed[1]["metric"] == "headline_summary"
