@@ -459,6 +459,7 @@ def grouped_running_sum(
     num_partitions: int | None = None,
     broadcast_offsets: bool = True,
     pin_input: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact PER-GROUP running (prefix) sum in ``order_cols`` order
     within each group — without ``Window.partitionBy(group)``'s
@@ -484,6 +485,16 @@ def grouped_running_sum(
     ``Window.partitionBy(group)`` directly: with many groups each
     group is small by definition, so the straggler concern this
     operator exists for doesn't apply.
+
+    ``total_col`` (r16, VERDICT r15 #6): additionally attach each
+    group's GRAND total under that name, computed as a window over the
+    per-(partition, group) totals frame — |partitions| rows per group,
+    a constant bound — and delivered through the same offset join. This
+    replaces the ``Window.partitionBy(group)`` total a caller would
+    otherwise run over the full frame (one task per group again), for
+    free: no extra pass, no extra join. Exact for integer values, so
+    callers that need bit-identical totals (interpolated_percentiles)
+    get them.
     """
     from pyspark.sql import Window as W
 
@@ -517,11 +528,15 @@ def grouped_running_sum(
         .orderBy("__pid")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    offsets = totals.select(
-        "__pid",
-        *group_cols,
-        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
-    )
+    off_cols = [
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    ]
+    if total_col is not None:
+        # per-group grand total over the |partitions|-rows-per-group
+        # totals frame (bounded window — never the full input)
+        w_gtot = W.partitionBy(*group_cols)
+        off_cols.append(F.sum("__tot").over(w_gtot).alias(total_col))
+    offsets = totals.select("__pid", *group_cols, *off_cols)
     # null-safe offset join (ADVICE r08 #4 root cause): a NULL group
     # key is a legitimate group — Window.partitionBy and groupBy both
     # treat it as one — so the join back must be eqNullSafe per key or
@@ -973,29 +988,40 @@ def interpolated_percentiles(
     tests/test_relational_ops.py).
 
     Scale: one shuffle on (keys, value) for the frequency aggregate,
-    one per-key window over the distinct-value grid, one final
-    aggregate — every stage bounded by grid cardinality, same shape as
-    :func:`nearest_rank_percentiles`.
+    then the cumulative walk as a PARTITION-PARALLEL two-phase grouped
+    prefix sum (r16, VERDICT r15 #6: the r15 shape ran each key's grid
+    walk — and its per-key total — as one Window.partitionBy(keys)
+    task, serializing on the largest group's grid; the hot caller's
+    grid is ~97%-distinct prices, i.e. grid ≈ N — a data-scaled single
+    task. grouped_running_sum buckets the VALUE axis so one group's
+    grid spreads across every partition, and total_col rides the same
+    offset join). pin_input=True: the freqs aggregate is the expensive
+    corpus pass — the pin guarantees it runs ONCE (the two-phase
+    branches would otherwise re-derive it up to 3x). Counts are int64,
+    so __cum/__total are bit-identical to the serialized windows' —
+    the builtin-percentile parity pin still holds. Honest local cost:
+    interleaved operator A/B at sf0.1 reads 1.8 → 2.3s
+    (scripts/r16_ab5_interp.json) — the pin write + offset join on a
+    600k-row grid lose to three 200k-row single-task window sorts at
+    this scale; the serialized shape is the one that CANNOT finish at
+    100 TB. nearest_rank_percentiles keeps the serialized walk: its
+    callers' grids are value-domain-bounded (cents, day counts), never
+    data-scaled.
     """
-    from pyspark.sql.window import Window
-
     freqs = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, value_col)
         .agg(F.count("*").alias("__f"))
     )
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy(*keys)
-    ranked = freqs.select(
-        *keys,
-        value_col,
-        F.sum("__f").over(w_cum).alias("__cum"),
-        F.sum("__f").over(w_tot).alias("__total"),
-    )
+    ranked = grouped_running_sum(
+        freqs,
+        "__f",
+        list(keys),
+        [value_col],
+        out_col="__cum",
+        total_col="__total",
+        pin_input=True,
+    ).select(*keys, value_col, "__cum", "__total")
     # position/rank expressions are PER-ROW (``__total`` is constant
     # within a key group), so the rank probes are plain conditional
     # mins; the interpolation arithmetic re-derives position from the

@@ -448,6 +448,73 @@ class SemanticDecontam(BaseTransform):
         )
 
 
+def fold_cosine_max(
+    df: DataFrame,
+    bench_vecs: list[list[float]],
+    vec_col: str,
+    out_col: str,
+    keep_cols: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-row MAX cosine against a bounded in-memory benchmark block,
+    as ONE vectorized Arrow kernel — bit-identical to the interpreted
+    ``max(cosine(vec, bv))`` crossJoin+groupBy it replaces (r16, VERDICT
+    r15 #3; guide §4.2: interpreted HOF lambdas never reach codegen and
+    ran 80k x 64-dim sequential folds row-at-a-time in the decontam
+    exact legs).
+
+    Bit-parity is by construction, NOT by quantization (the declared
+    results must stay identical): the JVM ``cosine`` is a sequential
+    left fold ``((0.0 + a0*b0) + a1*b1) + ...`` divided by
+    ``norm(a) * norm(b)``; the kernel accumulates per-dimension in
+    float64 across the whole batch (``acc += A[:, j] * b[j]``) — the
+    same IEEE adds/multiplies on the same operands in the same order
+    per row, just vectorized across rows — and ``sqrt``/``/``/``*``
+    are single correctly-rounded IEEE ops in both engines. max() is an
+    exact selection; NaN propagates as Spark's NaN-greatest ordering
+    would (np.maximum). Pinned by
+    tests/test_similarity.py::test_fold_cosine_max_bit_identical.
+
+    ``bench_vecs`` must be a BOUNDED block (benchmark suites, centroid
+    sets — never a data-scaled side); it ships to each task as a
+    closure, the same posture as :func:`collect_centroid_rows`. The
+    input's ``keep_cols`` (name, spark-ddl-type) pass through untouched;
+    one output row per input row (callers rely on the carried key being
+    unique — the old groupBy(key) over the crossJoin was an identity
+    grouping for unique keys).
+    """
+    bench = np.asarray(bench_vecs, dtype=np.float64)
+    nb = np.zeros(bench.shape[0], dtype=np.float64)
+    for j in range(bench.shape[1]):
+        nb = nb + bench[:, j] * bench[:, j]
+    nb = np.sqrt(nb)
+    schema = ", ".join(
+        [f"{n} {t}" for n, t in keep_cols] + [f"{out_col} double"]
+    )
+    keep_names = [n for n, _t in keep_cols]
+    d = bench.shape[1]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy())
+            na = np.zeros(len(a), dtype=np.float64)
+            for j in range(d):
+                na = na + a[:, j] * a[:, j]
+            na = np.sqrt(na)
+            best = np.full(len(a), -np.inf, dtype=np.float64)
+            for b_idx in range(bench.shape[0]):
+                acc = np.zeros(len(a), dtype=np.float64)
+                for j in range(d):
+                    acc = acc + a[:, j] * bench[b_idx, j]
+                best = np.maximum(best, acc / (na * nb[b_idx]))
+            out = pdf[keep_names].copy()
+            out[out_col] = best
+            yield out
+
+    return df.select(*keep_names, vec_col).mapInPandas(gen, schema)
+
+
 def collect_centroid_rows(
     centroids: DataFrame,
     cent_id: str = "cent_id",

@@ -264,6 +264,17 @@ def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = base.unionByName(injected)
+    # r16 NEGATIVE RESULT (VERDICT r15 #3, measured and reverted): the
+    # fold_cosine_max Arrow kernel (bit-identical, parity-pinned) was
+    # tried here and measured 1.08-1.22x SLOWER in two interleaved A/B
+    # sessions (scripts/r16_ab3_decontam.json, r16_ab3b_semstats.json:
+    # 1.62->1.97, 1.27->1.37): the 64-dim x |bench|=40 fold is ~192
+    # interpreted terms per pair — under the _EXPR_PATH_MAX_TERMS-style
+    # threshold where HOF interpretation starts losing — while the
+    # kernel pays a fixed bench-collect job + Python channel per
+    # invocation. This is a HEADLINE query, so it keeps the HOF form;
+    # the catalog shortlist contract keeps the kernel (its exact leg is
+    # the scale-bound side there and the query is not bench-timed).
     scored = corpus.crossJoin(F.broadcast(bench)).select(
         "c_id", "label", cosine(F.col("cv"), F.col("bv")).alias("cos")
     )
@@ -378,12 +389,33 @@ def semantic_decontam_shortlist_stats(
         "label",
     )
     corpus = base.unionByName(injected)
-    # exact leg (the yardstick): ONE scan x broadcast benchmark
-    exact = (
-        corpus.crossJoin(F.broadcast(bench.select("bv")))
-        .select("c_id", "label", cosine(F.col("cv"), F.col("bv")).alias("cos"))
-        .groupBy("c_id", "label")
-        .agg(F.max("cos").alias("max_cos_exact"))
+    # exact leg (the yardstick): ONE scan x the bounded benchmark block.
+    # r16 (VERDICT r15 #3, guide §4.2): interpreted HOF cosine (80k
+    # pairs x 64 dims) → the fold_cosine_max Arrow kernel — the same
+    # sequential fold vectorized, bit-identical doubles, no
+    # quantization (parity pinned in tests/test_similarity.py). c_id is
+    # unique by construction, so the per-row max IS the old
+    # groupBy(c_id, label) max. The exact-vs-shortlist CONTRACT is
+    # unchanged: still one full corpus pass against every bench vector.
+    # Honest local numbers: interleaved A/B measured the kernel ~1.16x
+    # at sf0.1 (scripts/r16_ab3c_shortlist.json, 2.44 -> 2.84 — the
+    # fixed bench-collect job + Python channel outweighs the ~0.5s HOF
+    # at this scale; an earlier 13.5 -> 5.5 reading was a stalled host
+    # window). The kernel stays HERE because this leg is the one whose
+    # per-pair interpreted cost SCALES with corpus x bench (the exact
+    # yardstick is corpus-complete by contract), the overhead is fixed
+    # per invocation, and this query is catalog-only (not bench-timed);
+    # the headline semantic_decontam_stats keeps the HOF form (negative
+    # result recorded there).
+    from etl_ml_pipeline_spark.operators.similarity import fold_cosine_max
+
+    bench_vecs = [r["bv"] for r in bench.select("bv").collect()]
+    exact = fold_cosine_max(
+        corpus,
+        bench_vecs,
+        "cv",
+        "max_cos_exact",
+        [("c_id", "long"), ("label", "int")],
     )
     # shortlist leg: probe 2 cells, cosine only inside the cell join
     probed = _probe_exploded(

@@ -482,6 +482,8 @@ def _write_batches_spark(
         os.utime(path, (stamp, stamp))
 
     conds = list(conds)
+    if not conds:  # ADVICE r15 #2: ThreadPoolExecutor(0) raises
+        return
     with ThreadPoolExecutor(max_workers=len(conds)) as pool:
         list(pool.map(_write_one, enumerate(conds, 1)))
 
