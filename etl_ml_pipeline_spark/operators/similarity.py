@@ -961,6 +961,7 @@ def ivfpq_rerank_topk(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ candidate generation + EXACT cosine re-ranking — the full
     production retrieval stack. Raw single-probe ADC over compressed
@@ -979,6 +980,7 @@ def ivfpq_rerank_topk(
         queries, corpus, centroids, codebooks,
         k=n_candidates, n_probe=n_probe,
         q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+        centroid_rows=centroid_rows,
     ).select(q_id, c_id)
     rescored = (
         cands.join(corpus, c_id)                       # point-lookup fetch

@@ -201,13 +201,16 @@ def training_data_prep_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # Single-evaluation topology (VERDICT r12 #2 — the round-12 plan
     # scanned documents.parquet 8x with zero ReusedExchange):
-    # 1. The contamination gate reads GATED, not deduped — a doc's
-    #    verdict depends only on its own text vs the holdout grams, and
-    #    every dedup survivor sits in `gated` with identical text, so
-    #    the anti-join result is unchanged (extra verdicts for rows the
-    #    dedup dropped can't match the anti-join's left side). That
-    #    leaves `deduped` with ONE consumer: the dedup window runs
-    #    once, and the gram side is a map-side lineage (no window).
+    # 1. The contamination gate reads TRAIN, not deduped (r16; r12 had
+    #    moved it deduped→gated) — a doc's verdict depends only on its
+    #    own text vs the holdout grams, so grams may be enumerated for
+    #    ANY superset of the anti-join's left side: extra verdicts for
+    #    rows the gate/dedup dropped can't match `clean`'s left side.
+    #    Reading `train` drops quality_score (three tokenize passes)
+    #    from the gram branch entirely — measured at sf0.1:
+    #    contamination side 3.36s from `gated` vs 1.78s from `train`
+    #    (noop-sink probes), full query 3.28 -> 1.93 interleaved. The
+    #    dedup window still has exactly one consumer.
     # 2. Only the post-anti-join 3-column frame is pinned (lazy
     #    localCheckpoint) for the prefix sum's two branches. Pinning
     #    `deduped` itself would checkpoint the full TEXT column —
@@ -217,7 +220,9 @@ def training_data_prep_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFra
     # Shape pinned by tests/test_plans.py::test_decontam_e2e_lineage_pinned.
     deduped = exact_dedup(gated.drop("q"), "text", "doc_id")
     contaminated = (
-        contamination_pairs(gated, holdout, n=5, min_shared=1)
+        contamination_pairs(
+            train.select("doc_id", "text"), holdout, n=5, min_shared=1
+        )
         .select("corpus_id")
         .distinct()
     )

@@ -1787,7 +1787,9 @@ ORDER BY l.doc_id, frame_idx
 # ---------------------------------------------------------------------------
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, centroid_rows: list | None = None
+) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1800,7 +1802,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    out = ivf_topk(queries, corpus, centroids, k=5, n_probe=1)
+    # centroid_rows (r16, VERDICT r15 #7): a composing caller (the
+    # recall battery) that already collected THIS EXACT quantizer frame
+    # (vec_id % 50 == 0) in the same invocation passes the rows through
+    # — same-definition subexpression reuse within one invocation, the
+    # r15 §12 pattern lifted one level. Standalone default: unchanged.
+    out = ivf_topk(
+        queries, corpus, centroids, k=5, n_probe=1, centroid_rows=centroid_rows
+    )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos"), "cent_id"
     ).orderBy("q_id", "rank")
@@ -2006,7 +2015,9 @@ ORDER BY vec_id
 _PQ_M, _PQ_K, _PQ_STEP = 8, 16, 31
 
 
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, codebooks: list | None = None
+) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import (
         pq_adc_topk,
         pq_codebooks_from_rows,
@@ -2014,9 +2025,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    codebooks = pq_codebooks_from_rows(
-        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
-    )
+    # codebooks: same-definition pass-through (r16, VERDICT r15 #7 —
+    # see ann_ivfpq_topk); standalone default unchanged.
+    if codebooks is None:
+        codebooks = pq_codebooks_from_rows(
+            emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+        )
     corpus = pq_encode(
         emb.select(F.col("vec_id").alias("c_id"), "embedding"),
         codebooks,
@@ -2100,7 +2114,12 @@ ORDER BY q_id, rank
 # ---------------------------------------------------------------------------
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_rows: list | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import (
         ivfpq_topk,
         pq_codebooks_from_rows,
@@ -2110,16 +2129,23 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
-    codebooks = pq_codebooks_from_rows(
-        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
-    )
+    # centroid_rows/codebooks (r16, VERDICT r15 #7): same-definition
+    # pass-throughs for a composing caller (the recall battery) — the
+    # %50 quantizer and the (_PQ_M,_PQ_K,_PQ_STEP) codebooks are
+    # byte-identical to the standalone builds. Standalone: unchanged.
+    if codebooks is None:
+        codebooks = pq_codebooks_from_rows(
+            emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+        )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    out = ivfpq_topk(queries, corpus, centroids, codebooks, k=5)
+    out = ivfpq_topk(
+        queries, corpus, centroids, codebooks, k=5, centroid_rows=centroid_rows
+    )
     return out.select(
         "q_id",
         "rank",
@@ -2213,7 +2239,12 @@ _RERANK_PROBE = 8
 _RERANK_CANDS = 100
 
 
-def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_rows: list | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
     from etl_ml_pipeline_spark.operators.similarity import (
         ivfpq_rerank_topk,
         pq_codebooks_from_rows,
@@ -2223,9 +2254,13 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
-    codebooks = pq_codebooks_from_rows(
-        emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
-    )
+    # centroid_rows/codebooks: same-definition pass-throughs (r16,
+    # VERDICT r15 #7 — see ann_ivfpq_topk); standalone default
+    # unchanged.
+    if codebooks is None:
+        codebooks = pq_codebooks_from_rows(
+            emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+        )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -2240,6 +2275,7 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_candidates=_RERANK_CANDS,
         n_probe=_RERANK_PROBE,
+        centroid_rows=centroid_rows,
     )
     return out.select(
         "q_id", "rank", "c_id", _trunc4(F.col("cos")).alias("cos")
@@ -2684,16 +2720,57 @@ def ann_recall_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    # r16 (VERDICT r15 #7): audit of the members' eager build collects —
+    # ivf_p1, ivfpq and ivfpq_rerank build the IDENTICAL %50 coarse
+    # quantizer, and pq_adc/ivfpq/ivfpq_rerank the IDENTICAL
+    # (_PQ_M, _PQ_K, _PQ_STEP) codebooks. Collect each ONCE here and
+    # pass the rows through (6 driver-sync collects → 2). This is
+    # same-definition subexpression reuse WITHIN one invocation (the
+    # rows are re-collected from parquet every run); the only collects
+    # left are the two shared ones plus sqrtn's stride aggregate, which
+    # a DIFFERENT quantizer definition genuinely requires.
+    from etl_ml_pipeline_spark.operators.similarity import (
+        collect_centroid_rows,
+        pq_codebooks_from_rows,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
     # r15 §13 (guide §2.6): each member builder runs small eager
-    # driver-sync jobs (quantizer / codebook collects) before returning
-    # its lazy plan; sequentially those syncs dominate the battery's
-    # build time. Build the members CONCURRENTLY so the collects overlap
-    # in the scheduler — map() keeps _BATTERY order, so the composed
-    # union (and the result) is identical to the sequential build.
-    with ThreadPoolExecutor(max_workers=len(_BATTERY)) as pool:
-        idxs = list(
-            pool.map(lambda m: m[1](spark, sf_dir).select("q_id", "c_id"), _BATTERY)
+    # driver-sync jobs before returning its lazy plan; build everything
+    # CONCURRENTLY so the collects overlap in the scheduler. The two
+    # shared collects are futures in the SAME pool (a serial
+    # collect-then-build measured 1.17x — it gave back the r15 overlap
+    # win); members that need them block on the future, the others
+    # (sqrtn, lsh) proceed immediately. map() keeps _BATTERY order, so
+    # the composed union (and the result) is identical.
+    _needs_rows = {"ivf_p1", "ivfpq", "ivfpq_rerank"}
+    _needs_cbs = {"ivfpq", "ivfpq_rerank", "pq_adc"}
+
+    with ThreadPoolExecutor(max_workers=len(_BATTERY) + 2) as pool:
+        rows_f = pool.submit(
+            lambda: collect_centroid_rows(
+                emb.filter(F.col("vec_id") % 50 == 0).select(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("cent_vec"),
+                )
+            )
         )
+        cbs_f = pool.submit(
+            lambda: pq_codebooks_from_rows(
+                emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, id_step=_PQ_STEP
+            )
+        )
+
+        def _build(m):
+            name, fn = m[0], m[1]
+            kw = {}
+            if name in _needs_rows:
+                kw["centroid_rows"] = rows_f.result()
+            if name in _needs_cbs:
+                kw["codebooks"] = cbs_f.result()
+            return fn(spark, sf_dir, **kw).select("q_id", "c_id")
+
+        idxs = list(pool.map(_build, _BATTERY))
     rows = []
     for (name, _fn, _sql, floor), idx in zip(_BATTERY, idxs):
         rows.append(

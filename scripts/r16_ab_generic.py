@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from etl_ml_pipeline_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = __import__("os").environ.get("R16_AB_SF_DIR", "/root/testdata/sf0.1")
 PASSES = 5
 
 
